@@ -1,0 +1,58 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.rules._
+import graft.rules.dsl._
+import graft.gen.SequenceGen
+import graft.checks.TableChecks
+
+/** Flagship pipeline: the north-rule validation of the pre-tokenized
+  * sequence table (doc_id, tokens, n_tok, source) — row rules compiled to one
+  * codegen'd pass + table-level checks (uniqueness / referential / stats).
+  */
+object SeqValidation {
+
+  /** Row-level rule for the sequence table:
+    *  - doc_id: str, matches ^doc-, nonempty
+    *  - tokens: every element int in [0, V)
+    *  - n_tok:  int, == size(tokens)  (cross-field row check)
+    *  - source: enum membership (Or of literals — the broadcast-dim check in
+    *    row form; the join form is `TableChecks.referentialViolations`)
+    */
+  def rule(vocab: Int = SequenceGen.Vocab): StructRule =
+    StructRule(
+      fields = Seq(
+        req("doc_id", and(str, regex("^doc-"))),
+        req("tokens", arrayOfFast(and(int, pred("in_vocab")(t => t >= 0 && t < vocab)))(
+          // HOF-free fast path: bounds via array_min/array_max stay codegen'd
+          a => array_min(a) >= 0 && array_max(a) < vocab)),
+        req("n_tok", int),
+        req("source", isin(SequenceGen.Sources: _*))),
+      rowChecks = Seq(
+        ("n_tok_eq_len", r => r.getField("n_tok") === size(r.getField("tokens")))))
+
+  def validate(df: DataFrame): ValidationResult = Validator.run(df, rule())
+
+  /** Full table-level suite on top of the row pass. */
+  final case class TableReport(rowViolations: Long, nRows: Long,
+                               duplicateDocIds: Long, referentialViolations: Long,
+                               partitionsFailed: Long)
+
+  def fullReport(spark: SparkSession, df: DataFrame): TableReport = {
+    val res = validate(df)
+    val verdictAgg = res.verdicts
+      .agg(sum(col("n_rows")).as("n"), sum(col("n_valid")).as("v"),
+        sum((!col("pass")).cast("long")).as("failed"))
+      .head()
+    val dups = TableChecks.duplicateKeys(df, "doc_id").count()
+    val refs = TableChecks.referentialViolations(
+      df, "source", SequenceGen.sourceDim(spark), "source").count()
+    TableReport(
+      rowViolations = verdictAgg.getLong(0) - verdictAgg.getLong(1),
+      nRows = verdictAgg.getLong(0),
+      duplicateDocIds = dups,
+      referentialViolations = refs,
+      partitionsFailed = verdictAgg.getLong(2))
+  }
+}

@@ -2,9 +2,16 @@ package graft
 import org.apache.spark.sql.{SparkSession, DataFrame}
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
 object SparkEntry {
-  /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
-  def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+  /** Flagship: validate a deterministic synthetic sequence table
+    * (BASELINE.json input_hint shape, sf0.001-scale row count) and return the
+    * violation rows — non-empty by construction (violation injection,
+    * FIXTURES.md §A).
+    */
+  def entry(spark: SparkSession): DataFrame = {
+    val seqs = graft.gen.SequenceGen.sequences(spark, rows = 6000, parts = 8)
+    SeqValidation.validate(seqs).violations
+      .select("doc_id", "n_tok", "source", "violation_kind", "code")
+  }
   /** One entry per implemented operator from SURVEY.md §2. */
   def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on

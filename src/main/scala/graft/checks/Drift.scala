@@ -1,0 +1,66 @@
+package graft.checks
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Distribution-drift check on a numeric column's histogram vs a baseline
+  * snapshot (north rule: "distribution-drift checks on n_tok histograms via
+  * KS/chi-square against a baseline snapshot").
+  *
+  * Executor side: ONE `groupBy(bucket).count` pass (map-side combined — at
+  * most `buckets` rows reach the driver). Driver side: χ² statistic +
+  * Kolmogorov–Smirnov D over the tiny bucket vector — O(buckets), no Spark
+  * involvement, mirroring how the reference's table-level checks reduce to a
+  * scalar verdict.
+  */
+object Drift {
+
+  final case class DriftReport(chi2: Double, chi2Dof: Int, ksD: Double,
+                               nObserved: Long, nBaseline: Long,
+                               chi2Pass: Boolean, ksPass: Boolean) {
+    def pass: Boolean = chi2Pass && ksPass
+  }
+
+  /** Collect a histogram as bucket→count (buckets is small by construction). */
+  def snapshot(df: DataFrame, c: String, lo: Double, hi: Double,
+               buckets: Int): Map[Int, Long] =
+    TableChecks.histogram(df, c, lo, hi, buckets).collect()
+      .map(r => r.getInt(0) -> r.getLong(1)).toMap
+
+  /** Pearson χ² with expected counts scaled from the baseline, plus the KS D
+    * statistic over the bucketed CDFs. `chi2Critical` defaults to a loose
+    * threshold appropriate for large-sample synthetic-vs-baseline comparison;
+    * callers tune per their bucket count.
+    */
+  def compare(observed: Map[Int, Long], baseline: Map[Int, Long], buckets: Int,
+              chi2PerDof: Double = 2.0, ksThreshold: Double = 0.05): DriftReport = {
+    val nObs = observed.values.sum
+    val nBase = baseline.values.sum
+    require(nBase > 0 && nObs > 0, "empty histogram")
+    val scale = nObs.toDouble / nBase
+    var chi2 = 0.0
+    var dof = 0
+    var cumObs = 0.0
+    var cumBase = 0.0
+    var ksD = 0.0
+    (0 until buckets).foreach { b =>
+      val o = observed.getOrElse(b, 0L).toDouble
+      val e = baseline.getOrElse(b, 0L).toDouble * scale
+      if (e >= 5.0) { // standard χ² validity guard
+        chi2 += (o - e) * (o - e) / e
+        dof += 1
+      }
+      cumObs += o / nObs
+      cumBase += baseline.getOrElse(b, 0L).toDouble / nBase
+      ksD = math.max(ksD, math.abs(cumObs - cumBase))
+    }
+    val dofAdj = math.max(dof - 1, 1)
+    DriftReport(chi2, dofAdj, ksD, nObs, nBase,
+      chi2Pass = chi2 / dofAdj <= chi2PerDof, ksPass = ksD <= ksThreshold)
+  }
+
+  def check(df: DataFrame, c: String, lo: Double, hi: Double, buckets: Int,
+            baseline: Map[Int, Long], chi2PerDof: Double = 2.0,
+            ksThreshold: Double = 0.05): DriftReport =
+    compare(snapshot(df, c, lo, hi, buckets), baseline, buckets, chi2PerDof, ksThreshold)
+}

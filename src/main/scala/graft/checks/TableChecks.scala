@@ -1,0 +1,103 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Table-scope checks induced by BASELINE.json's north rule (SURVEY.md §2.4)
+  * — the generalization of the reference's per-value combinators to whole
+  * tables. All are declarative DataFrame plans: Catalyst handles partial
+  * aggregation, pushdown, and AQE re-planning.
+  */
+object TableChecks {
+
+  /** One-pass per-column stats: min / max / null-rate / approx-distinct
+    * (HyperLogLog++ via `approx_count_distinct`). Single `agg()` ⇒ one
+    * map-side-combined pass regardless of table size.
+    * Output: one row per column (long schema) for easy reporting/oracle.
+    */
+  def columnStats(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        approx_count_distinct(col(c), 0.01).as(s"${c}__approx_distinct"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val stacked = cols.map { c =>
+      wide.select(lit(c).as("column"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__nulls").as("null_count"),
+        (col(s"${c}__nulls").cast("double") / col("__n")).as("null_rate"),
+        col(s"${c}__approx_distinct").as("approx_distinct"))
+    }
+    stacked.reduce(_ unionByName _)
+  }
+
+  /** Exact stats variant (exact distinct instead of HLL) for oracle parity
+    * checks at small SF; the HLL version above is the 100 TB path.
+    */
+  def columnStatsExact(df: DataFrame, cols: Seq[String]): DataFrame = {
+    val aggs = cols.flatMap { c =>
+      Seq(min(col(c)).cast("string").as(s"${c}__min"),
+        max(col(c)).cast("string").as(s"${c}__max"),
+        sum(col(c).isNull.cast("long")).as(s"${c}__nulls"),
+        count_distinct(col(c)).as(s"${c}__distinct"))
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      wide.select(lit(c).as("column"),
+        col(s"${c}__min").as("min_value"),
+        col(s"${c}__max").as("max_value"),
+        col(s"${c}__nulls").as("null_count"),
+        col(s"${c}__distinct").as("distinct_count"))
+    }.reduce(_ unionByName _)
+  }
+
+  /** Keys violating uniqueness, via SALTED two-stage aggregation (north rule:
+    * skew mitigation — a hot key like "doc-hot" would otherwise funnel its
+    * entire count through one reducer):
+    *   stage 1: groupBy(key, salt) count  — salt spreads a hot key over
+    *            `saltBuckets` reducers; partial (map-side) agg already
+    *            collapses most of the volume;
+    *   stage 2: groupBy(key) sum(count)   — tiny input (distinct keys×salt).
+    * Returns (key, dup_count) for keys with count > 1.
+    */
+  def duplicateKeys(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame = {
+    val salted = df.select(col(key),
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltBuckets)).as("__salt"))
+    salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key)).agg(sum(col("__c")).as("dup_count"))
+      .where(col("dup_count") > 1)
+  }
+
+  /** Rows whose `key` is duplicated — the uniqueness violation-rows Dataset
+    * (the reference builds this check from
+    * `Const(And(Use(dict_keys), unique_list))`, test_schema.py:154-167).
+    * left_semi join against the (small) duplicated-key set; AQE picks
+    * broadcast when that set is small, skew-join otherwise.
+    */
+  def duplicateRows(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame =
+    df.join(duplicateKeys(df, key, saltBuckets).select(col(key)), Seq(key), "left_semi")
+
+  /** Referential check: rows whose `fk` has no match in (broadcast) `dim.pk`
+    * — the table-scope `Or`-membership (SURVEY.md §2.3 joins). `dim` is a
+    * dimension table, always broadcast: no shuffle of the fact side.
+    */
+  def referentialViolations(df: DataFrame, fk: String,
+                            dim: DataFrame, pk: String): DataFrame =
+    df.join(broadcast(dim.select(col(pk).as(fk)).distinct()), Seq(fk), "left_anti")
+
+  /** Fixed-width histogram of a numeric column: groupBy(bucket).count — one
+    * shuffled agg of at most `buckets` rows after map-side combine.
+    */
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame = {
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
+      lit(buckets - 1)).cast("int")
+    df.where(col(c).isNotNull)
+      .groupBy(b.as("bucket")).agg(count(lit(1)).as("cnt"))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.gen
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.IntegerType
+
+/** Deterministic synthetic table of pre-tokenized training sequences with the
+  * exact BASELINE.json `input_hint` shape:
+  * `(doc_id:string, tokens:array<int32>, n_tok:int32, source:string)`.
+  *
+  * Spark-native: `spark.range(rows, parts)` + pure column expressions — no
+  * driver loops, no collected data, fully parallel and reproducible on ANY
+  * partitioning because every value is a pure function of the row index
+  * (FIXTURES.md §A; `xxhash64` plays the role of splitmix64).
+  *
+  * Violation injection (drives every check; expected violation sets are
+  * closed-form in the row index):
+  *  - i % 977 == 0   → tokens[0] = -7        (out-of-range, negative)
+  *  - i % 1501 == 0  → tokens[0] = V + 3     (out-of-range, high)
+  *  - i % 1201 == 0  → n_tok = len + 1       (consistency violation)
+  *  - i % 1301 == 0  → source = "bogus-src"  (referential violation)
+  *  - i % 1009 == 0, i > 0 → doc_id of row i−1 (duplicate injection)
+  *  - xxhash64(i,4) % 1000 == 0 → doc_id = "doc-hot" (skewed hot key)
+  */
+object SequenceGen {
+  val Vocab = 50257
+  val Sources: Seq[String] = Seq("cc", "wiki", "books", "code", "arxiv", "forums")
+  val HotDocId = "doc-hot"
+
+  private def mix(c: Column, salt: Int): Column = xxhash64(c, lit(salt))
+
+  /** doc_id before duplicate injection (hot-key injection included). */
+  private def baseDocId(id: Column): Column =
+    when(pmod(mix(id, 4), lit(1000)) === 0, lit(HotDocId))
+      .otherwise(format_string("doc-%012d", id))
+
+  def sequences(spark: SparkSession, rows: Long, parts: Int,
+                maxLen: Int = 2048, clean: Boolean = false): DataFrame = {
+    val df = spark.range(0, rows, 1, parts)
+    val id = col("id")
+    val n = (pmod(mix(id, 1), lit(maxLen)) + 1).cast(IntegerType)
+    val cleanTokens = transform(sequence(lit(0), n - 1),
+      j => pmod(xxhash64(id, j, lit(2)), lit(Vocab)).cast(IntegerType))
+    val tokens =
+      if (clean) cleanTokens
+      else {
+        val lowBad = id % 977 === 0
+        val highBad = id % 1501 === 0
+        when(lowBad || highBad,
+          concat(
+            array(when(lowBad, lit(-7)).otherwise(lit(Vocab + 3)).cast(IntegerType)),
+            slice(cleanTokens, lit(2), n - 1)))
+          .otherwise(cleanTokens)
+      }
+    val nTok =
+      if (clean) n
+      else when(id % 1201 === 0, n + 1).otherwise(n).cast(IntegerType)
+    val srcIdx = (pmod(mix(id, 3), lit(Sources.size)) + 1).cast(IntegerType)
+    val cleanSource = element_at(
+      array(Sources.map(lit).toIndexedSeq: _*), srcIdx)
+    val source =
+      if (clean) cleanSource
+      else when(id % 1301 === 0, lit("bogus-src")).otherwise(cleanSource)
+    val docId =
+      if (clean) format_string("doc-%012d", id)
+      else when(id % 1009 === 0 && id > 0, baseDocId(id - 1))
+        .otherwise(baseDocId(id))
+    df.select(
+      docId.as("doc_id"),
+      tokens.as("tokens"),
+      nTok.as("n_tok"),
+      source.as("source"))
+  }
+
+  /** The referential dimension: valid `source` values. Tiny — always
+    * broadcast at the join site.
+    */
+  def sourceDim(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    Sources.toDF("source")
+  }
+}

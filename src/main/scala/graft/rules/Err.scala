@@ -1,0 +1,83 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** The engine's analog of the reference's `SchemaError` channel
+  * (/root/reference/schema/__init__.py:57-120): instead of raising, every rule
+  * compiles to a nullable error Column of type
+  * `struct<kind:string, autos:array<string>, errors:array<string>>`.
+  * `null` = pass. `kind` mirrors the exception taxonomy
+  * (SchemaError, SchemaWrongKeyError, SchemaMissingKeyError,
+  * SchemaOnlyOneAllowedError, SchemaForbiddenKeyError,
+  * SchemaUnexpectedTypeError); `autos`/`errors` mirror the two parallel
+  * message lists merged by `SchemaError.code`
+  * (/root/reference/schema/__init__.py:69-86).
+  */
+object Err {
+  val SchemaError = "SchemaError"
+  val WrongKey = "SchemaWrongKeyError"
+  val MissingKey = "SchemaMissingKeyError"
+  val OnlyOneAllowed = "SchemaOnlyOneAllowedError"
+  val ForbiddenKey = "SchemaForbiddenKeyError"
+  val UnexpectedType = "SchemaUnexpectedTypeError"
+
+  val msgArray: ArrayType = ArrayType(StringType, containsNull = true)
+
+  val schema: StructType = StructType(Seq(
+    StructField("kind", StringType, nullable = true),
+    StructField("autos", msgArray, nullable = true),
+    StructField("errors", msgArray, nullable = true)))
+
+  /** Typed null = "no violation". */
+  val none: Column = lit(null).cast(schema)
+
+  def mk(kind: String, autos: Column, errors: Column): Column =
+    struct(lit(kind).as("kind"), autos.cast(msgArray).as("autos"),
+      errors.cast(msgArray).as("errors"))
+
+  /** Single auto message, no user error. */
+  def one(kind: String, auto: Column): Column =
+    mk(kind, array(auto), array().cast(msgArray))
+
+  def one(kind: String, auto: Column, userError: Option[Column]): Column =
+    mk(kind, array(auto),
+      userError.map(e => array(e)).getOrElse(array().cast(msgArray)))
+
+  private def nonNulls(arr: Column): Column =
+    filter(coalesce(arr, array().cast(msgArray)), x => x.isNotNull)
+
+  /** `SchemaError.code` (/root/reference/schema/__init__.py:69-86): de-dup
+    * each list preserving order; user `errors` win over `autos`; join "\n".
+    * `array_distinct` keeps first occurrences in order, matching `uniq`.
+    */
+  def code(err: Column): Column = {
+    val autos = array_distinct(nonNulls(err.getField("autos")))
+    val errors = array_distinct(nonNulls(err.getField("errors")))
+    when(err.isNull, lit(null).cast(StringType))
+      .otherwise(array_join(when(size(errors) > 0, errors).otherwise(autos), "\n"))
+  }
+
+  /** Wrap a child error the way raise-sites do
+    * (`[prefix] + x.autos, [userError] + x.errors`,
+    * /root/reference/schema/__init__.py:505-507,572-573): prepend to both
+    * channels, optionally overriding the kind (wrapping re-raises plain
+    * SchemaError).
+    */
+  def wrap(err: Column, kind: Option[String], autoPrefix: Option[Column],
+           userError: Option[Column]): Column = {
+    val k = kind.map(lit).getOrElse(err.getField("kind"))
+    val autos = autoPrefix match {
+      case Some(p) => concat(array(p), coalesce(err.getField("autos"), array().cast(msgArray)))
+      case None => err.getField("autos")
+    }
+    val errors = userError match {
+      case Some(u) => concat(array(u), coalesce(err.getField("errors"), array().cast(msgArray)))
+      case None => err.getField("errors")
+    }
+    when(err.isNull, none)
+      .otherwise(struct(k.as("kind"), autos.cast(msgArray).as("autos"),
+        errors.cast(msgArray).as("errors")))
+  }
+}

@@ -1,0 +1,82 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Best-effort Python `repr()` rendering of column values, for message parity
+  * with the reference's `%r`-formatted errors (e.g.
+  * `"%r should be instance of %r"`, /root/reference/schema/__init__.py:565).
+  * Strings quote as 'x', None renders "None", booleans True/False, arrays as
+  * [a, b], structs as {'k': v} dicts. Byte parity is best-effort for exotic
+  * types (SURVEY.md §7.4#3); semantic parity (kind + row identity) is the gate.
+  */
+object PyRepr {
+
+  def repr(c: Column, dt: DataType): Column = {
+    val r = dt match {
+      case StringType =>
+        // Python repr escapes backslash and quote; \n/\t render escaped.
+        val esc = regexp_replace(
+          regexp_replace(
+            regexp_replace(regexp_replace(c, "\\\\", "\\\\\\\\"), "'", "\\\\'"),
+            "\n", "\\\\n"),
+          "\t", "\\\\t")
+        concat(lit("'"), esc, lit("'"))
+      case BooleanType => when(c, "True").otherwise("False")
+      case ByteType | ShortType | IntegerType | LongType => c.cast(StringType)
+      case FloatType | DoubleType | _: DecimalType =>
+        // repr(1.0) == "1.0": Spark casts doubles to "1.0" too.
+        c.cast(StringType)
+      case ArrayType(et, _) =>
+        concat(lit("["), array_join(transform(c, e => repr(e, et)), ", "), lit("]"))
+      case st: StructType =>
+        val parts = st.fields.map { f =>
+          concat(lit("'" + f.name + "': "), repr(c.getField(f.name), f.dataType))
+        }
+        concat(lit("{"), concat_ws(", ", parts.toIndexedSeq: _*), lit("}"))
+      case BinaryType =>
+        concat(lit("b'"), c.cast(StringType), lit("'"))
+      case _ => c.cast(StringType)
+    }
+    when(c.isNull, lit("None")).otherwise(r)
+  }
+
+  /** Driver-side repr of a Scala literal (for specs inside messages, e.g. the
+    * `%r` of the spec in `"%r does not match %r"`).
+    */
+  def reprLit(v: Any): String = v match {
+    case null => "None"
+    case s: String => "'" + s.replace("\\", "\\\\").replace("'", "\\'") + "'"
+    case b: Boolean => if (b) "True" else "False"
+    case d: Double => if (d == d.floor && !d.isInfinite && math.abs(d) < 1e16) s"${d.toLong}.0" else d.toString
+    case f: Float => reprLit(f.toDouble)
+    case seq: Seq[_] => seq.map(reprLit).mkString("[", ", ", "]")
+    case other => other.toString
+  }
+
+  /** Python `str()` of a value — used by `e.format(data)` which renders the
+    * datum with str-formatting (no quotes on strings), unlike `%r` autos.
+    */
+  def pyStr(c: Column, dt: DataType): Column = dt match {
+    case StringType => when(c.isNull, lit("None")).otherwise(c)
+    case BooleanType => when(c.isNull, lit("None")).when(c, "True").otherwise("False")
+    case _: ArrayType | _: StructType | _: MapType => repr(c, dt)
+    case _ => when(c.isNull, lit("None")).otherwise(c.cast(StringType))
+  }
+
+  /** Render a user `error=` template: `str.format`-style `{}` replaced with
+    * the datum's str (`e.format(data)`, /root/reference/schema/__init__.py:507
+    * et al.). Only the bare `{}` placeholder is supported.
+    */
+  def renderTemplate(template: String, dataRepr: Column): Column = {
+    if (!template.contains("{}")) lit(template)
+    else {
+      val parts = template.split("\\{\\}", -1)
+      val cols = parts.zipWithIndex.flatMap { case (p, i) =>
+        if (i == 0) Seq(lit(p)) else Seq(dataRepr, lit(p))
+      }
+      concat(cols.toIndexedSeq: _*)
+    }
+  }
+}

@@ -1,0 +1,495 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Validation context — the analog of `validate(data, **kwargs)` propagation
+  * (/root/reference/schema/__init__.py:437,352-356): an immutable params map
+  * threaded through rule compilation, plus the current schema `name=` used by
+  * `_prepend_schema_name` (:428-435). `name` applies only to the raise sites
+  * of the rule it is set on, not to recursive children (the reference builds
+  * fresh unnamed `Schema` wrappers when recursing).
+  */
+final case class Ctx(params: Map[String, Any] = Map.empty,
+                     schemaName: Option[String] = None) {
+  def clearName: Ctx = if (schemaName.isEmpty) this else copy(schemaName = None)
+  /** "{0!r} {1!s}" prefix of `_prepend_schema_name`. */
+  def prefixed(msg: Column): Column = schemaName match {
+    case Some(n) => concat(lit(PyRepr.reprLit(n) + " "), msg)
+    case None => msg
+  }
+}
+
+/** Result of compiling a rule against an input column: the (possibly
+  * transformed) value, its static type, and the nullable error struct —
+  * the expression-level analogs of "return validated data" and
+  * "raise SchemaError" (/root/reference/schema/__init__.py:437-600).
+  * `value` is only meaningful where `error` is null; both live in ONE
+  * projection so the whole rule tree evaluates in a single codegen'd pass.
+  */
+final case class Compiled(value: Column, dtype: DataType, error: Column) {
+  def valid: Column = error.isNull
+}
+
+/** Python-type abstraction for TYPE-flavor checks
+  * (/root/reference/schema/__init__.py:561-567). Spark's static types make
+  * most checks analysis-time; the bool≠int carve-out (:562) is free because
+  * BooleanType is not an integral type.
+  */
+sealed abstract class PyType(val name: String) {
+  def matches(dt: DataType): Boolean
+}
+object PyType {
+  case object PyInt extends PyType("int") {
+    def matches(dt: DataType): Boolean = dt match {
+      case ByteType | ShortType | IntegerType | LongType => true; case _ => false
+    }
+  }
+  case object PyFloat extends PyType("float") {
+    def matches(dt: DataType): Boolean = dt match {
+      case FloatType | DoubleType | _: DecimalType => true; case _ => false
+    }
+  }
+  case object PyStr extends PyType("str") {
+    def matches(dt: DataType): Boolean = dt == StringType
+  }
+  case object PyBool extends PyType("bool") {
+    def matches(dt: DataType): Boolean = dt == BooleanType
+  }
+  case object PyBytes extends PyType("bytes") {
+    def matches(dt: DataType): Boolean = dt == BinaryType
+  }
+  case object PyList extends PyType("list") {
+    def matches(dt: DataType): Boolean = dt.isInstanceOf[ArrayType]
+  }
+  case object PyDict extends PyType("dict") {
+    def matches(dt: DataType): Boolean =
+      dt.isInstanceOf[MapType] || dt.isInstanceOf[StructType]
+  }
+  case object PyObject extends PyType("object") {
+    def matches(dt: DataType): Boolean = true
+  }
+}
+
+/** A validation rule — the Spark-native analog of the reference's spec tree
+  * (SURVEY.md §7.1). Each node compiles to Catalyst Columns; no RDDs, no UDFs
+  * in the core vocabulary, so predicate pushdown / whole-stage codegen stay
+  * intact.
+  */
+trait Rule {
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled
+  /** Python-style repr for message parity (`%r` of specs). */
+  def reprStr: String
+  /** True when `compile(...).value` is the input unchanged — lets containers
+    * skip identity `transform()` rebuilds of large token arrays / row structs
+    * (pure waste at scale).
+    */
+  def transformFree: Boolean = true
+
+  /** The transformed value WITHOUT any error machinery — used on the hot
+    * (validated) path so no message expressions enter the plan.
+    */
+  def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) = {
+    val c = compile(in, dtype, ctx); (c.value, c.dtype)
+  }
+
+  /** Minimal boolean "row passes" expression. CRITICAL for scale: Spark's
+    * higher-order functions (forall/filter/transform) are CodegenFallback —
+    * ONE of them in a projection kicks the whole stage out of whole-stage
+    * codegen. `validCol` therefore avoids both message construction and (where
+    * a fast path exists) HOFs, so filters/verdict aggregates stay codegen'd;
+    * the message-bearing `compile` output is only evaluated on rows that
+    * already failed this predicate.
+    */
+  def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    compile(in, dtype, ctx).error.isNull
+
+  def &&(other: Rule): Rule = AndRule(Seq(this, other))
+  def ||(other: Rule): Rule = OrRule(Seq(this, other))
+  def withError(template: String): Rule = WithErrorRule(this, template)
+  def named(name: String): Rule = NamedRule(name, this)
+}
+
+/** TYPE flavor (/root/reference/schema/__init__.py:561-567): strict
+  * isinstance — no casting (that is `Use`'s job). A static type mismatch
+  * fails every row; `None` fails too (isinstance(None, t) is False except
+  * `object`).
+  */
+final case class IsType(t: PyType) extends Rule {
+  def reprStr: String = s"<class '${t.name}'>"
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val err =
+      if (t == PyType.PyObject) Err.none
+      else {
+        val msg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(s" should be instance of '${t.name}'")))
+        if (t.matches(dtype)) when(in.isNull, Err.one(Err.UnexpectedType, msg)).otherwise(Err.none)
+        else Err.one(Err.UnexpectedType, msg)
+      }
+    Compiled(in, dtype, err)
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    if (t == PyType.PyObject) lit(true)
+    else if (t.matches(dtype)) in.isNotNull
+    else lit(false)
+}
+
+/** COMPARABLE flavor (/root/reference/schema/__init__.py:595-600):
+  * `s == data`, null-safe so `eq(null)` means "is None".
+  */
+final case class EqLit(v: Any) extends Rule {
+  def reprStr: String = PyRepr.reprLit(v)
+  private def pass(in: Column): Column =
+    if (v == null) in.isNull else in <=> lit(v)
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val msg = ctx.prefixed(concat(lit(PyRepr.reprLit(v) + " does not match "),
+      PyRepr.repr(in, dtype)))
+    Compiled(in, dtype, when(pass(in), Err.none).otherwise(Err.one(Err.SchemaError, msg)))
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = pass(in)
+}
+
+/** CALLABLE flavor (/root/reference/schema/__init__.py:579-594): a boolean
+  * predicate over the column; falsy or null ⇒
+  * `"f(x) should evaluate to True"` (:592). Column predicates cannot raise,
+  * so the exception branch (:589) has no analog.
+  */
+final case class Pred(name: String, f: Column => Column) extends Rule {
+  def reprStr: String = name
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val pass = coalesce(f(in), lit(false))
+    val msg = ctx.prefixed(concat(lit(name + "("), PyRepr.repr(in, dtype),
+      lit(") should evaluate to True")))
+    Compiled(in, dtype, when(pass, Err.none).otherwise(Err.one(Err.SchemaError, msg)))
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    coalesce(f(in), lit(false))
+}
+
+/** `Regex` (/root/reference/schema/__init__.py:226-286): unanchored *search*
+  * semantics — `re.search` there, Java `Matcher.find` under Spark's RLIKE
+  * here, so the semantics line up for free. Flags become inline `(?i)` etc.
+  * Non-string input takes the TypeError path: `"%r is not string nor buffer"`
+  * (:284).
+  */
+final case class MatchesRegex(pattern: String, inlineFlags: String = "") extends Rule {
+  def reprStr: String = s"Regex(${PyRepr.reprLit(pattern)})"
+  private def effective: String =
+    if (inlineFlags.isEmpty) pattern else s"(?$inlineFlags)$pattern"
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val err =
+      if (dtype == StringType) {
+        val noMatch = ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(" does not match " + PyRepr.reprLit(pattern))))
+        val notStr = ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(" is not string nor buffer")))
+        when(in.isNull, Err.one(Err.SchemaError, notStr))
+          .when(in.rlike(effective), Err.none)
+          .otherwise(Err.one(Err.SchemaError, noMatch))
+      } else {
+        Err.one(Err.SchemaError, ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(" is not string nor buffer"))))
+      }
+    Compiled(in, dtype, err)
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    if (dtype == StringType) in.isNotNull && in.rlike(effective) else lit(false)
+}
+
+/** `Use(callable)` (/root/reference/schema/__init__.py:289-328): transform
+  * while validating. Casts use `try_cast` (ANSI try semantics): a null result
+  * from a non-null input is the exception path (:323-328), reported with the
+  * CPython-style message where reproducible.
+  */
+final case class UseCast(target: DataType, fname: String) extends Rule {
+  def reprStr: String = s"Use($fname)"
+  override def transformFree: Boolean = false
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val out = in.try_cast(target)
+    val rep = PyRepr.repr(in, dtype)
+    val auto = fname match {
+      case "int" => concat(lit("int("), rep,
+        lit(") raised ValueError(\"invalid literal for int() with base 10: "), rep, lit("\")"))
+      case "float" => concat(lit("float("), rep,
+        lit(") raised ValueError(could not convert string to float: "), rep, lit(")"))
+      case _ => concat(lit(fname + "("), rep, lit(") raised an exception"))
+    }
+    val err = when(in.isNotNull && out.isNull,
+      Err.one(Err.SchemaError, ctx.prefixed(auto))).otherwise(Err.none)
+    Compiled(out, target, err)
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    (in.try_cast(target), target)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    in.isNull || in.try_cast(target).isNotNull
+}
+
+/** `Use` with a total column transform (e.g. `Use(str.lower)` ⇒ `lower`). */
+final case class UseExpr(fname: String, out: DataType, f: Column => Column) extends Rule {
+  def reprStr: String = s"Use($fname)"
+  override def transformFree: Boolean = false
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled =
+    Compiled(f(in), out, Err.none)
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    (f(in), out)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = lit(true)
+}
+
+/** `And` (/root/reference/schema/__init__.py:127-171): sequential conjunction
+  * THREADING the transformed value (`data = sub.validate(data)`, :160-162);
+  * first failure short-circuits via `coalesce` (Catalyst Coalesce stops at the
+  * first non-null — the codegen'd analog of exception propagation).
+  */
+final case class AndRule(rules: Seq[Rule]) extends Rule {
+  require(rules.nonEmpty, "And() needs at least one sub-rule")
+  def reprStr: String = rules.map(_.reprStr).mkString("And(", ", ", ")")
+  override def transformFree: Boolean = rules.forall(_.transformFree)
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val cctx = ctx.clearName
+    val (finalValue, finalType, errs) =
+      rules.foldLeft((in, dtype, Vector.empty[Column])) {
+        case ((v, dt, es), r) =>
+          val c = r.compile(v, dt, cctx)
+          (c.value, c.dtype, es :+ c.error)
+      }
+    val err = if (errs.size == 1) errs.head else coalesce(errs: _*)
+    Compiled(finalValue, finalType, err)
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    rules.foldLeft((in, dtype)) { case ((v, dt), r) => r.compileValue(v, dt, ctx.clearName) }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = {
+    val cctx = ctx.clearName
+    val (_, _, cond) = rules.foldLeft((in, dtype, lit(true))) {
+      case ((v, dt, c), r) =>
+        val ok = c && r.validCol(v, dt, cctx) // && short-circuits in codegen
+        val (nv, ndt) = r.compileValue(v, dt, cctx)
+        (nv, ndt, ok)
+    }
+    cond
+  }
+}
+
+/** `Or` (/root/reference/schema/__init__.py:174-223): first-success
+  * disjunction returning the first branch's *transformed* value (:216); total
+  * failure accumulates ALL branch autos+errors behind the
+  * `"%r did not validate %r"` header (:220-223). Compiles to a `CaseWhen`
+  * cascade — lazily evaluated, so branch short-circuit is preserved.
+  */
+final case class OrRule(rules: Seq[Rule]) extends Rule {
+  require(rules.nonEmpty, "Or() needs at least one sub-rule")
+  def reprStr: String = rules.map(_.reprStr).mkString("Or(", ", ", ")")
+  override def transformFree: Boolean = rules.forall(_.transformFree)
+
+  private def widen(a: DataType, b: DataType): DataType =
+    if (a == b) a
+    else (a, b) match {
+      case (x, NullType) => x
+      case (NullType, x) => x
+      case _ if Seq(a, b).forall(d => d == DoubleType || d == FloatType ||
+        d == LongType || d == IntegerType || d == ShortType || d == ByteType) =>
+        if (a == DoubleType || b == DoubleType || a == FloatType || b == FloatType) DoubleType
+        else LongType
+      case _ => StringType
+    }
+
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val cctx = ctx.clearName
+    val branches = rules.map(_.compile(in, dtype, cctx))
+    val outType = branches.map(_.dtype).reduce(widen)
+    val value = branches.foldRight(lit(null).cast(outType)) { (b, acc) =>
+      when(b.error.isNull, b.value.cast(outType)).otherwise(acc)
+    }
+    val header = ctx.prefixed(concat(lit(reprStr + " did not validate "),
+      PyRepr.repr(in, dtype)))
+    val allAutos = concat(array(header) +:
+      branches.map(b => coalesce(b.error.getField("autos"), array().cast(Err.msgArray))): _*)
+    val allErrors =
+      if (branches.size == 1) branches.head.error.getField("errors")
+      else concat(branches.map(b =>
+        coalesce(b.error.getField("errors"), array().cast(Err.msgArray))): _*)
+    val anyOk = branches.map(_.error.isNull).reduce(_ || _)
+    val err = when(anyOk, Err.none)
+      .otherwise(Err.mk(Err.SchemaError, allAutos, allErrors))
+    val outValue = if (transformFree && outType == dtype) in else value
+    Compiled(outValue, outType, err)
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    rules.map(_.validCol(in, dtype, ctx.clearName)).reduce(_ || _)
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) = {
+    if (transformFree) (in, dtype)
+    else { val c = compile(in, dtype, ctx); (c.value, c.dtype) }
+  }
+}
+
+/** `Const` (/root/reference/schema/__init__.py:975-978): validate (running
+  * any nested `Use`) but return the ORIGINAL value.
+  */
+final case class ConstRule(sub: Rule) extends Rule {
+  def reprStr: String = s"Const(${sub.reprStr})"
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val c = sub.compile(in, dtype, ctx)
+    Compiled(in, dtype, c.error)
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    (in, dtype)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    sub.validCol(in, dtype, ctx)
+}
+
+/** `Schema(name=...)` (/root/reference/schema/__init__.py:428-435): prepends
+  * `'name' ` to messages raised directly by the wrapped rule.
+  */
+final case class NamedRule(name: String, sub: Rule) extends Rule {
+  def reprStr: String = sub.reprStr
+  override def transformFree: Boolean = sub.transformFree
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled =
+    sub.compile(in, dtype, ctx.copy(schemaName = Some(name)))
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    sub.compileValue(in, dtype, ctx)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    sub.validCol(in, dtype, ctx)
+}
+
+/** `error=` channel (/root/reference/schema/__init__.py:507,524,544,567…):
+  * on failure, prepend the `{}`-formatted template to the user-errors list;
+  * user errors win over autos in `code` (Err.code).
+  */
+final case class WithErrorRule(sub: Rule, template: String) extends Rule {
+  def reprStr: String = sub.reprStr
+  override def transformFree: Boolean = sub.transformFree
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val c = sub.compile(in, dtype, ctx)
+    val rendered = PyRepr.renderTemplate(template, PyRepr.pyStr(in, dtype))
+    Compiled(c.value, c.dtype, Err.wrap(c.error, None, None, Some(rendered)))
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    sub.compileValue(in, dtype, ctx)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    sub.validCol(in, dtype, ctx)
+}
+
+/** ITERABLE flavor (/root/reference/schema/__init__.py:447-450): container
+  * type check, then every element validated against the element rule (an
+  * `Or(*members)` in the reference); first failing element's error surfaces.
+  * Empty arrays pass (`README.rst:320`) — `filter` on an empty array finds
+  * nothing. Compiles entirely to higher-order functions: stays inside
+  * whole-stage codegen, no shuffle, no UDF.
+  */
+/** @param fastAll optional HOF-free "all elements pass" predicate (e.g.
+  *   `array_min/array_max` bounds for a token-range rule) — keeps the hot
+  *   validity path inside whole-stage codegen, since `forall` is
+  *   CodegenFallback. MUST be semantically equal to
+  *   `forall(arr, elem.validCol)`; messages still come from the generic path.
+  */
+final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None) extends Rule {
+  def reprStr: String = s"[${elem.reprStr}]"
+  override def transformFree: Boolean = elem.transformFree
+  private def elemOrRule: Rule = elem match {
+    case o: OrRule => o
+    case r => OrRule(Seq(r))
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
+    case ArrayType(et, _) =>
+      val all = fastAll.map(f => f(in))
+        .getOrElse(forall(in, x => elemOrRule.validCol(x, et, ctx.clearName)))
+      in.isNotNull && all
+    case _ => lit(false)
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    if (elem.transformFree) (in, dtype)
+    else dtype match {
+      case ArrayType(et, _) =>
+        val cctx = ctx.clearName
+        val (_, eOut) = elem.compileValue(element_at(in, 1), et, cctx)
+        (transform(in, x => elem.compileValue(x, et, cctx)._1), ArrayType(eOut))
+      case _ => (in, dtype)
+    }
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val cctx = ctx.clearName
+    // elements validate against Or(*members) — single members get the Or
+    // wrapper too, for message parity (/root/reference/schema/__init__.py:449)
+    val elemOr: Rule = elemOrRule
+    dtype match {
+      case ArrayType(et, _) =>
+        val bad = filter(in, x => elemOr.compile(x, et, cctx).error.isNotNull)
+        val firstBadErr = elemOr.compile(element_at(bad, 1), et, cctx).error
+        val typeMsg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(" should be instance of 'list'")))
+        val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))
+          .when(size(bad) > 0, firstBadErr)
+          .otherwise(Err.none)
+        val elemOut = elem.compile(element_at(in, 1), et, cctx).dtype
+        // identity-transform elision: never rebuild an untransformed array
+        val value = if (elem.transformFree) in
+          else transform(in, x => elem.compile(x, et, cctx).value)
+        val outT = if (elem.transformFree) dtype else ArrayType(elemOut)
+        Compiled(value, outT, err)
+      case other =>
+        val msg = ctx.prefixed(concat(PyRepr.repr(in, other),
+          lit(" should be instance of 'list'")))
+        Compiled(in, other, Err.one(Err.UnexpectedType, msg))
+    }
+  }
+}
+
+/** DICT flavor with pattern keys over MapType data
+  * (`{str: int}`, README.rst:239-249; key transforms tested
+  * test_schema.py:319-326): every entry's key must satisfy `keyRule` (else
+  * wrong key, /root/reference/schema/__init__.py:525-546) and its value
+  * `valueRule`. Entries iterate in sorted-key order for deterministic
+  * first-error selection (documented deviation: Python iterates insertion
+  * order).
+  */
+final case class MapRule(keyRule: Rule, valueRule: Rule) extends Rule {
+  def reprStr: String = s"{${keyRule.reprStr}: ${valueRule.reprStr}}"
+  override def transformFree: Boolean = keyRule.transformFree && valueRule.transformFree
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
+    case MapType(kt, vt, _) =>
+      val cctx = ctx.clearName
+      in.isNotNull && forall(map_entries(in), e =>
+        keyRule.validCol(e.getField("key"), kt, cctx) &&
+          valueRule.validCol(e.getField("value"), vt, cctx))
+    case _ => lit(false)
+  }
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val cctx = ctx.clearName
+    dtype match {
+      case MapType(kt, vt, _) =>
+        val badKeys = map_keys(map_filter(in, (k, _) => keyRule.compile(k, kt, cctx).error.isNotNull))
+        val badKeyReprs = array_sort(transform(badKeys, k => PyRepr.repr(k, kt)))
+        val wrongMsg = ctx.prefixed(concat(
+          lit("Wrong key"), when(size(badKeys) > 1, "s").otherwise(""), lit(" "),
+          array_join(badKeyReprs, ", "), lit(" in "), PyRepr.repr(in, dtype)))
+        // first (by sorted key) entry whose key matches but value fails
+        val entries = array_sort(map_entries(in))
+        val badVals = filter(entries, e =>
+          keyRule.compile(e.getField("key"), kt, cctx).error.isNull &&
+            valueRule.compile(e.getField("value"), vt, cctx).error.isNotNull)
+        val firstBad = element_at(badVals, 1)
+        val innerErr = valueRule.compile(firstBad.getField("value"), vt, cctx).error
+        val keyPrefix = ctx.prefixed(concat(lit("Key '"),
+          firstBad.getField("key").cast(StringType), lit("' error:")))
+        val typeMsg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
+          lit(" should be instance of 'dict'")))
+        val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))
+          .when(size(badVals) > 0,
+            Err.wrap(innerErr, Some(Err.SchemaError), Some(keyPrefix), None))
+          .when(size(badKeys) > 0, Err.one(Err.WrongKey, wrongMsg))
+          .otherwise(Err.none)
+        val kOut = keyRule.compile(map_keys(in)(0), kt, cctx).dtype
+        val vOut = valueRule.compile(map_values(in)(0), vt, cctx).dtype
+        val value =
+          if (transformFree) in
+          else transform_values(
+            transform_keys(in, (k, _) => keyRule.compile(k, kt, cctx).value),
+            (_, v) => valueRule.compile(v, vt, cctx).value)
+        val outT = if (transformFree) dtype else MapType(kOut, vOut)
+        Compiled(value, outT, err)
+      case other =>
+        val msg = ctx.prefixed(concat(PyRepr.repr(in, other),
+          lit(" should be instance of 'dict'")))
+        Compiled(in, other, Err.one(Err.UnexpectedType, msg))
+    }
+  }
+}

@@ -1,0 +1,262 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+sealed trait FieldKind
+object FieldKind {
+  /** Plain required key. */
+  case object Required extends FieldKind
+  /** `Optional(key[, default=v])` (/root/reference/schema/__init__.py:892-923).
+    * Absence ≙ null column value (static-schema convention, SURVEY.md §2.2);
+    * a default fills absent values verbatim, NOT re-validated
+    * (README.rst:301-302).
+    */
+  final case class Opt(default: Option[Any] = None) extends FieldKind
+  /** `Forbidden(key)` (/root/reference/schema/__init__.py:933-942): presence
+    * with a matching value is itself the violation; sorts before other checks
+    * on the same key (Hook priority −0.5, :407).
+    */
+  case object Forbidden extends FieldKind
+  /** `Hook(key, handler=...)` (/root/reference/schema/__init__.py:926-930):
+    * the handler side-effect becomes a counted match column aggregated by the
+    * Validator (SURVEY.md §7.5) — no callbacks on executors.
+    */
+  final case class Hook(hookName: String) extends FieldKind
+}
+
+final case class FieldRule(name: String, rule: Rule,
+                           kind: FieldKind = FieldKind.Required)
+
+/** Everything the DICT flavor produces, per row: the transformed output
+  * struct, the FIRST error (exception-parity: the reference raises exactly
+  * one, in a deterministic order), ALL errors (richer than the reference —
+  * the violations Dataset reports every failing field), and hook-match flags.
+  */
+final case class StructCompiled(value: Column, dtype: StructType, error: Column,
+                                allErrors: Column,
+                                hookMatches: Seq[(String, Column)])
+
+/** DICT flavor over static columns (/root/reference/schema/__init__.py:451-560).
+  *
+  * Error precedence reproduces the reference's raise order: per-key value
+  * errors in data order with scalar columns before struct columns (:467-469),
+  * then XOR (`Or(only_one=True)`, via ExitStack reset :452-465), then missing
+  * keys (:513-524), then wrong keys (:525-546), then row-level predicates.
+  * Missing key ≙ required column statically absent OR null in the row; wrong
+  * keys are undeclared columns with non-null values (`ignore_extra_keys`
+  * instead projects them away — column pruning as the feature itself).
+  */
+final case class StructRule(fields: Seq[FieldRule],
+                            ignoreExtra: Boolean = false,
+                            xorGroups: Seq[(String, Seq[String])] = Nil,
+                            rowChecks: Seq[(String, Column => Column)] = Nil,
+                            wrongKeyError: Option[String] = None) extends Rule {
+
+  def reprStr: String =
+    fields.map(f => s"'${f.name}': ${f.rule.reprStr}").mkString("{", ", ", "}")
+
+  override def transformFree: Boolean = fields.forall { f =>
+    f.kind match {
+      case FieldKind.Required | FieldKind.Opt(None) => f.rule.transformFree
+      case FieldKind.Opt(Some(_)) => false
+      case _ => true // hooks/forbidden contribute nothing to the output
+    }
+  }
+
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val sc = compileStruct(in, dtype, ctx)
+    Compiled(sc.value, sc.dtype, sc.error)
+  }
+
+  /** Codegen-lean whole-row validity: field validCols + xor + missing +
+    * extras + row checks AND'd — no message expressions, no HOFs unless a
+    * nested rule genuinely needs one.
+    */
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = {
+    val cctx = ctx.clearName
+    val st = dtype.asInstanceOf[StructType]
+    val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
+    val fieldConds: Seq[Column] = fields.flatMap { fr =>
+      dataTypes.get(fr.name) match {
+        case None => fr.kind match {
+          case FieldKind.Required => Some(lit(false)) // statically missing
+          case _ => None
+        }
+        case Some(dt) =>
+          val c = in.getField(fr.name)
+          fr.kind match {
+            case FieldKind.Hook(_) => None
+            case FieldKind.Forbidden =>
+              Some(!(c.isNotNull && fr.rule.validCol(c, dt, cctx)))
+            case FieldKind.Required =>
+              Some(c.isNotNull && fr.rule.validCol(c, dt, cctx))
+            case FieldKind.Opt(_) =>
+              Some(c.isNull || fr.rule.validCol(c, dt, cctx))
+          }
+      }
+    }
+    val xorConds = xorGroups.map { case (_, members) =>
+      members.map { m =>
+        if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0)
+        else lit(0)
+      }.reduce(_ + _) <= 1
+    }
+    val declared = fields.map(_.name).toSet
+    val extraConds =
+      if (ignoreExtra) Nil
+      else st.fields.map(_.name).filterNot(declared.contains)
+        .map(e => in.getField(e).isNull).toSeq
+    val rowConds = rowChecks.map { case (_, f) => coalesce(f(in), lit(false)) }
+    (fieldConds ++ xorConds ++ extraConds ++ rowConds)
+      .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  def compileStruct(in: Column, dtype: DataType, ctx: Ctx): StructCompiled = {
+    val cctx = ctx.clearName
+    val st = dtype match {
+      case s: StructType => s
+      case other => throw new IllegalArgumentException(
+        s"StructRule needs StructType input, got $other")
+    }
+    val dataTypes: Map[String, DataType] = st.fields.map(f => f.name -> f.dataType).toMap
+    val rowRepr = PyRepr.repr(in, st)
+
+    // evaluation order: data column order, scalars before nested structs (:467-469)
+    val orderedData: Seq[StructField] =
+      st.fields.toIndexedSeq.sortBy(f => f.dataType.isInstanceOf[StructType])
+    val byName: Map[String, Seq[FieldRule]] =
+      fields.groupBy(_.name).view.mapValues { fs =>
+        fs.sortBy(f => if (f.kind == FieldKind.Forbidden ||
+          f.kind.isInstanceOf[FieldKind.Hook]) 0 else 1) // hooks first (:407)
+      }.toMap
+
+    var hookMatches = Vector.empty[(String, Column)]
+    val valueErrs: Seq[Column] = orderedData.flatMap { df =>
+      val c = in.getField(df.name)
+      byName.getOrElse(df.name, Nil).flatMap { fr =>
+        fr.kind match {
+          case FieldKind.Hook(hn) =>
+            val matches = c.isNotNull && fr.rule.validCol(c, df.dataType, cctx)
+            hookMatches :+= (hn -> matches)
+            None
+          case FieldKind.Forbidden =>
+            val matches = c.isNotNull && fr.rule.validCol(c, df.dataType, cctx)
+            val msg = concat(lit(s"Forbidden key encountered: '${fr.name}' in "), rowRepr)
+            Some(when(matches, Err.one(Err.ForbiddenKey, msg)).otherwise(Err.none))
+          case _ =>
+            val sub = fr.rule.compile(c, df.dataType, cctx)
+            val prefix = ctx.prefixed(lit(s"Key '${fr.name}' error:"))
+            Some(when(c.isNotNull,
+              Err.wrap(sub.error, Some(Err.SchemaError), Some(prefix), None))
+              .otherwise(Err.none))
+        }
+      }
+    }
+
+    val xorErrs: Seq[Column] = xorGroups.map { case (repr, members) =>
+      val cnt = members.map { m =>
+        if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0) else lit(0)
+      }.reduce(_ + _)
+      val msg = ctx.prefixed(lit(s"There are multiple keys present from the $repr condition"))
+      when(cnt > 1, Err.one(Err.OnlyOneAllowed, msg)).otherwise(Err.none)
+    }
+
+    val required = fields.filter(_.kind == FieldKind.Required).map(_.name).distinct
+    val missingErr: Option[Column] = if (required.isEmpty) None else {
+      val reprs = required.map { r =>
+        val absent = if (dataTypes.contains(r)) in.getField(r).isNull else lit(true)
+        when(absent, lit(s"'$r'")).otherwise(lit(null).cast(StringType))
+      }
+      val missing = array_sort(filter(array(reprs: _*), x => x.isNotNull))
+      val msg = ctx.prefixed(concat(lit("Missing key"),
+        when(size(missing) > 1, "s").otherwise(""), lit(": "),
+        array_join(missing, ", ")))
+      Some(when(size(missing) > 0, Err.one(Err.MissingKey, msg)).otherwise(Err.none))
+    }
+
+    val declared = fields.map(_.name).toSet
+    val extras = st.fields.map(_.name).filterNot(declared.contains)
+    val wrongErr: Option[Column] =
+      if (ignoreExtra || extras.isEmpty) None
+      else {
+        val reprs = extras.map { e =>
+          when(in.getField(e).isNotNull, lit(s"'$e'")).otherwise(lit(null).cast(StringType))
+        }
+        val wrong = array_sort(filter(array(reprs.toIndexedSeq: _*), x => x.isNotNull))
+        val msg = ctx.prefixed(concat(lit("Wrong key"),
+          when(size(wrong) > 1, "s").otherwise(""), lit(" "),
+          array_join(wrong, ", "), lit(" in "), rowRepr))
+        val userErr = wrongKeyError.map(t => PyRepr.renderTemplate(t, rowRepr))
+        Some(when(size(wrong) > 0, Err.one(Err.WrongKey, msg, userErr)).otherwise(Err.none))
+      }
+
+    val rowErrs: Seq[Column] = rowChecks.map { case (name, f) =>
+      val pass = coalesce(f(in), lit(false))
+      val msg = ctx.prefixed(concat(lit(name + "("), rowRepr,
+        lit(") should evaluate to True")))
+      when(pass, Err.none).otherwise(Err.one(Err.SchemaError, msg))
+    }
+
+    val allErrsSeq = valueErrs ++ xorErrs ++ missingErr.toSeq ++ wrongErr.toSeq ++ rowErrs
+    val firstErr =
+      if (allErrsSeq.isEmpty) Err.none
+      else if (allErrsSeq.size == 1) allErrsSeq.head
+      else coalesce(allErrsSeq: _*)
+    val allErrs = filter(array(allErrsSeq.map(_.cast(Err.schema)): _*), e => e.isNotNull)
+
+    // output struct: declared non-forbidden/non-hook fields, transformed,
+    // defaults applied (:549-558); extra columns projected away
+    val outFields = outputFields(in, st, cctx)
+    // identity-row elision: if nothing transforms and the declared output is
+    // exactly the input column list, pass the row through untouched.
+    val identity = transformFree &&
+      outFields.map(_._1) == st.fields.map(_.name).toSeq
+    val outType =
+      if (identity) st
+      else StructType(outFields.map { case (n, _, t) => StructField(n, t) })
+    val value =
+      if (identity) in
+      else struct(outFields.map { case (n, c, _) => c.as(n) }: _*)
+
+    StructCompiled(value, outType, firstErr, allErrs, hookMatches)
+  }
+
+  /** Output columns (name, value, type) using the message-free value path —
+    * shared by `compileStruct` and the hot validated projection.
+    */
+  def outputFields(in: Column, st: StructType, cctx: Ctx): Seq[(String, Column, DataType)] = {
+    val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
+    fields.flatMap { fr =>
+      fr.kind match {
+        case FieldKind.Forbidden | FieldKind.Hook(_) => None
+        case FieldKind.Opt(default) =>
+          if (dataTypes.contains(fr.name)) {
+            val (v0, dt) = fr.rule.compileValue(in.getField(fr.name), dataTypes(fr.name), cctx)
+            val v = default match {
+              case Some(d) => coalesce(v0, lit(d).cast(dt))
+              case None => v0
+            }
+            Some((fr.name, v, dt))
+          } else default.map { d =>
+            val l = lit(d); (fr.name, l, literalType(d))
+          }
+        case FieldKind.Required =>
+          if (dataTypes.contains(fr.name)) {
+            val (v, dt) = fr.rule.compileValue(in.getField(fr.name), dataTypes(fr.name), cctx)
+            Some((fr.name, v, dt))
+          } else None
+      }
+    }
+  }
+
+  private def literalType(v: Any): DataType = v match {
+    case _: Int => IntegerType
+    case _: Long => LongType
+    case _: Double => DoubleType
+    case _: Boolean => BooleanType
+    case _: String => StringType
+    case _ => StringType
+  }
+}

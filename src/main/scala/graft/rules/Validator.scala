@@ -1,0 +1,92 @@
+package graft.rules
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** The engine's exception-free restatement of `Schema.validate` /
+  * `Schema.is_valid` (/root/reference/schema/__init__.py:417-426,437-600):
+  *
+  *  - `annotated`: input columns + `__validated` (transformed row struct) +
+  *    `__error` (first violation, exception parity) + `__errors` (all) +
+  *    `__valid` + `__code` (SchemaError.code parity) — ONE projection, no
+  *    shuffle, whole-stage codegen.
+  *  - `validated`: rows that passed, transformed/projected output.
+  *  - `violations`: failing rows with kind/code/messages — the SchemaError
+  *    channel as data.
+  *  - `verdicts`: per-partition pass/fail + counts
+  *    (`groupBy(spark_partition_id())` — partial agg collapses each partition
+  *    to one row before the tiny shuffle), per BASELINE.json north_rule.
+  */
+final case class ValidationResult(annotated: DataFrame,
+                                  validated: DataFrame,
+                                  violations: DataFrame,
+                                  verdicts: DataFrame) {
+  /** Whole-input `is_valid` — true iff no row violated. One codegen'd agg. */
+  def isValid: Boolean =
+    verdicts.agg(coalesce(min(col("pass")), lit(true))).head.getBoolean(0)
+}
+
+object Validator {
+  val metaCols = Seq("__validated", "__error", "__errors", "__valid", "__code")
+
+  def annotate(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val sc = rule.compileStruct(rowCol, df.schema, ctx)
+    val hookCols = sc.hookMatches.map { case (n, c) => c.as(s"__hook_$n") }
+    df.select(Seq(col("*"),
+      sc.value.as("__validated"),
+      sc.error.as("__error"),
+      sc.allErrors.as("__errors"),
+      sc.error.isNull.as("__valid"),
+      Err.code(sc.error).as("__code")) ++ hookCols: _*)
+  }
+
+  /** Hot-path layout (what matters at 10^12 rows):
+    *  - `validated` = codegen'd filter on the message-free `validCol` + the
+    *    message-free value projection — no HOF, no string building, stays in
+    *    whole-stage codegen end to end.
+    *  - `violations` = codegen'd `!valid` filter first; the interpreted
+    *    message projection (HOFs + concat trees) only ever sees the failing
+    *    fraction.
+    *  - `verdicts` = one codegen'd partial/final aggregate straight over the
+    *    source — no intermediate materialization.
+    *  - `annotated` keeps the full per-row error detail (debug surface).
+    */
+  def run(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): ValidationResult = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val st = df.schema
+    val valid = rule.validCol(rowCol, st, ctx)
+
+    val outFields = rule.outputFields(rowCol, st, ctx.clearName)
+    val validated = df.where(valid)
+      .select(outFields.map { case (n, c, _) => c.as(n) }: _*)
+
+    val sc = rule.compileStruct(rowCol, st, ctx)
+    val violations = df.where(!valid)
+      .select(df.columns.map(col) ++ Seq(
+        sc.error.getField("kind").as("violation_kind"),
+        Err.code(sc.error).as("code"),
+        sc.error.getField("autos").as("autos"),
+        sc.error.getField("errors").as("errors"),
+        transform(sc.allErrors, e => Err.code(e)).as("all_codes")): _*)
+
+    val hookAggs = sc.hookMatches.map { case (n, c) =>
+      sum(c.cast("long")).as(s"hook_$n")
+    }
+    val verdictAggs: Seq[Column] =
+      Seq(sum(valid.cast("long")).as("n_valid"),
+        (count(lit(1)) === sum(valid.cast("long"))).as("pass")) ++ hookAggs
+    val verdicts = df
+      .groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"), verdictAggs: _*)
+
+    ValidationResult(annotate(df, rule, ctx), validated, violations, verdicts)
+  }
+
+  /** Stream-friendly variant: same single-pass annotation, no verdict agg
+    * (callers add watermark + windowed aggregation; rules compile to plain
+    * Columns so they apply to streaming DataFrames unchanged).
+    */
+  def annotateStream(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame =
+    annotate(df, rule, ctx)
+}

@@ -1,0 +1,83 @@
+package graft.rules
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions.{lower => flower, upper => fupper, trim => ftrim, _}
+import org.apache.spark.sql.types._
+
+/** User-facing constructors mirroring the reference's public API
+  * (`Schema, And, Or, Use, Regex, Optional, Forbidden, Const, Literal, Hook`
+  * — /root/reference/schema/__init__.py:38-54), Spark-first.
+  */
+object dsl {
+  // TYPE flavor leaves
+  val int: Rule = IsType(PyType.PyInt)
+  val float: Rule = IsType(PyType.PyFloat)
+  val str: Rule = IsType(PyType.PyStr)
+  val bool: Rule = IsType(PyType.PyBool)
+  val bytes: Rule = IsType(PyType.PyBytes)
+  val list: Rule = IsType(PyType.PyList)
+  val dict: Rule = IsType(PyType.PyDict)
+  val anything: Rule = IsType(PyType.PyObject)
+
+  def is(v: Any): Rule = EqLit(v)
+  val isNone: Rule = EqLit(null)
+
+  def and(rs: Rule*): Rule = AndRule(rs)
+  def or(rs: Rule*): Rule = OrRule(rs)
+  /** `Or(..., error=t)` distributes the template to branches and the top
+    * (/root/reference/schema/__init__.py:169-170,222). */
+  def orE(template: String)(rs: Rule*): Rule =
+    WithErrorRule(OrRule(rs.map(WithErrorRule(_, template))), template)
+  def andE(template: String)(rs: Rule*): Rule =
+    AndRule(rs.map(WithErrorRule(_, template)))
+
+  /** Enum membership — the `Or(a, b, c)` special case (SURVEY.md §2.1 #7). */
+  def isin(vs: Any*): Rule = OrRule(vs.map(EqLit))
+
+  def pred(name: String)(f: Column => Column): Rule = Pred(name, f)
+  def regex(pattern: String, flags: String = ""): Rule = MatchesRegex(pattern, flags)
+
+  // Use — transform while validating (/root/reference/schema/__init__.py:289-328)
+  val useInt: Rule = UseCast(IntegerType, "int")
+  val useLong: Rule = UseCast(LongType, "int")
+  val useFloat: Rule = UseCast(DoubleType, "float")
+  val useStr: Rule = UseExpr("str", StringType, _.cast(StringType))
+  val useLower: Rule = UseExpr("lower", StringType, flower)
+  val useUpper: Rule = UseExpr("upper", StringType, fupper)
+  val useTrim: Rule = UseExpr("strip", StringType, ftrim)
+  def useCast(dt: DataType, name: String): Rule = UseCast(dt, name)
+  def use(name: String, out: DataType)(f: Column => Column): Rule =
+    UseExpr(name, out, f)
+  def useJson(schema: DataType): Rule =
+    UseExpr("json.loads", schema, c => from_json(c, schema))
+  def useTimestamp(fmt: String): Rule =
+    UseExpr("datetime.strptime", TimestampType, c => try_to_timestamp(c, lit(fmt)))
+
+  def const(r: Rule): Rule = ConstRule(r)
+  def arrayOf(elem: Rule): Rule = ArrayRule(elem)
+  /** Array rule with an HOF-free all-elements predicate for the codegen'd
+    * validity path (must equal `forall(arr, elem)` semantically). */
+  def arrayOfFast(elem: Rule)(fastAll: Column => Column): Rule =
+    ArrayRule(elem, Some(fastAll))
+  def mapOf(k: Rule, v: Rule): Rule = MapRule(k, v)
+
+  // dict/struct fields
+  def req(name: String, r: Rule): FieldRule = FieldRule(name, r, FieldKind.Required)
+  def opt(name: String, r: Rule): FieldRule = FieldRule(name, r, FieldKind.Opt(None))
+  def optDefault(name: String, r: Rule, default: Any): FieldRule =
+    FieldRule(name, r, FieldKind.Opt(Some(default)))
+  def forbidden(name: String, r: Rule = anything): FieldRule =
+    FieldRule(name, r, FieldKind.Forbidden)
+  def hook(name: String, r: Rule, hookName: String): FieldRule =
+    FieldRule(name, r, FieldKind.Hook(hookName))
+
+  def schema(fields: FieldRule*): StructRule = StructRule(fields)
+  def schemaIgnoreExtra(fields: FieldRule*): StructRule =
+    StructRule(fields, ignoreExtra = true)
+
+  // common predicates
+  def between(lo: Double, hi: Double): Rule =
+    Pred("<lambda>", c => c >= lo && c <= hi)
+  def gt(v: Double): Rule = Pred("<lambda>", c => c > v)
+  def nonEmptyStr: Rule = Pred("len", c => length(c) > 0)
+}

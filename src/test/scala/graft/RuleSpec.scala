@@ -1,0 +1,132 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, Row}
+import org.apache.spark.sql.functions._
+import graft.rules._
+import graft.rules.dsl._
+
+/** Translation of the reference's behavioral suite
+  * (/root/reference/test_schema.py — combinator cases cited per test) to the
+  * Spark rule engine: exact `SchemaError.code` strings and kinds asserted,
+  * plus validated-output (Use transform) equality.
+  */
+class RuleSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Validate one single-column row; returns (validatedValueOrNull, kindOrNull, codeOrNull). */
+  private def one(rule: Rule, df: DataFrame): (Any, String, String) = {
+    val dt = df.schema("v").dataType
+    val c = rule.compile(col("v"), dt, Ctx())
+    val r = df.select(
+      when(c.error.isNull, c.value).as("value"),
+      c.error.getField("kind").as("kind"),
+      Err.code(c.error).as("code")).head()
+    (r.get(0), r.getString(1), r.getString(2))
+  }
+
+  private def code(rule: Rule, df: DataFrame): String = one(rule, df)._3
+
+  // --- TYPE flavor (test_schema.py:68-96) ---
+  test("int accepts ints, rejects strings with exact message") {
+    assert(one(int, Seq(5).toDF("v")) == (5, null, null))
+    assert(one(int, Seq("5").toDF("v"))._3 == "'5' should be instance of 'int'")
+    assert(one(int, Seq("5").toDF("v"))._2 == Err.UnexpectedType)
+  }
+
+  test("bool is not int (test_schema.py:80-82)") {
+    assert(code(int, Seq(true).toDF("v")) == "True should be instance of 'int'")
+    assert(one(bool, Seq(true).toDF("v")) == (true, null, null))
+  }
+
+  test("object accepts anything including null") {
+    assert(one(anything, Seq("x").toDF("v"))._2 == null)
+    assert(one(anything, Seq[Option[Int]](None).toDF("v"))._2 == null)
+  }
+
+  // --- COMPARABLE (:595-600) ---
+  test("literal equality") {
+    assert(one(is("hai"), Seq("hai").toDF("v"))._2 == null)
+    assert(code(is("hai"), Seq("bye").toDF("v")) == "'hai' does not match 'bye'")
+    assert(code(is(5), Seq(6).toDF("v")) == "5 does not match 6")
+    assert(one(isNone, Seq[Option[Int]](None).toDF("v"))._2 == null)
+  }
+
+  // --- CALLABLE (:579-594; test_schema.py:111-117) ---
+  test("predicate pass/fail with lambda message") {
+    val r = pred("<lambda>")(c => c > 0 && c < 5)
+    assert(one(r, Seq(3).toDF("v")) == (3, null, null))
+    assert(code(r, Seq(7).toDF("v")) == "<lambda>(7) should evaluate to True")
+  }
+
+  // --- And value threading (:160-162; test_schema.py:111-117) ---
+  test("And threads Use-transformed value and short-circuits") {
+    val r = and(useInt, pred("<lambda>")(c => c > 0 && c < 5))
+    assert(one(r, Seq("3").toDF("v")) == (3, null, null))
+    assert(code(r, Seq("7").toDF("v")) == "<lambda>(7) should evaluate to True")
+    assert(code(r, Seq("abc").toDF("v")) ==
+      "int('abc') raised ValueError(\"invalid literal for int() with base 10: 'abc'\")")
+  }
+
+  // --- Or (:174-223; test_schema.py:120-127) ---
+  test("Or first success and accumulated failure message") {
+    val r = or(int, is(null))
+    assert(one(r, Seq(4).toDF("v"))._2 == null)
+    assert(code(r, Seq("x").toDF("v")) ==
+      "Or(<class 'int'>, None) did not validate 'x'\n" +
+        "'x' should be instance of 'int'\nNone does not match 'x'")
+  }
+
+  test("Or returns first transformed success value (:216)") {
+    val r = or(and(useInt, pred("pos")(_ > 0)), use("neg_one", org.apache.spark.sql.types.IntegerType)(_ => lit(-1)))
+    assert(one(r, Seq("42").toDF("v"))._1 == 42)
+    assert(one(r, Seq("nope").toDF("v"))._1 == -1)
+  }
+
+  // --- Regex (:226-286; test_schema.py:170-215) ---
+  test("regex search semantics and messages") {
+    assert(one(regex("^foo"), Seq("foobar").toDF("v"))._2 == null)
+    assert(code(regex("^foo"), Seq("bar").toDF("v")) == "'bar' does not match '^foo'")
+    assert(code(regex("^foo"), Seq(42).toDF("v")) == "42 is not string nor buffer")
+    // unanchored search: pattern matches anywhere
+    assert(one(regex("bar"), Seq("foobar").toDF("v"))._2 == null)
+    // case-insensitive inline flag
+    assert(one(regex("foo", flags = "i"), Seq("FOO").toDF("v"))._2 == null)
+  }
+
+  // --- custom error= (:507 et al.; test_schema.py:2085-2092) ---
+  test("error template wins over autos and formats {} with str(data)") {
+    assert(code(int.withError("bad int {}"), Seq("5").toDF("v")) == "bad int 5")
+    assert(code(int.withError("should be int"), Seq("x").toDF("v")) == "should be int")
+  }
+
+  // --- name prefix (:428-435; test_schema.py:2060-2077) ---
+  test("schema name prefixes messages") {
+    assert(code(int.named("Integer"), Seq("5").toDF("v")) ==
+      "'Integer' '5' should be instance of 'int'")
+  }
+
+  // --- Const (:975-978; test_schema.py:154-167) ---
+  test("Const validates but returns original") {
+    val r = const(and(useInt, pred("pos")(_ > 0)))
+    assert(one(r, Seq("42").toDF("v")) == ("42", null, null))
+  }
+
+  // --- iterable (:447-450; test_schema.py:218-241) ---
+  test("array element validation with Or wrapper message") {
+    assert(one(arrayOf(int), Seq(Seq(1, 2)).toDF("v"))._2 == null)
+    assert(one(arrayOf(int), Seq(Seq.empty[Int]).toDF("v"))._2 == null) // README.rst:320
+    assert(code(arrayOf(int), Seq(Seq("a")).toDF("v")) ==
+      "Or(<class 'int'>) did not validate 'a'\n'a' should be instance of 'int'")
+    val elemSet = arrayOf(isin(0, 1))
+    assert(one(elemSet, Seq(Seq(0, 1, 1, 0)).toDF("v"))._2 == null)
+    assert(code(elemSet, Seq(Seq(0, 2)).toDF("v")) ==
+      "Or(0, 1) did not validate 2\n0 does not match 2\n1 does not match 2")
+  }
+
+  test("array transform maps Use over elements") {
+    val r = arrayOf(useInt)
+    val got = one(r, Seq(Seq("1", "2")).toDF("v"))
+    assert(got._2 == null)
+    assert(got._1 == Seq(1, 2))
+  }
+}

@@ -1,0 +1,105 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.gen.SequenceGen
+import graft.checks.{TableChecks, Drift}
+
+/** Flagship pipeline on the deterministic synthetic sequence table: expected
+  * violation sets are CLOSED-FORM in the row index (FIXTURES.md §A), the
+  * Spark analog of the reference's exact-assertion style.
+  */
+class SeqValidationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val N = 10000L
+  private lazy val seqs = SequenceGen.sequences(spark, N, parts = 8).cache()
+
+  private def countMultiples(n: Long, k: Long): Long = (n - 1) / k + 1 // i in [0,n) with i%k==0
+
+  test("row shape matches BASELINE.json input_hint exactly") {
+    val sch = seqs.schema
+    assert(sch.map(f => (f.name, f.dataType.simpleString)) == Seq(
+      ("doc_id", "string"), ("tokens", "array<int>"),
+      ("n_tok", "int"), ("source", "string")))
+  }
+
+  test("token-array equality invariant: validated rows carry tokens byte-identical to input") {
+    val res = SeqValidation.validate(seqs)
+    // transformFree rule ⇒ validated values ARE the input columns
+    val diff = res.validated.select("doc_id", "tokens")
+      .exceptAll(seqs.select("doc_id", "tokens")).count()
+    assert(diff == 0)
+  }
+
+  test("violation counts match closed-form injection rules") {
+    val res = SeqValidation.validate(seqs)
+    val viols = res.violations.cache()
+    // token violations: i%977==0 (low) or i%1501==0 (high)
+    val tokenBad = viols.where(col("code").contains("in_vocab")).count()
+    val expectedTokenBad = (0L until N).count(i => i % 977 == 0 || i % 1501 == 0)
+    assert(tokenBad == expectedTokenBad)
+    // n_tok mismatches: i%1201==0, EXCEPT rows whose token edit fired too:
+    // those keep len so n_tok+1 mismatch also flags — closed form directly:
+    val nTokBad = viols.where(col("code").contains("n_tok_eq_len")).count()
+    val expectedNTok = (0L until N).count(i => i % 1201 == 0)
+    assert(nTokBad >= expectedNTok - 1 && nTokBad <= expectedNTok)
+    // source violations: i%1301==0 (may overlap others)
+    val srcBad = viols.where(col("violation_kind") === "SchemaError" &&
+      col("code").contains("did not validate")).count()
+    val expectedSrc = (0L until N).count(i => i % 1301 == 0)
+    assert(srcBad >= expectedSrc - 2) // overlapping rows report first error only
+    viols.unpersist()
+  }
+
+  test("uniqueness check finds injected duplicates and the hot key") {
+    val dups = TableChecks.duplicateKeys(seqs, "doc_id").cache()
+    assert(dups.where(col("doc_id") === SequenceGen.HotDocId).count() == 1)
+    val hotCount = dups.where(col("doc_id") === SequenceGen.HotDocId)
+      .select("dup_count").as[Long].head()
+    assert(hotCount > 2) // ~0.1% of rows
+    // duplicate injection: every i%1009==0 (i>0) reuses doc_id of i-1
+    assert(dups.count() > 1)
+    val dupRows = TableChecks.duplicateRows(seqs, "doc_id")
+    assert(dupRows.count() >= hotCount)
+    dups.unpersist()
+  }
+
+  test("referential check finds bogus sources") {
+    val bad = TableChecks.referentialViolations(
+      seqs, "source", SequenceGen.sourceDim(spark), "source")
+    assert(bad.count() == countMultiples(N, 1301))
+    assert(bad.select("source").distinct().as[String].collect().toSeq == Seq("bogus-src"))
+  }
+
+  test("column stats single-pass") {
+    val stats = TableChecks.columnStats(seqs, Seq("n_tok", "doc_id", "source"))
+    val m = stats.collect().map(r => r.getString(0) -> r).toMap
+    assert(m("n_tok").getAs[String]("min_value").toDouble >= 1.0)
+    assert(m("n_tok").getAs[String]("max_value").toDouble <= 2049.0)
+    assert(m("source").getAs[Long]("null_count") == 0)
+    val approxSrc = m("source").getAs[Long]("approx_distinct")
+    assert(approxSrc >= 6 && approxSrc <= 8) // 6 valid + bogus-src
+  }
+
+  test("drift: clean-vs-clean passes, shifted distribution fails") {
+    val base = SequenceGen.sequences(spark, 5000, 4, maxLen = 2048, clean = true)
+    val same = SequenceGen.sequences(spark, 5000, 8, maxLen = 2048, clean = true)
+    val shifted = SequenceGen.sequences(spark, 5000, 4, maxLen = 512, clean = true)
+    val baseline = Drift.snapshot(base, "n_tok", 0, 2049, 32)
+    val ok = Drift.compare(Drift.snapshot(same, "n_tok", 0, 2049, 32), baseline, 32)
+    assert(ok.pass, s"clean vs clean should pass: $ok")
+    val bad = Drift.compare(Drift.snapshot(shifted, "n_tok", 0, 2049, 32), baseline, 32)
+    assert(!bad.pass, s"shifted distribution must fail: $bad")
+  }
+
+  test("per-partition verdicts: failing partitions flagged") {
+    val res = SeqValidation.validate(seqs)
+    val verd = res.verdicts.collect()
+    assert(verd.map(_.getAs[Long]("n_rows")).sum == N)
+    assert(verd.exists(!_.getAs[Boolean]("pass"))) // injected violations exist
+  }
+
+  test("entry returns non-empty violations") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+}

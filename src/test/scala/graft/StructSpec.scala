@@ -1,0 +1,137 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rules._
+import graft.rules.dsl._
+
+/** DICT-flavor semantics (/root/reference/schema/__init__.py:451-560;
+  * test_schema.py:250-477): missing/wrong keys with exact messages,
+  * forbidden, optionals + defaults, nested key-error text, xor keys, hooks.
+  */
+class StructSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def firstError(rule: StructRule, df: DataFrame): (String, String) = {
+    val res = Validator.run(df, rule)
+    val v = res.violations.select("violation_kind", "code").head()
+    (v.getString(0), v.getString(1))
+  }
+
+  test("missing keys: exact singular/plural message, sorted (test_schema.py:269-286)") {
+    val df = Seq((Option.empty[Int], Option.empty[Int])).toDF("key", "key2")
+    val (k1, c1) = firstError(schema(req("key", int), opt("key2", int)), df)
+    assert((k1, c1) == ((Err.MissingKey, "Missing key: 'key'")))
+    val (k2, c2) = firstError(schema(req("key", int), req("key2", int)), df)
+    assert((k2, c2) == ((Err.MissingKey, "Missing keys: 'key', 'key2'")))
+  }
+
+  test("wrong keys: exact message with row repr (test_schema.py:287-310)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val (k, c) = firstError(schema(req("a", int)), df)
+    assert(k == Err.WrongKey)
+    assert(c == "Wrong key 'b' in {'a': 1, 'b': 2}")
+  }
+
+  test("ignore_extra_keys prunes undeclared columns (test_schema.py:329-356)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val res = Validator.run(df, schemaIgnoreExtra(req("a", int)))
+    assert(res.isValid)
+    assert(res.validated.columns.toSeq == Seq("a"))
+  }
+
+  test("nested struct failure wraps with Key error prefix (test_schema.py:431-446)") {
+    val df = Seq(Tuple1("x")).toDF("inner")
+      .select(struct(col("inner").as("b")).as("a"))
+    val rule = schema(req("a", schema(req("b", int))))
+    val (k, c) = firstError(rule, df)
+    assert(k == Err.SchemaError)
+    assert(c == "Key 'a' error:\nKey 'b' error:\n'x' should be instance of 'int'")
+  }
+
+  test("forbidden key (test_schema.py:359-368)") {
+    val df = Seq((1, 2)).toDF("a", "b")
+    val rule = StructRule(Seq(req("a", int), forbidden("b")))
+    val (k, c) = firstError(rule, df)
+    assert(k == Err.ForbiddenKey)
+    assert(c == "Forbidden key encountered: 'b' in {'a': 1, 'b': 2}")
+    // Forbidden with a value schema fires only when the value matches
+    val rule2 = StructRule(Seq(req("a", int), forbidden("b", int), opt("b", int)))
+    val res = Validator.run(Seq((1, 2)).toDF("a", "b"), rule2)
+    assert(!res.isValid)
+  }
+
+  test("optional with default fills absent values verbatim (test_schema.py:406-416)") {
+    val df = Seq((Option.empty[Int], "x"), (Some(5), "y")).toDF("a", "k")
+    val rule = schema(optDefault("a", int, 1), req("k", str))
+    val res = Validator.run(df, rule)
+    assert(res.isValid)
+    val got = res.validated.orderBy("k").select("a").as[Int].collect().toSeq
+    assert(got == Seq(1, 5))
+  }
+
+  test("optional absent column with default appears in output") {
+    val df = Seq(Tuple1("x")).toDF("k")
+    val rule = schema(req("k", str), optDefault("missing", int, 42))
+    val res = Validator.run(df, rule)
+    assert(res.isValid)
+    assert(res.validated.select("missing").as[Int].head() == 42)
+  }
+
+  test("xor keys: only_one (test_schema.py:130-151)") {
+    val rule = StructRule(
+      fields = Seq(opt("k1", str), opt("k2", str)),
+      xorGroups = Seq(("Or('k1', 'k2')", Seq("k1", "k2"))))
+    val ok = Validator.run(Seq((Some("a"), Option.empty[String])).toDF("k1", "k2"), rule)
+    assert(ok.isValid)
+    val bad = Validator.run(Seq((Some("a"), Some("b"))).toDF("k1", "k2"), rule)
+    val v = bad.violations.select("violation_kind", "code").head()
+    assert(v.getString(0) == Err.OnlyOneAllowed)
+    assert(v.getString(1) ==
+      "There are multiple keys present from the Or('k1', 'k2') condition")
+  }
+
+  test("hook match counting (test_schema.py:371-386)") {
+    val df = Seq((1, Some("x")), (2, None), (3, Some("y"))).toDF("a", "h")
+    val rule = StructRule(Seq(req("a", int), hook("h", str, "seen_h"), opt("h", str)))
+    val res = Validator.run(df, rule)
+    assert(res.isValid)
+    val total = res.verdicts.agg(sum("hook_seen_h")).head().getLong(0)
+    assert(total == 2)
+  }
+
+  test("Use transforms surface in validated output (README.rst:21-51 people example)") {
+    val df = Seq(("Sue", "28", Some("Squid")), ("Sam", "42", None))
+      .toDF("name", "age", "gender")
+    val rule = schema(
+      req("name", and(str, nonEmptyStr)),
+      req("age", and(useInt, pred("<lambda>")(c => c >= 18 && c <= 99))),
+      opt("gender", and(str, useLower, isin("squid", "kid"))))
+    val res = Validator.run(df, rule)
+    assert(res.isValid)
+    val rows = res.validated.orderBy("name").collect()
+    assert(rows.map(_.get(1)).toSeq == Seq(42, 28)) // age cast to int
+    assert(rows.map(_.get(2)).toSeq == Seq(null, "squid")) // lowered
+  }
+
+  test("row-level cross-field check") {
+    val df = Seq((2, Seq(1, 2)), (3, Seq(1, 2))).toDF("n", "xs")
+    val rule = StructRule(
+      fields = Seq(req("n", int), req("xs", arrayOf(int))),
+      rowChecks = Seq(("n_eq_len", r => r.getField("n") === size(r.getField("xs")))))
+    val res = Validator.run(df, rule)
+    assert(res.violations.count() == 1)
+    assert(res.violations.select("n").as[Int].head() == 3)
+  }
+
+  test("verdicts aggregate per partition") {
+    val df = spark.range(0, 100, 1, 4)
+      .select(col("id").cast("int").as("v"))
+    val rule = schema(req("v", and(int, pred("<lambda>")(_ < 1000))))
+    val res = Validator.run(df, rule)
+    val verd = res.verdicts.collect()
+    assert(verd.length == 4)
+    assert(verd.forall(_.getAs[Boolean]("pass")))
+    assert(verd.map(_.getAs[Long]("n_rows")).sum == 100)
+  }
+}
