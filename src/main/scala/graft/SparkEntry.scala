@@ -1,7 +1,23 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.checks.TableChecks
+import graft.pipeline.{Ann, Dedup, TextFunctions}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Every oracle-backed query reads the driver parquet tables; column names
+  * and value types are aligned with the DuckDB SQL so the driver's
+  * sort-columns-then-hash compare matches byte-for-byte (ints/strings/bools
+  * preferred over floats; doubles only via single-division + round).
+  */
 object SparkEntry {
+
+  private def T(spark: SparkSession, dir: String, name: String): DataFrame =
+    spark.read.parquet(s"$dir/$name.parquet")
+
   /** Flagship: validate a deterministic synthetic sequence table
     * (BASELINE.json input_hint shape, sf0.001-scale row count) and return the
     * violation rows — non-empty by construction (violation injection,
@@ -12,9 +28,343 @@ object SparkEntry {
     SeqValidation.validate(seqs).violations
       .select("doc_id", "n_tok", "source", "violation_kind", "code")
   }
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+
+  /** The document-table validation rule used by q_validate_documents /
+    * q_verdict_by_source — rule-engine path, oracle-checkable because every
+    * predicate is SQL-expressible.
+    */
+  private def docRule: rules.StructRule = {
+    import rules.dsl._
+    rules.StructRule(
+      fields = Seq(
+        req("doc_id", int),
+        req("text", and(str, nonEmptyStr)),
+        req("lang", isin("en", "zh", "fr", "es", "de")),
+        req("source", and(str, regex("^src"))),
+        req("n_chars", and(int, pred("<lambda>")(_ <= 420)))),
+      rowChecks = Seq(
+        ("n_chars_eq_len", r => r.getField("n_chars") === length(r.getField("text")))))
+  }
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+    // --- aggregation (partial+final hash agg; int-exact for the oracle) ---
+    "q_agg_pricing" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .groupBy(col("l_returnflag"), col("l_linestatus"))
+        .agg(sum(col("l_quantity").cast("long")).as("sum_qty"),
+          count(lit(1)).as("n"))
+    }),
+
+    // --- filter + projection (predicate pushdown to parquet) ---
+    "q_filter_date" -> ((s, dir) => {
+      T(s, dir, "lineitem")
+        .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp"))
+        .groupBy(col("l_returnflag")).agg(count(lit(1)).as("n"))
+    }),
+
+    // --- uniqueness (salted two-stage agg) ---
+    "q_uniqueness_violations" -> ((s, dir) => {
+      TableChecks.duplicateKeys(T(s, dir, "lineitem"), "l_orderkey")
+    }),
+
+    // --- referential (broadcast left-anti) ---
+    "q_referential_violations" -> ((s, dir) => {
+      import s.implicits._
+      val dim = Seq("en", "fr", "de", "es").toDF("lang")
+      TableChecks.referentialViolations(
+        T(s, dir, "documents").select(col("doc_id"), col("lang")), "lang", dim, "lang")
+        .select(col("doc_id"), col("lang"))
+    }),
+
+    // --- one-pass column stats (exact flavor for oracle parity) ---
+    "q_column_stats" -> ((s, dir) => {
+      TableChecks.columnStatsExact(T(s, dir, "lineitem"),
+        Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
+    }),
+
+    // --- rule engine over a real table: per-row verdict flags ---
+    "q_validate_documents" -> ((s, dir) => {
+      val df = T(s, dir, "documents")
+      val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+      df.select(col("doc_id"),
+        docRule.validCol(rowCol, df.schema, rules.Ctx()).as("valid"))
+    }),
+
+    // --- verdicts grouped by a data key (partition-verdict analog) ---
+    "q_verdict_by_source" -> ((s, dir) => {
+      val df = T(s, dir, "documents")
+      val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+      val valid = docRule.validCol(rowCol, df.schema, rules.Ctx())
+      df.groupBy(col("source"))
+        .agg(count(lit(1)).as("n_rows"),
+          sum(valid.cast("long")).as("n_valid"))
+        .withColumn("pass", col("n_rows") === col("n_valid"))
+    }),
+
+    // --- window function: top-3 orders per customer ---
+    "q_window_topk" -> ((s, dir) => {
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("o_custkey"))
+        .orderBy(col("o_totalprice").desc, col("o_orderkey").asc)
+      T(s, dir, "orders")
+        .withColumn("rnk", row_number().over(w))
+        .where(col("rnk") <= 3)
+        .select(col("o_custkey"), col("o_orderkey"), col("rnk"))
+    }),
+
+    // --- broadcast join + agg ---
+    "q_join_enrich" -> ((s, dir) => {
+      val c = T(s, dir, "customer")
+      val n = T(s, dir, "nation")
+      c.join(broadcast(n), c("c_nationkey") === n("n_nationkey"))
+        .groupBy(col("n_name")).agg(count(lit(1)).as("n_cust"))
+    }),
+
+    // --- sort / limit / top-k ---
+    "q_topk_sources" -> ((s, dir) => {
+      T(s, dir, "documents").groupBy(col("source"))
+        .agg(count(lit(1)).as("n"))
+        .orderBy(col("n").desc, col("source").asc).limit(5)
+    }),
+
+    // --- set ops ---
+    "q_set_except" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      d.select(col("lang")).distinct()
+        .except(d.where(col("n_chars") > 540).select(col("lang")).distinct())
+    }),
+
+    // --- exact dedup by blocking key (prefix), oracle-checkable ---
+    "q_dedup_exact_prefix" -> ((s, dir) => {
+      T(s, dir, "documents")
+        .select(substring(col("text"), 1, 20).as("prefix"))
+        .groupBy(col("prefix")).agg(count(lit(1)).as("c"))
+        .where(col("c") > 1)
+    }),
+
+    // --- token counting (whitespace; length arithmetic = oracle-identical) ---
+    "q_token_count" -> ((s, dir) => {
+      val t = col("text")
+      T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(t).as("n_tokens"))
+    }),
+
+    // --- quality scoring (single division + round for float safety) ---
+    "q_text_quality" -> ((s, dir) => {
+      val t = col("text")
+      val nTok = TextFunctions.tokenCount(t)
+      T(s, dir, "documents").select(col("doc_id"),
+        nTok.as("n_tokens"),
+        round(col("n_chars").cast("double") / nTok.cast("double"), 4).as("avg_word_len"),
+        (nTok >= 20 && nTok <= 120).as("len_ok"))
+    }),
+
+    // --- language-ID heuristic (stopword cascade) ---
+    "q_lang_id" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        when(col("text").rlike("(^| )(the|a|of)( |$)"), "en")
+          .otherwise("und").as("pred_lang"))
+    }),
+
+    // --- scalar functions: JSON extraction from events.props ---
+    "q_use_json" -> ((s, dir) => {
+      T(s, dir, "events").select(col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+    }),
+
+    // --- drift histogram buckets ---
+    "q_histogram_nchars" -> ((s, dir) => {
+      TableChecks.histogram(T(s, dir, "documents"), "n_chars", 0, 500, 10)
+    }),
+
+    // --- time windows over events (streaming-shaped agg, batch oracle) ---
+    "q_events_hourly" -> ((s, dir) => {
+      T(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"),
+          col("event_type"))
+        .agg(count(lit(1)).as("n"),
+          count_distinct(col("user_id")).as("users"))
+    }),
+
+    // --- ANN: brute-force cosine top-k (rank on rounded cos for cross-engine
+    //     determinism; tiebreak neighbor_id) ---
+    "q_ann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val q = e.where(col("vec_id") < 8)
+      val scored = e.select(col("vec_id").as("neighbor_id"), col("embedding").as("cv"))
+        .crossJoin(broadcast(q.select(col("vec_id").as("query_id"), col("embedding").as("qv"))))
+        .where(col("query_id") =!= col("neighbor_id"))
+        .select(col("query_id"), col("neighbor_id"),
+          round(Ann.cosine(col("qv"), col("cv")), 6).as("cos"))
+      import org.apache.spark.sql.expressions.Window
+      val w = Window.partitionBy(col("query_id"))
+        .orderBy(col("cos").desc, col("neighbor_id").asc)
+      scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 5)
+        .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
+    }),
+
+    // ===== rows-only checks (no ANSI-SQL equivalent: engine-hash based) =====
+    "q_dedup_fingerprint" -> ((s, dir) => {
+      Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
+        .select(col("doc_id"))
+    }),
+    "q_minhash_neardups" -> ((s, dir) => {
+      Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
+        shingleK = 7, numHashes = 16, bands = 4, threshold = 0.5)
+    }),
+    "q_simhash_neardups" -> ((s, dir) => {
+      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+    }),
+    "q_ngram_jaccard" -> ((s, dir) => {
+      Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
+        k = 3, threshold = 0.2)
+    }),
+    "q_cosine_neardups" -> ((s, dir) => {
+      Ann.cosineNearDups(T(s, dir, "embeddings"), threshold = 0.35, bits = 4)
+    }),
+    "q_lsh_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 5, bits = 4)
+    }),
+    "q_seq_validate" -> ((s, dir) => {
+      // flagship sequence validation at a dir-scaled row count
+      val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
+        .map(_.group(1).toDouble).getOrElse(0.001)
+      val rows = math.max((6000000 * sf).toLong, 1000L)
+      val seqs = graft.gen.SequenceGen.sequences(s, rows, 16)
+      SeqValidation.validate(seqs).violations
+        .select(col("doc_id"), col("n_tok"), col("source"), col("violation_kind"))
+    }),
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q_agg_pricing" ->
+      """SELECT l_returnflag, l_linestatus,
+        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q_filter_date" ->
+      """SELECT l_returnflag, count(*) AS n FROM lineitem
+        |WHERE l_shipdate < TIMESTAMP '1997-01-01' GROUP BY l_returnflag""".stripMargin,
+
+    "q_uniqueness_violations" ->
+      """SELECT l_orderkey, count(*) AS dup_count FROM lineitem
+        |GROUP BY l_orderkey HAVING count(*) > 1""".stripMargin,
+
+    "q_referential_violations" ->
+      """SELECT doc_id, lang FROM documents
+        |WHERE lang NOT IN ('en','fr','de','es')""".stripMargin,
+
+    "q_column_stats" ->
+      """SELECT 'l_orderkey' AS col_name, CAST(min(l_orderkey) AS VARCHAR) AS min_value,
+        |       CAST(max(l_orderkey) AS VARCHAR) AS max_value,
+        |       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+        |       count(DISTINCT l_orderkey) AS distinct_count FROM lineitem
+        |UNION ALL
+        |SELECT 'l_partkey', CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR),
+        |       sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_partkey) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_suppkey', CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR),
+        |       sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_suppkey) FROM lineitem
+        |UNION ALL
+        |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
+        |       sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+
+    "q_validate_documents" ->
+      """SELECT doc_id,
+        |       (doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+        |        AND lang IN ('en','zh','fr','es','de')
+        |        AND source LIKE 'src%'
+        |        AND n_chars IS NOT NULL AND n_chars <= 420
+        |        AND n_chars = length(text)) AS valid
+        |FROM documents""".stripMargin,
+
+    "q_verdict_by_source" ->
+      """SELECT source, count(*) AS n_rows,
+        |       sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+        |                 AND lang IN ('en','zh','fr','es','de') AND source LIKE 'src%'
+        |                 AND n_chars IS NOT NULL AND n_chars <= 420
+        |                 AND n_chars = length(text) THEN 1 ELSE 0 END) AS n_valid,
+        |       count(*) = sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+        |                 AND lang IN ('en','zh','fr','es','de') AND source LIKE 'src%'
+        |                 AND n_chars IS NOT NULL AND n_chars <= 420
+        |                 AND n_chars = length(text) THEN 1 ELSE 0 END) AS pass
+        |FROM documents GROUP BY source""".stripMargin,
+
+    "q_window_topk" ->
+      """SELECT o_custkey, o_orderkey, rnk FROM (
+        |  SELECT o_custkey, o_orderkey,
+        |         row_number() OVER (PARTITION BY o_custkey
+        |                            ORDER BY o_totalprice DESC, o_orderkey ASC) AS rnk
+        |  FROM orders) t WHERE rnk <= 3""".stripMargin,
+
+    "q_join_enrich" ->
+      """SELECT n_name, count(*) AS n_cust FROM customer
+        |JOIN nation ON c_nationkey = n_nationkey GROUP BY n_name""".stripMargin,
+
+    "q_topk_sources" ->
+      """SELECT source, count(*) AS n FROM documents GROUP BY source
+        |ORDER BY n DESC, source ASC LIMIT 5""".stripMargin,
+
+    "q_set_except" ->
+      """SELECT DISTINCT lang FROM documents
+        |EXCEPT
+        |SELECT DISTINCT lang FROM documents WHERE n_chars > 540""".stripMargin,
+
+    "q_dedup_exact_prefix" ->
+      """SELECT substr(text, 1, 20) AS prefix, count(*) AS c FROM documents
+        |GROUP BY substr(text, 1, 20) HAVING count(*) > 1""".stripMargin,
+
+    "q_token_count" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(text) = 0 THEN 0
+        |            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
+        |FROM documents""".stripMargin,
+
+    "q_text_quality" ->
+      """SELECT doc_id,
+        |       CASE WHEN length(text) = 0 THEN 0
+        |            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
+        |       round(CAST(n_chars AS DOUBLE) /
+        |             (CASE WHEN length(text) = 0 THEN 0
+        |                   ELSE length(text) - length(replace(text, ' ', '')) + 1 END), 4) AS avg_word_len,
+        |       (CASE WHEN length(text) = 0 THEN 0
+        |             ELSE length(text) - length(replace(text, ' ', '')) + 1 END) BETWEEN 20 AND 120 AS len_ok
+        |FROM documents""".stripMargin,
+
+    "q_lang_id" ->
+      """SELECT doc_id,
+        |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
+        |            ELSE 'und' END AS pred_lang
+        |FROM documents""".stripMargin,
+
+    "q_use_json" ->
+      """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
+        |FROM events""".stripMargin,
+
+    "q_histogram_nchars" ->
+      """SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
+        |       count(*) AS cnt
+        |FROM documents GROUP BY 1""".stripMargin,
+
+    "q_events_hourly" ->
+      """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
+        |       count(*) AS n, count(DISTINCT user_id) AS users
+        |FROM events GROUP BY 1, 2""".stripMargin,
+
+    "q_ann_topk" ->
+      """WITH pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])) /
+        |               (sqrt(list_dot_product(CAST(q.embedding AS DOUBLE[]), CAST(q.embedding AS DOUBLE[]))) *
+        |                sqrt(list_dot_product(CAST(c.embedding AS DOUBLE[]), CAST(c.embedding AS DOUBLE[])))), 6) AS cos
+        |  FROM embeddings q, embeddings c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs) t WHERE rank <= 5""".stripMargin,
+  )
 }

@@ -24,7 +24,7 @@ object TableChecks {
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     val stacked = cols.map { c =>
-      wide.select(lit(c).as("column"),
+      wide.select(lit(c).as("col_name"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
         col(s"${c}__nulls").as("null_count"),
@@ -46,7 +46,7 @@ object TableChecks {
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
     cols.map { c =>
-      wide.select(lit(c).as("column"),
+      wide.select(lit(c).as("col_name"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
         col(s"${c}__nulls").as("null_count"),

@@ -1,0 +1,113 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). Two paths:
+  *  - brute-force cosine top-k (the exactness baseline): broadcast the query
+  *    set, score each corpus partition independently, take per-query top-k —
+  *    corpus is never shuffled, only (n_queries × k) result rows move;
+  *  - LSH-bucketed (the scale path): random-hyperplane signatures bucket the
+  *    corpus once; each query probes its own bucket (+ optional hamming-1
+  *    multiprobe), so scoring touches ~1/2^bits of the corpus.
+  */
+object Ann {
+
+  /** dot(a, b) in double precision, left-to-right (deterministic and
+    * reproducible in the DuckDB oracle). */
+  def dot(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, v) => acc + v)
+
+  def norm(a: Column): Column = sqrt(dot(a, a))
+
+  def cosine(a: Column, b: Column): Column = dot(a, b) / (norm(a) * norm(b))
+
+  /** Brute-force top-k cosine neighbors for each query.
+    * `queries` must be small (it is broadcast). Per-query top-k uses a
+    * size-bounded sorted-array aggregate — NO window over the full cross
+    * product, so the shuffle carries at most n_queries×k candidate structs
+    * after partial aggregation.
+    */
+  def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val q = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"))
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"))
+    val scored = c.crossJoin(broadcast(q))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        cosine(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Shared top-k reduction: slice(array_sort(collect_list)) per query with
+    * map-side partial aggregation; deterministic tiebreak on neighbor_id.
+    * For huge corpora, cap memory by pre-filtering with a score threshold or
+    * using the LSH path.
+    */
+  private[pipeline] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
+    scored
+      .groupBy(col("query_id"))
+      .agg(slice(array_sort(collect_list(struct(
+        (-col("cos")).as("neg"), col("neighbor_id").as("nid")))), 1, k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.nid").as("neighbor_id"), round(-col("col.neg"), 6).as("cos"))
+
+  /** Random-hyperplane signature: `bits` sign-bits of dot(v, r_j), where
+    * r_j[i] is a deterministic pseudo-random unit derived from xxhash64(j,i)
+    * — shareable between corpus and queries without materializing planes.
+    */
+  def lshSignature(vec: Column, bits: Int): Column = {
+    val withIdx = zip_with(vec, sequence(lit(0), size(vec) - 1),
+      (x, i) => struct(x.cast("double").as("x"), i.as("i")))
+    val bitCols = (0 until bits).map { j =>
+      val d = aggregate(withIdx, lit(0.0), (acc, e) =>
+        acc + e.getField("x") *
+          ((pmod(xxhash64(lit(j), e.getField("i")), lit(2001)) - 1000).cast("double") / 1000.0))
+      when(d > 0, lit(1 << j)).otherwise(lit(0))
+    }
+    bitCols.reduce(_ + _)
+  }
+
+  /** IVF/LSH top-k: corpus bucketed by signature; each query scores only its
+    * bucket (plus hamming-1 buckets when multiprobe), then the same top-k
+    * reduction. Recall < 1 by construction; bits trades recall for cost.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
+              multiprobe: Boolean = true,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      lshSignature(col(vecCol), bits).as("bucket"))
+    val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      lshSignature(col(vecCol), bits).as("sig"))
+    val probes =
+      if (!multiprobe) qSig.withColumn("bucket", col("sig"))
+      else qSig.select(col("query_id"), col("qv"), col("sig"),
+        explode(array((lit(-1) +: (0 until bits).map(b => lit(b))): _*)).as("flip"))
+        .select(col("query_id"), col("qv"),
+          when(col("flip") === -1, col("sig"))
+            .otherwise(col("sig").bitwiseXOR(pow(lit(2), col("flip")).cast("int")))
+            .as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("bucket"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+    topKPerQuery(scored, k)
+  }
+
+  /** Embedding-cosine near-duplicate pairs at threshold, LSH-blocked:
+    * only same-bucket pairs are scored.
+    */
+  def cosineNearDups(df: DataFrame, threshold: Double, bits: Int = 6,
+                     idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      lshSignature(col(vecCol), bits).as("bucket"))
+    val a = s.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = s.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
+      .withColumn("cos", cosine(col("va"), col("vb")))
+      .where(col("cos") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+  }
+}

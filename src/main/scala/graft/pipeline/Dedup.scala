@@ -1,0 +1,135 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators for training-data pipelines: exact, MinHash+LSH,
+  * SimHash, and n-gram Jaccard. Scale design:
+  *  - signatures/buckets are computed per-row (narrow, parallel);
+  *  - candidate generation is a shuffle on SHORT bucket keys (never on full
+  *    documents) — the LSH band trick bounds the shuffle to B rows/doc;
+  *  - only candidate pairs (a tiny fraction) ever compare full shingle sets.
+  */
+object Dedup {
+
+  /** Exact duplicate groups by fingerprint of normalized text: two-stage
+    * hash agg (map-side combine); returns (fingerprint, dup_count) > 1.
+    */
+  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+      .groupBy(col("fp")).agg(count(lit(1)).as("dup_count"),
+        min(col(idCol)).as("keep_id"))
+      .where(col("dup_count") > 1)
+
+  /** Exact-dedup survivor set: keep the min-id row per fingerprint.
+    * One shuffle on the 8-byte fingerprint, never on the text.
+    */
+  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+  }
+
+  /** MinHash signature: H permutation-free min-hashes
+    * (`min over shingles of xxhash64(shingle, i)`) — overflow-safe under ANSI
+    * mode and fully expression-based.
+    */
+  def minhashSignature(shingles: Column, numHashes: Int): Column =
+    array((0 until numHashes).map(i =>
+      array_min(transform(shingles, s => xxhash64(s, lit(i))))): _*)
+
+  /** LSH band buckets: signature split into `bands` bands of `rowsPerBand`,
+    * each hashed to one bucket id. Docs sharing ANY bucket are candidates.
+    */
+  def bandBuckets(sig: Column, bands: Int, rowsPerBand: Int): Column =
+    array((0 until bands).map(b =>
+      struct(lit(b).as("band"),
+        xxhash64(array_join(transform(
+          slice(sig, b * rowsPerBand + 1, rowsPerBand), _.cast("string")), ","))
+          .as("bucket"))): _*)
+
+  /** MinHash-LSH near-duplicate candidate pairs with exact Jaccard
+    * verification on the shingle sets. Returns (id_a, id_b, jaccard) with
+    * id_a < id_b and jaccard >= threshold.
+    *
+    * Plan shape: shingle+signature projection (narrow) → explode bands
+    * (B rows/doc) → self-join on (band,bucket) (shuffle on 16-byte keys; AQE
+    * handles skewed buckets) → dedupe pairs → verify on shingles.
+    */
+  def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                      threshold: Double = 0.5): DataFrame = {
+    val rowsPerBand = numHashes / bands
+    val sigs = df.select(col(idCol).as("id"),
+      TextFunctions.shingleHashes(col(textCol), shingleK).as("sh"))
+      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+      .withColumn("bands", bandBuckets(col("sig"), bands, rowsPerBand))
+    val exploded = sigs.select(col("id"), col("sh"), explode(col("bands")).as("bk"))
+      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("id_a", "id_b")
+    pairs
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
+    * Statically unrolled over the 64 bits (no dynamic shifts — ANSI-safe).
+    */
+  def simhash(text: Column): Column = {
+    val hashes = transform(split(TextFunctions.normalize(text), " "), w => xxhash64(w))
+    val bitCols = (0 until 64).map { b =>
+      val vote = aggregate(hashes, lit(0),
+        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
+      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
+    }
+    bitCols.reduce(_ bitwiseOR _)
+  }
+
+  /** SimHash near-dup pairs: band on 4×16-bit chunks (a pair within hamming
+    * distance 3 must agree on ≥1 chunk), verify with bit_count(xor) <= maxHamming.
+    */
+  def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                      maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    val chunks = sh.select(col("id"), col("sim"),
+      explode(array((0 until 4).map(c =>
+        struct(lit(c).as("chunk"),
+          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("val"))): _*)).as("ck"))
+      .select(col("id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.val").as("val"))
+    val a = chunks.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
+    val b = chunks.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(b, Seq("chunk", "val"))
+      .where(col("id_a") < col("id_b"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      .where(col("hamming") <= maxHamming)
+      .select(col("id_a"), col("id_b"), col("hamming"))
+  }
+
+  /** Word n-gram Jaccard similarity for all candidate pairs blocked by a
+    * cheap key (token-count bucket) — the non-LSH baseline; quadratic within
+    * blocks, so block width bounds the cost.
+    */
+  def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
+                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    val g = df.select(col(idCol).as("id"),
+      TextFunctions.wordShingles(col(textCol), k).as("sh"),
+      (TextFunctions.tokenCount(col(textCol)) / 16).cast("int").as("blk"))
+    val a = g.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
+    val b = g.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      .withColumn("jaccard",
+        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
+          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .where(col("jaccard") >= threshold)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+  }
+}

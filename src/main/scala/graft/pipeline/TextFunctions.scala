@@ -1,0 +1,79 @@
+package graft.pipeline
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators for a large-scale training-data pipeline: token
+  * counting, quality scoring, language-ID heuristic, document fingerprinting.
+  * All pure Column expressions — no UDFs, so they stay codegen'd and push
+  * through Catalyst like any built-in.
+  */
+object TextFunctions {
+
+  /** Whitespace token count via length arithmetic (exactly reproducible in
+    * ANSI SQL for the oracle: `length(t) - length(replace(t,' ','')) + 1`).
+    */
+  def tokenCount(text: Column): Column =
+    when(length(text) === 0, 0)
+      .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
+
+  /** BPE-ish subword count: words plus an extra unit per 4 chars of long
+    * words — a cheap deterministic stand-in for a real BPE vocab.
+    */
+  def subwordCount(text: Column): Column =
+    aggregate(split(text, " "), lit(0),
+      (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int")))
+
+  /** Quality score in [0,1]: combines length saturation, alpha ratio and
+    * stopword presence — the length/punct/stopword-ratio family.
+    */
+  def qualityScore(text: Column): Column = {
+    val nTok = tokenCount(text).cast("double")
+    val lenScore = least(nTok / 64.0, lit(1.0))
+    val alpha = length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+      greatest(length(text), lit(1)).cast("double")
+    val stop = when(text.rlike("\\b(the|a|of|and|to)\\b"), 1.0).otherwise(0.0)
+    round(lenScore * 0.4 + alpha * 0.4 + stop * 0.2, 4)
+  }
+
+  /** Language-ID heuristic: stopword-marker cascade (n-gram heuristic family).
+    * Deterministic; replicable in ANSI SQL CASE for the oracle.
+    */
+  def langId(text: Column): Column =
+    when(text.rlike("(^| )(the|and|of|with)( |$)"), "en")
+      .when(text.rlike("(^| )(le|la|les|et|avec)( |$)"), "fr")
+      .when(text.rlike("(^| )(der|die|das|und|mit)( |$)"), "de")
+      .when(text.rlike("(^| )(el|los|las|con)( |$)"), "es")
+      .otherwise("und")
+
+  /** Deterministic 64-bit document fingerprint (rolling-hash family):
+    * xxhash64 of the normalized text. Normalization = trim + collapse
+    * whitespace + lowercase, so near-identical formatting dedups together.
+    */
+  def fingerprint(text: Column): Column =
+    xxhash64(normalize(text))
+
+  def normalize(text: Column): Column =
+    lower(trim(regexp_replace(text, "\\s+", " ")))
+
+  /** Character k-gram shingle hashes (basis for MinHash / Jaccard).
+    * HOF-built: positions 0..len-k, each shingle hashed to a non-negative
+    * long. Empty/short texts produce a single hash of the whole string.
+    */
+  def shingleHashes(text: Column, k: Int): Column = {
+    val t = normalize(text)
+    when(length(t) <= k, array(abs(xxhash64(t))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), length(t) - k - 1),
+        i => abs(xxhash64(t.substr(i + 1, lit(k)))))))
+  }
+
+  /** Word-level k-gram shingles (for n-gram Jaccard). */
+  def wordShingles(text: Column, k: Int): Column = {
+    val words = split(normalize(text), " ")
+    when(size(words) <= k, array(abs(xxhash64(normalize(text)))))
+      .otherwise(array_distinct(transform(
+        sequence(lit(0), size(words) - k - 1),
+        i => abs(xxhash64(array_join(slice(words, i + 1, lit(k)), " "))))))
+  }
+}

@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, Dedup, TextFunctions}
+
+/** Training-data pipeline operators: dedup family, ANN, text analysis —
+  * asserted against constructed ground truth.
+  */
+class PipelineSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val docs = Seq(
+    (0L, "the quick brown fox jumps over the lazy dog near the river bank today"),
+    (1L, "the quick brown fox jumps over the lazy dog near the river bank tonight"), // near-dup of 0
+    (2L, "completely different content about spark catalyst optimizer internals"),
+    (3L, "the quick brown fox jumps over the lazy dog near the river bank today"), // exact dup of 0
+    (4L, "TÉST  whitespace   and Case normalization test"),
+    (5L, "tést whitespace and case NORMALIZATION test") // fingerprint-equal to 4
+  ).toDF("doc_id", "text")
+
+  test("tokenCount / langId / qualityScore basics") {
+    val r = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"),
+      TextFunctions.langId(col("text")).as("lang")).orderBy("doc_id").collect()
+    assert(r(0).getAs[Int]("n") == 14)
+    assert(r(0).getAs[String]("lang") == "en")
+    assert(r(2).getAs[String]("lang") == "und")
+    val q = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
+      .agg(min("q"), max("q")).head()
+    assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+  }
+
+  test("fingerprint: whitespace/case-insensitive exact dedup") {
+    val fps = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(fps(0) == fps(3)) // exact dup
+    assert(fps(0) != fps(1))
+    val survivors = Dedup.exactDedup(docs, "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(0L, 1L, 2L, 4L)) // 3 deduped to 0; 5 (diff case/ws) to 4
+    val groups = Dedup.exactGroups(docs, "text", "doc_id").collect()
+    assert(groups.length == 2 && groups.forall(_.getAs[Long]("dup_count") == 2))
+  }
+
+  test("minhash LSH finds the near-dup pair and not unrelated docs") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleK = 5, numHashes = 16, bands = 4, threshold = 0.5)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)) || pairs.contains((0L, 3L))) // near/exact dup found
+    assert(pairs.contains((0L, 3L))) // exact dup always jaccard 1.0
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L)) // unrelated not paired
+  }
+
+  test("simhash: exact dup distance 0, near-dup small, unrelated large") {
+    val sims = docs.select(col("doc_id"), Dedup.simhash(col("text")).as("s"))
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    def ham(a: Long, b: Long): Int = java.lang.Long.bitCount(a ^ b)
+    assert(ham(sims(0), sims(3)) == 0)
+    assert(ham(sims(0), sims(1)) < ham(sims(0), sims(2)))
+  }
+
+  test("ngram jaccard pairs") {
+    val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.5)
+      .select("id_a", "id_b", "jaccard").collect()
+    val exact = pairs.find(r => r.getLong(0) == 0L && r.getLong(1) == 3L)
+    assert(exact.exists(_.getAs[Double]("jaccard") == 1.0))
+  }
+
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
+    (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 0
+    (2L, Array(0.0f, 1.0f, 0.0f, 0.0f)),
+    (3L, Array(0.0f, 0.9f, 0.1f, 0.0f)),  // closest to 2
+    (4L, Array(-1.0f, 0.0f, 0.0f, 0.0f))  // opposite of 0
+  ).toDF("vec_id", "embedding")
+
+  test("brute-force cosine top-k exact ranks") {
+    val top = Ann.bruteForceTopK(vecs, vecs.where(col("vec_id") === 0L), k = 2)
+      .orderBy("rank").collect()
+    assert(top.length == 2)
+    assert(top(0).getAs[Long]("neighbor_id") == 1L) // cos ≈ 0.9939
+    assert(top(0).getAs[Int]("rank") == 1)
+    assert(top(1).getAs[Long]("neighbor_id") != 4L) // opposite vector is last
+  }
+
+  test("LSH top-k returns plausible neighbors (recall ≥ top-1 on clustered data)") {
+    val got = Ann.lshTopK(vecs, vecs.where(col("vec_id") === 0L), k = 2, bits = 2)
+      .collect()
+    assert(got.nonEmpty)
+    assert(got.head.getAs[Long]("neighbor_id") != 4L)
+  }
+
+  test("cosine near-dup pairs at high threshold") {
+    val pairs = Ann.cosineNearDups(vecs, threshold = 0.95, bits = 2,
+      idCol = "vec_id", vecCol = "embedding")
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    // (0,1) and (2,3) are the only cos>0.95 pairs; LSH blocking may drop
+    // across-bucket pairs but must never invent pairs
+    assert(pairs.subsetOf(Set((0L, 1L), (2L, 3L))))
+  }
+}

@@ -1,0 +1,54 @@
+#!/usr/bin/env python3
+"""Local emulation of the driver's DuckDB oracle compare: for each query dir
+under outDir, run the oracle SQL in DuckDB over the sf tables, sort columns
+by name, sort rows, and diff against the Spark parquet output."""
+import duckdb, json, sys
+from pathlib import Path
+
+sfdir, outdir = sys.argv[1], sys.argv[2]
+con = duckdb.connect()
+for t in ["region","nation","customer","supplier","part","orders","lineitem",
+          "events","documents","embeddings"]:
+    con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+
+def canon(rows, cols):
+    order = sorted(range(len(cols)), key=lambda i: cols[i])
+    out = []
+    for r in rows:
+        vals = []
+        for i in order:
+            v = r[i]
+            if isinstance(v, float):
+                v = round(v, 9)
+            vals.append(repr(v))
+        out.append(tuple(vals))
+    return sorted(out), [cols[i] for i in order]
+
+ok = fail = 0
+for name in sorted(oracle):
+    try:
+        spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
+        s_rows, s_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
+        d_rel = con.execute(oracle[name])
+        d_rows, d_cols = d_rel.fetchall(), [d[0] for d in d_rel.description]
+        sc, scols = canon(s_rows, s_cols)
+        dc, dcols = canon(d_rows, d_cols)
+        if scols != dcols:
+            print(f"FAIL {name}: columns spark={scols} duck={dcols}"); fail += 1
+        elif sc != dc:
+            diff = [x for x in sc if x not in set(dc)][:3]
+            diff2 = [x for x in dc if x not in set(sc)][:3]
+            print(f"FAIL {name}: rows spark={len(sc)} duck={len(dc)} spark_only={diff} duck_only={diff2}"); fail += 1
+        else:
+            print(f"OK   {name} ({len(sc)} rows)"); ok += 1
+    except Exception as e:
+        print(f"ERR  {name}: {e}"); fail += 1
+rows_only = sorted(set(p.name for p in Path(outdir).iterdir() if p.is_dir()) - set(oracle))
+print(f"\n{ok} ok, {fail} fail")
+for name in rows_only:
+    try:
+        n = con.execute(f"SELECT count(*) FROM '{outdir}/{name}/*.parquet'").fetchone()[0]
+        print(f"ROWS-ONLY {name}: {n} rows")
+    except Exception as e:
+        print(f"ROWS-ONLY {name}: ERR {e}")
