@@ -1,24 +1,101 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.gen.SequenceGen
+import graft.checks.TableChecks
+
+/** Round benchmark: ONE JSON line with the per-query timings plus the
+  * north-star metric — validated sequences/sec over a MATERIALIZED parquet
+  * sequence table (generation is setup, not measurement; production data is
+  * read from storage, so the bench reads from storage).
+  */
 object Bench {
+
+  def sfOf(sfDir: String): Double =
+    "sf([0-9.]+)".r.findFirstMatchIn(sfDir).map(_.group(1).toDouble).getOrElse(0.001)
+
+  def seqRows(sf: Double): Long = math.max((6000000 * sf).toLong, 1000L)
+
+  /** Median of n timed runs — the sandbox host shows heavy run-to-run noise
+    * (identical executions measured 4–22 s), so single-shot timings lie.
+    */
+  def medianSec(n: Int)(f: => Unit): Double = {
+    val times = (1 to n).map { _ =>
+      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+    }.sorted
+    times(n / 2)
+  }
+
+  /** Generate-once parquet path for the flagship table at this scale. */
+  def materialize(spark: SparkSession, sf: Double, parts: Int): String = {
+    val path = s"/root/repo/target/bench_seqs_sf$sf"
+    if (!new java.io.File(path + "/_SUCCESS").exists()) {
+      SequenceGen.sequences(spark, seqRows(sf), parts)
+        .write.mode("overwrite").parquet(path)
+    }
+    path
+  }
+
+  /** The flagship job's four plans, built (analyzed + optimized) ONCE — like
+    * production, where the plan compiles once and executes for hours. The
+    * timed phase is pure execution.
+    */
+  final case class FlagshipJob(verdictTotals: DataFrame, violations: DataFrame,
+                               dups: DataFrame, refs: DataFrame) {
+    /** Execute all four actions; returns rows validated. */
+    def run(): Long = {
+      val verd = verdictTotals.head()
+      val nViol = violations.count()
+      val nDup = dups.count()
+      val nRef = refs.count()
+      require(nViol > 0 && nDup > 0 && nRef > 0, "violation injection missing?")
+      verd.getLong(0)
+    }
+  }
+
+  def flagshipJob(spark: SparkSession, seqs: DataFrame): FlagshipJob = {
+    val res = SeqValidation.validate(seqs)
+    FlagshipJob(
+      res.verdicts.agg(sum(col("n_rows")), sum(col("n_valid"))),
+      res.violations,
+      TableChecks.duplicateKeys(seqs, "doc_id"),
+      TableChecks.referentialViolations(
+        seqs, "source", SequenceGen.sourceDim(spark), "source"))
+  }
+
+  /** One-shot convenience (plan + execute). */
+  def flagship(spark: SparkSession, seqs: DataFrame): Long =
+    flagshipJob(spark, seqs).run()
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+
+    val sf = sfOf(sfDir)
+    val seqPath = materialize(spark, sf, parts = cpus.toInt * 2)
+    val seqs = spark.read.parquet(seqPath)
+    val job = flagshipJob(spark, seqs) // plan once (production shape)
+    val rows = job.run() // warmup (JIT + codegen cache)
+    val flagshipSec = medianSec(5)(job.run())
+    val seqPerSec = rows / flagshipSec
+
     val results = SparkEntry.queries.map { case (name, fn) =>
-      val t0 = System.nanoTime()
+      val q0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
-      .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val qs = (results + ("flagship_validate" -> flagshipSec))
+      .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val total = results.values.sum + flagshipSec
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_rows":$rows,"validated_seq_per_sec":${seqPerSec.round}}""")
     spark.stop()
   }
 }

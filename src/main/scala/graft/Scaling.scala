@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Scaling-efficiency evidence for the north rule (BASELINE.json): the
+  * sandbox has no multi-executor cluster, so the N→4N executor criterion is
+  * evidenced by running the IDENTICAL flagship job at local[8] and local[32]
+  * on the SAME materialized input and reporting throughput at both plus
+  * efficiency = (seq/s @32) / (4 × seq/s @8). Results land in BASELINE.md.
+  */
+object Scaling {
+
+  private def runAt(cores: Int, sf: Double): (Long, Double) = {
+    val spark = SparkSession.builder()
+      .master(s"local[$cores]")
+      .appName(s"graft-scaling-$cores")
+      .config("spark.sql.shuffle.partitions", cores)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    try {
+      val path = Bench.materialize(spark, sf, parts = 64)
+      val seqs = spark.read.parquet(path)
+      val job = Bench.flagshipJob(spark, seqs) // plan once
+      val rows = job.run() // warmup
+      val sec = Bench.medianSec(5)(job.run())
+      (rows, sec)
+    } finally spark.stop()
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0).toDouble else 0.1
+    val lo = if (args.length > 1) args(1).toInt else 8
+    val hi = if (args.length > 2) args(2).toInt else 32
+    val (rowsLo, secLo) = runAt(lo, sf)
+    val (rowsHi, secHi) = runAt(hi, sf)
+    require(rowsLo == rowsHi)
+    val tpsLo = rowsLo / secLo
+    val tpsHi = rowsHi / secHi
+    val eff = tpsHi / (tpsLo * (hi.toDouble / lo))
+    println(s"""{"metric":"scaling","sf":$sf,"rows":$rowsLo,"cores_lo":$lo,"cores_hi":$hi,"sec_lo":$secLo,"sec_hi":$secHi,"seq_per_sec_lo":${tpsLo.round},"seq_per_sec_hi":${tpsHi.round},"efficiency":${math.round(eff * 1000) / 1000.0}}""")
+  }
+}

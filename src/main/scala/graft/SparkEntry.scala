@@ -211,7 +211,7 @@ object SparkEntry {
     }),
     "q_minhash_neardups" -> ((s, dir) => {
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
-        shingleK = 7, numHashes = 16, bands = 4, threshold = 0.5)
+        shingleK = 7, numHashes = 32, bands = 4, threshold = 0.5)
     }),
     "q_simhash_neardups" -> ((s, dir) => {
       Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxHamming = 8)

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+
+object GenExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def genTokens(id: Column, maxLen: Int, vocab: Int): Column =
+    column(GenTokens(expression(id), maxLen, vocab))
+}
+
+/** Deterministic token-array generator: pure function of the row id via
+  * splitmix64 — `length = 1 + mix(id)%maxLen`, `token_j = mix(id, j)%vocab`.
+  * Native single-pass expression: the HOF formulation
+  * (`transform(sequence(0, n-1), …)`) walked ~1k interpreted expression nodes
+  * per row (measured: generation dominated the 60k-row bench at 51 s).
+  */
+case class GenTokens(child: Expression, maxLen: Int, vocab: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  override def nullSafeEval(idAny: Any): Any = {
+    val id = idAny.asInstanceOf[Long]
+    val n = 1 + ((TextExprs.mix(id * 0x9E3779B97F4A7C15L + 1) >>> 1) % maxLen).toInt
+    val out = new Array[Int](n)
+    var state = TextExprs.mix(id + 0xD1B54A32D192ED03L)
+    var j = 0
+    while (j < n) {
+      state = TextExprs.mix(state + 0x9E3779B97F4A7C15L)
+      out(j) = ((state >>> 1) % vocab).toInt
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

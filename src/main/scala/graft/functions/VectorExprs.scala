@@ -1,0 +1,168 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Custom Catalyst expressions for embedding math. Spark's higher-order
+  * functions evaluate per element through an interpreted expression tree with
+  * boxing (~0.4 ms per 64-dim cosine measured at sf0.01); these run tight
+  * primitive loops instead, and `CosineSim` participates in whole-stage
+  * codegen via `doGenCode`. Preference order per SURVEY.md §7.3: built-ins
+  * first — these exist only because the built-in path is demonstrably the
+  * bottleneck for vector scoring.
+  */
+object VectorExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
+  def dotProduct(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
+  def lshSign(v: Column, bits: Int): Column = column(LshSign(expression(v), bits))
+
+  private[functions] def elemGetter(dt: DataType, arr: String, i: String): String =
+    dt match {
+      case ArrayType(FloatType, _) => s"(double)$arr.getFloat($i)"
+      case ArrayType(DoubleType, _) => s"$arr.getDouble($i)"
+      case other => throw new IllegalArgumentException(s"numeric array expected, got $other")
+    }
+
+  private[functions] def elemAt(dt: DataType, arr: ArrayData, i: Int): Double =
+    dt match {
+      case ArrayType(FloatType, _) => arr.getFloat(i).toDouble
+      case ArrayType(DoubleType, _) => arr.getDouble(i)
+      case other => throw new IllegalArgumentException(s"numeric array expected, got $other")
+    }
+}
+
+/** dot(a, b) over float/double arrays, left-to-right accumulation in double
+  * (bit-for-bit what the DuckDB oracle computes).
+  */
+case class DotProduct(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0; var i = 0
+    while (i < n) {
+      s += VectorExprs.elemAt(left.dataType, x, i) * VectorExprs.elemAt(right.dataType, y, i)
+      i += 1
+    }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ga = VectorExprs.elemGetter(left.dataType, a, "i")
+      val gb = VectorExprs.elemGetter(right.dataType, b, "i")
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double s = 0.0;
+         |for (int i = 0; i < n; i++) { s += $ga * $gb; }
+         |${ev.value} = s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** cosine(a, b) in ONE pass: dot, |a|, |b| accumulated together. */
+case class CosineSim(left: Expression, right: Expression)
+  extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]; val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+    while (i < n) {
+      val xv = VectorExprs.elemAt(left.dataType, x, i)
+      val yv = VectorExprs.elemAt(right.dataType, y, i)
+      dot += xv * yv; na += xv * xv; nb += yv * yv
+      i += 1
+    }
+    dot / (math.sqrt(na) * math.sqrt(nb))
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val ga = VectorExprs.elemGetter(left.dataType, a, "i")
+      val gb = VectorExprs.elemGetter(right.dataType, b, "i")
+      s"""
+         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double dot = 0.0, na = 0.0, nb = 0.0;
+         |for (int i = 0; i < n; i++) {
+         |  double xv = $ga; double yv = $gb;
+         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |}
+         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Random-hyperplane LSH signature: bit j = sign of dot(v, r_j) with
+  * r_j[i] = unit-scaled splitmix64(j * 1_000_003 + i). All `bits` planes
+  * accumulate in one pass over the vector (dims × bits multiply-adds in a
+  * tight loop). Deterministic — corpus and queries share planes by
+  * construction, no materialized plane matrix.
+  */
+case class LshSign(child: Expression, bits: Int)
+  extends UnaryExpression {
+  require(bits > 0 && bits <= 30, "bits in (0, 30]")
+  override def dataType: DataType = IntegerType
+
+  override def nullSafeEval(a: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val n = x.numElements()
+    val acc = new Array[Double](bits)
+    var i = 0
+    while (i < n) {
+      val xv = VectorExprs.elemAt(child.dataType, x, i)
+      var j = 0
+      while (j < bits) {
+        acc(j) += xv * LshSign.unit(j * 1000003 + i)
+        j += 1
+      }
+      i += 1
+    }
+    var sig = 0; var j = 0
+    while (j < bits) { if (acc(j) > 0) sig |= (1 << j); j += 1 }
+    sig
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val g = VectorExprs.elemGetter(child.dataType, a, "i")
+      val cls = LshSign.getClass.getName.stripSuffix("$") + "$.MODULE$"
+      s"""
+         |int n = $a.numElements();
+         |double[] acc = new double[$bits];
+         |for (int i = 0; i < n; i++) {
+         |  double xv = $g;
+         |  for (int j = 0; j < $bits; j++) acc[j] += xv * $cls.unit(j * 1000003 + i);
+         |}
+         |int sig = 0;
+         |for (int j = 0; j < $bits; j++) if (acc[j] > 0) sig |= (1 << j);
+         |${ev.value} = sig;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object LshSign {
+  /** splitmix64 finalizer → pseudo-random unit in [-1, 1). */
+  def unit(seed: Long): Double = {
+    var z = seed + 0x9E3779B97F4A7C15L
+    z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
+    z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
+    z = z ^ (z >>> 31)
+    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+  }
+}

@@ -38,9 +38,10 @@ object SequenceGen {
                 maxLen: Int = 2048, clean: Boolean = false): DataFrame = {
     val df = spark.range(0, rows, 1, parts)
     val id = col("id")
-    val n = (pmod(mix(id, 1), lit(maxLen)) + 1).cast(IntegerType)
-    val cleanTokens = transform(sequence(lit(0), n - 1),
-      j => pmod(xxhash64(id, j, lit(2)), lit(Vocab)).cast(IntegerType))
+    // native single-pass token generation (see GenTokens scaladoc): the HOF
+    // transform/sequence form interpreted ~1k expression nodes per row
+    val cleanTokens = graft.functions.GenExprs.genTokens(id, maxLen, Vocab)
+    val n = size(cleanTokens)
     val tokens =
       if (clean) cleanTokens
       else {

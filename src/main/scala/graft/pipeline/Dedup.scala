@@ -32,7 +32,9 @@ object Dedup {
 
   /** MinHash signature: H permutation-free min-hashes
     * (`min over shingles of xxhash64(shingle, i)`) — overflow-safe under ANSI
-    * mode and fully expression-based.
+    * mode and fully expression-based. Kept as the built-in-composed reference
+    * implementation; the hot path uses `TextExprs.minhashSig` (single-pass
+    * native expression, ~100× fewer interpreted ops).
     */
   def minhashSignature(shingles: Column, numHashes: Int): Column =
     array((0 until numHashes).map(i =>
@@ -57,41 +59,35 @@ object Dedup {
     * handles skewed buckets) → dedupe pairs → verify on shingles.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      shingleK: Int = 5, numHashes: Int = 16, bands: Int = 4,
+                      shingleK: Int = 7, numHashes: Int = 32, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
-    val sigs = df.select(col(idCol).as("id"),
-      TextFunctions.shingleHashes(col(textCol), shingleK).as("sh"))
-      .withColumn("sig", minhashSignature(col("sh"), numHashes))
+    val norm = TextFunctions.normalize(col(textCol))
+    val sigs = df.select(col(idCol).as("id"), norm.as("txt"),
+      graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes).as("sig"))
       .withColumn("bands", bandBuckets(col("sig"), bands, rowsPerBand))
-    val exploded = sigs.select(col("id"), col("sh"), explode(col("bands")).as("bk"))
-      .select(col("id"), col("sh"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"), col("sh").as("sh_b"))
+    // candidates carry the normalized TEXT (smaller than shingle arrays);
+    // jaccard recomputed natively only on deduped candidate pairs
+    val exploded = sigs.select(col("id"), col("txt"), explode(col("bands")).as("bk"))
+      .select(col("id"), col("txt"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"), col("txt").as("txt_a"))
+    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"), col("txt").as("txt_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("sh_a"), col("sh_b"))
+      .select(col("id_a"), col("id_b"), col("txt_a"), col("txt_b"))
       .dropDuplicates("id_a", "id_b")
     pairs
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
+        col("txt_a"), col("txt_b"), shingleK))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes.
-    * Statically unrolled over the 64 bits (no dynamic shifts — ANSI-safe).
+  /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
+    * single native pass (`TextExprs.SimHash64`).
     */
-  def simhash(text: Column): Column = {
-    val hashes = transform(split(TextFunctions.normalize(text), " "), w => xxhash64(w))
-    val bitCols = (0 until 64).map { b =>
-      val vote = aggregate(hashes, lit(0),
-        (acc, h) => acc + when(shiftright(h, b).bitwiseAND(1) === 1, 1).otherwise(-1))
-      when(vote > 0, lit(1L << b)).otherwise(lit(0L))
-    }
-    bitCols.reduce(_ bitwiseOR _)
-  }
+  def simhash(text: Column): Column =
+    graft.functions.TextExprs.simhash64(TextFunctions.normalize(text))
 
   /** SimHash near-dup pairs: band on 4×16-bit chunks (a pair within hamming
     * distance 3 must agree on ≥1 chunk), verify with bit_count(xor) <= maxHamming.

@@ -223,6 +223,19 @@ final case class StructRule(fields: Seq[FieldRule],
     StructCompiled(value, outType, firstErr, allErrs, hookMatches)
   }
 
+  /** Hook match columns via the message-free validity path (for verdict
+    * aggregation without paying message-tree analysis).
+    */
+  def hookMatchCols(in: Column, dtype: DataType, ctx: Ctx): Seq[(String, Column)] = {
+    val st = dtype.asInstanceOf[StructType]
+    val cctx = ctx.clearName
+    val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
+    fields.collect {
+      case FieldRule(name, r, FieldKind.Hook(hn)) if dataTypes.contains(name) =>
+        hn -> (in.getField(name).isNotNull && r.validCol(in.getField(name), dataTypes(name), cctx))
+    }
+  }
+
   /** Output columns (name, value, type) using the message-free value path —
     * shared by `compileStruct` and the hot validated projection.
     */

@@ -17,13 +17,64 @@ import org.apache.spark.sql.functions._
   *    (`groupBy(spark_partition_id())` — partial agg collapses each partition
   *    to one row before the tiny shuffle), per BASELINE.json north_rule.
   */
-final case class ValidationResult(annotated: DataFrame,
-                                  validated: DataFrame,
-                                  violations: DataFrame,
-                                  verdicts: DataFrame) {
+/** LAZY result: each member DataFrame is analyzed only on first access.
+  * The message-bearing plans (annotated/violations) carry large expression
+  * trees whose Catalyst analysis costs real driver seconds — a caller that
+  * only needs verdicts must not pay for them.
+  */
+final class ValidationResult(df: DataFrame, rule: StructRule, ctx: Ctx) {
+  import Validator._
+
+  lazy val annotated: DataFrame = annotate(df, rule, ctx)
+
+  /** Codegen'd filter + message-free projection — the hot validated path. */
+  lazy val validated: DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val valid = rule.validCol(rowCol, df.schema, ctx)
+    val outFields = rule.outputFields(rowCol, df.schema.asInstanceOf[org.apache.spark.sql.types.StructType], ctx.clearName)
+    df.where(valid).select(outFields.map { case (n, c, _) => c.as(n) }: _*)
+  }
+
+  /** Codegen'd !valid filter; message projection only sees failing rows.
+    * Two-stage select: the error struct is aliased ONCE and all derived
+    * columns read the attribute — inlining it per column multiplied the
+    * expression tree ~6× and cost tens of driver-seconds in the analyzer.
+    */
+  lazy val violations: DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val valid = rule.validCol(rowCol, df.schema, ctx)
+    val sc = rule.compileStruct(rowCol, df.schema, ctx)
+    val staged = df.where(!valid)
+      .select(df.columns.map(col) ++ Seq(
+        sc.error.as("__err"), sc.allErrors.as("__errs")): _*)
+    staged.select(df.columns.map(col) ++ Seq(
+      col("__err.kind").as("violation_kind"),
+      Err.code(col("__err")).as("code"),
+      col("__err.autos").as("autos"),
+      col("__err.errors").as("errors"),
+      transform(col("__errs"), e => Err.code(e)).as("all_codes")): _*)
+  }
+
+  /** One codegen'd partial/final aggregate straight over the source. */
+  lazy val verdicts: DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val valid = rule.validCol(rowCol, df.schema, ctx)
+    val hookAggs = rule.hookMatchCols(rowCol, df.schema, ctx).map { case (n, c) =>
+      sum(c.cast("long")).as(s"hook_$n")
+    }
+    val verdictAggs: Seq[Column] =
+      Seq(sum(valid.cast("long")).as("n_valid"),
+        (count(lit(1)) === sum(valid.cast("long"))).as("pass")) ++ hookAggs
+    df.groupBy(spark_partition_id().as("partition_id"))
+      .agg(count(lit(1)).as("n_rows"), verdictAggs: _*)
+  }
+
   /** Whole-input `is_valid` — true iff no row violated. One codegen'd agg. */
-  def isValid: Boolean =
-    verdicts.agg(coalesce(min(col("pass")), lit(true))).head.getBoolean(0)
+  def isValid: Boolean = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val valid = rule.validCol(rowCol, df.schema, ctx)
+    df.agg(coalesce(min(valid), lit(true))).head.getBoolean(0)
+  }
 }
 
 object Validator {
@@ -33,12 +84,13 @@ object Validator {
     val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
     val sc = rule.compileStruct(rowCol, df.schema, ctx)
     val hookCols = sc.hookMatches.map { case (n, c) => c.as(s"__hook_$n") }
+    // alias the error tree once; derive valid/code from the attribute
     df.select(Seq(col("*"),
       sc.value.as("__validated"),
       sc.error.as("__error"),
-      sc.allErrors.as("__errors"),
-      sc.error.isNull.as("__valid"),
-      Err.code(sc.error).as("__code")) ++ hookCols: _*)
+      sc.allErrors.as("__errors")) ++ hookCols: _*)
+      .withColumn("__valid", col("__error").isNull)
+      .withColumn("__code", Err.code(col("__error")))
   }
 
   /** Hot-path layout (what matters at 10^12 rows):
@@ -51,37 +103,10 @@ object Validator {
     *  - `verdicts` = one codegen'd partial/final aggregate straight over the
     *    source — no intermediate materialization.
     *  - `annotated` keeps the full per-row error detail (debug surface).
+    * All members are lazy — nothing is analyzed until used.
     */
-  def run(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): ValidationResult = {
-    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
-    val st = df.schema
-    val valid = rule.validCol(rowCol, st, ctx)
-
-    val outFields = rule.outputFields(rowCol, st, ctx.clearName)
-    val validated = df.where(valid)
-      .select(outFields.map { case (n, c, _) => c.as(n) }: _*)
-
-    val sc = rule.compileStruct(rowCol, st, ctx)
-    val violations = df.where(!valid)
-      .select(df.columns.map(col) ++ Seq(
-        sc.error.getField("kind").as("violation_kind"),
-        Err.code(sc.error).as("code"),
-        sc.error.getField("autos").as("autos"),
-        sc.error.getField("errors").as("errors"),
-        transform(sc.allErrors, e => Err.code(e)).as("all_codes")): _*)
-
-    val hookAggs = sc.hookMatches.map { case (n, c) =>
-      sum(c.cast("long")).as(s"hook_$n")
-    }
-    val verdictAggs: Seq[Column] =
-      Seq(sum(valid.cast("long")).as("n_valid"),
-        (count(lit(1)) === sum(valid.cast("long"))).as("pass")) ++ hookAggs
-    val verdicts = df
-      .groupBy(spark_partition_id().as("partition_id"))
-      .agg(count(lit(1)).as("n_rows"), verdictAggs: _*)
-
-    ValidationResult(annotate(df, rule, ctx), validated, violations, verdicts)
-  }
+  def run(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): ValidationResult =
+    new ValidationResult(df, rule, ctx)
 
   /** Stream-friendly variant: same single-pass annotation, no verdict agg
     * (callers add watermark + windowed aggregation; rules compile to plain

@@ -1,0 +1,15 @@
+package org.apache.spark.sql.graftbridge
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Spark 4 decoupled `Column` from catalyst `Expression`; the conversion
+  * lives in `private[sql] ExpressionUtils`. This one-file bridge re-exports
+  * the two converters for graft's custom expressions — the standard pattern
+  * for libraries that extend Catalyst with native expressions.
+  */
+object Bridge {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
