@@ -1,0 +1,46 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** One flagship measurement in ONE JVM (master/cores from spark-submit) —
+  * measuring two parallelism levels inside a single JVM is invalid here: the
+  * second SparkSession measured 2-4× slower regardless of core count
+  * (observed: 8→32 order gave 6.4 s/12.7 s; 32→8 order gave 12.9 s/48 s).
+  * The Scaling evidence therefore shells one JVM per core count.
+  */
+object ScaleOne {
+  def main(args: Array[String]): Unit = {
+    val sf = if (args.nonEmpty) args(0).toDouble else 0.1
+    val mode = if (args.length > 1) args(1) else "flagship"
+    val spark = SparkSession.builder()
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    val cores = spark.sparkContext.defaultParallelism
+    val path = Bench.materialize(spark, sf, parts = 64)
+    val seqs = spark.read.parquet(path)
+    val (rows, sec) = mode match {
+      case "scan" =>
+        val plan = seqs.select(sum(size(col("tokens"))))
+        plan.head() // warmup
+        val s = Bench.medianSec(5)(plan.head())
+        (seqs.count(), s)
+      case "valid" =>
+        val rule = SeqValidation.rule()
+        val rowCol = struct(seqs.columns.map(col).toIndexedSeq: _*)
+        val plan = seqs.select(sum(rule.validCol(rowCol, seqs.schema, graft.rules.Ctx()).cast("long")))
+        plan.head()
+        val s = Bench.medianSec(5)(plan.head())
+        (seqs.count(), s)
+      case _ =>
+        val job = Bench.flagshipJob(spark, seqs)
+        val r = job.run()
+        val s = Bench.medianSec(5)(job.run())
+        (r, s)
+    }
+    println(s"""{"metric":"scale_one","mode":"$mode","sf":$sf,"cores":$cores,"rows":$rows,"sec":$sec,"seq_per_sec":${(rows / sec).round}}""")
+    spark.stop()
+  }
+}

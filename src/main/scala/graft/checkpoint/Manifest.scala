@@ -1,0 +1,77 @@
+package graft.checkpoint
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Checkpoint manifest + resume (north rule: "resumable from a checkpoint
+  * manifest recording per-partition lineage and metrics").
+  *
+  * Unit of work = a stable SPLIT of the input keyed by
+  * `pmod(xxhash64(key), numSplits)` — stable across re-runs and cluster
+  * sizes, unlike `spark_partition_id()`. A run validates only splits not
+  * already recorded as done; each completed split appends a manifest row
+  * `(split, status, n_rows, n_valid, wall_ms, lineage)` as JSON lines. The
+  * manifest doubles as the lineage record: input path, rule fingerprint,
+  * and app id per split.
+  *
+  * Writes are atomic (temp file + move) so a killed run never corrupts the
+  * manifest — re-running after a crash skips exactly the completed splits.
+  * This supplies the snapshot/lineage role Iceberg metadata would play in
+  * production (SURVEY.md §1.3: no Iceberg jar in the sandbox).
+  */
+final case class SplitResult(split: Int, status: String, nRows: Long,
+                             nValid: Long, wallMs: Long, lineage: String)
+
+class Manifest(path: String) {
+  private val file = Paths.get(path)
+
+  def completedSplits(): Set[Int] =
+    if (!Files.exists(file)) Set.empty
+    else {
+      import scala.jdk.CollectionConverters._
+      Files.readAllLines(file).asScala.flatMap { line =>
+        // minimal parse: {"split":N,"status":"done",...}
+        val split = "\"split\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
+        val done = line.contains("\"status\":\"done\"")
+        if (done) split else None
+      }.toSet
+    }
+
+  def append(r: SplitResult): Unit = synchronized {
+    val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"${r.lineage}"}"""
+    val tmp = Paths.get(path + ".tmp")
+    val existing = if (Files.exists(file)) Files.readString(file) else ""
+    Files.writeString(tmp, existing + line + "\n")
+    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
+      StandardCopyOption.ATOMIC_MOVE)
+  }
+}
+
+object CheckpointedRun {
+
+  /** Validate `df` split-by-split with resume. Returns per-split results of
+    * THIS run (skipped splits not re-listed). `keyCol` must be stable
+    * (doc_id); numSplits sizes the unit of reprocessing lost on failure.
+    */
+  def run(spark: SparkSession, df: DataFrame, rule: graft.rules.StructRule,
+          keyCol: String, numSplits: Int, manifestPath: String,
+          lineage: String): Seq[SplitResult] = {
+    val manifest = new Manifest(manifestPath)
+    val done = manifest.completedSplits()
+    val todo = (0 until numSplits).filterNot(done.contains)
+    val withSplit = df.withColumn("__split", pmod(xxhash64(col(keyCol)), lit(numSplits)).cast("int"))
+    todo.map { split =>
+      val t0 = System.nanoTime()
+      val part = withSplit.where(col("__split") === split).drop("__split")
+      val res = graft.rules.Validator.run(part, rule)
+      val agg = res.verdicts.agg(
+        coalesce(sum(col("n_rows")), lit(0L)),
+        coalesce(sum(col("n_valid")), lit(0L))).head()
+      val r = SplitResult(split, "done", agg.getLong(0), agg.getLong(1),
+        (System.nanoTime() - t0) / 1000000, lineage)
+      manifest.append(r)
+      r
+    }
+  }
+}

@@ -1,0 +1,169 @@
+package graft.jsonschema
+
+import graft.rules._
+
+/** Draft-07 JSON Schema export — the second interpreter over the rule tree,
+  * mirroring `Schema.json_schema` (/root/reference/schema/__init__.py:602-889):
+  * pure, driver-local, no Spark involvement.
+  *
+  * Faithful semantics:
+  *  - TYPE → {"type": ...} with the same name mapping (:641-655)
+  *  - COMPARABLE → const / "null" (:767-771)
+  *  - Or of comparables → enum; single value → const/null (:722-738)
+  *  - Or general → anyOf, de-duplicated, {} dropped, singleton inlined (:740-752)
+  *  - And → allOf with the same collapse rules (:753-766)
+  *  - Regex → {"type":"string","pattern":...} with Python named groups
+  *    rewritten and '/' escaped (:772-778)
+  *  - CALLABLE (Pred/Use) → {} — not representable (:779-782)
+  *  - dict → object with properties/required/additionalProperties, hooks
+  *    skipped, optional defaults emitted (:784-870)
+  *  - main schema stamped with $id/$schema, named schema → title (:872-880)
+  *
+  * Deviation (documented): `use_refs` hash-consing (:624-639) is not
+  * implemented — definitions/$ref require the `as_reference` API our DSL
+  * does not expose.
+  */
+object JsonSchemaExport {
+
+  // --- tiny ordered-JSON AST ---
+  sealed trait J
+  final case class JObj(fields: Vector[(String, J)]) extends J
+  final case class JArr(items: Vector[J]) extends J
+  final case class JStr(v: String) extends J
+  final case class JNum(v: Any) extends J
+  final case class JBool(v: Boolean) extends J
+  case object JNull extends J
+
+  def render(j: J): String = j match {
+    case JObj(fs) => fs.map { case (k, v) => s"${q(k)}: ${render(v)}" }
+      .mkString("{", ", ", "}")
+    case JArr(is) => is.map(render).mkString("[", ", ", "]")
+    case JStr(s) => q(s)
+    case JNum(v) => v.toString
+    case JBool(b) => b.toString
+    case JNull => "null"
+  }
+
+  private def q(s: String): String =
+    "\"" + s.flatMap {
+      case '"' => "\\\""
+      case '\\' => "\\\\"
+      case '\n' => "\\n"
+      case c => c.toString
+    } + "\""
+
+  def export(rule: Rule, schemaId: String): String = render(exportJ(rule, schemaId))
+
+  def exportJ(rule: Rule, schemaId: String): JObj = {
+    val (body, title) = rule match {
+      case NamedRule(n, sub) => (toJson(sub), Some(n))
+      case r => (toJson(r), None)
+    }
+    // title is emitted FIRST (set before flavor handling, :701-702)
+    val titled = title match {
+      case Some(t) => ("title" -> JStr(t): (String, J)) +: body.fields
+      case None => body.fields
+    }
+    JObj(titled :+
+      ("$id" -> JStr(schemaId): (String, J)) :+
+      ("$schema" -> JStr("http://json-schema.org/draft-07/schema#"): (String, J)))
+  }
+
+  private def typeName(t: PyType): String = t match {
+    case PyType.PyStr => "string"
+    case PyType.PyInt => "integer"
+    case PyType.PyFloat => "number"
+    case PyType.PyBool => "boolean"
+    case PyType.PyList => "array"
+    case PyType.PyDict => "object"
+    case _ => "string" // reference fallback (:655)
+  }
+
+  private def toJsonValue(v: Any): J = v match {
+    case null => JNull
+    case s: String => JStr(s)
+    case b: Boolean => JBool(b)
+    case n @ (_: Int | _: Long | _: Double | _: Float | _: Short | _: Byte) => JNum(n)
+    case other => JStr(other.toString)
+  }
+
+  /** Schema body for a rule; JObj(empty) ⇔ the reference's `{}` (not
+    * representable).
+    */
+  def toJson(rule: Rule): JObj = rule match {
+    case IsType(t) => JObj(Vector("type" -> JStr(typeName(t))))
+
+    case EqLit(null) => JObj(Vector("type" -> JStr("null")))
+    case EqLit(v) => JObj(Vector("const" -> toJsonValue(v)))
+
+    case MatchesRegex(pattern, _) =>
+      val ecma = pattern.replaceAll("\\(\\?P<[a-z\\d_]+>", "(").replace("/", "\\/")
+      JObj(Vector("type" -> JStr("string"), "pattern" -> JStr(ecma)))
+
+    case OrRule(rules) =>
+      val allComparable = rules.forall(_.isInstanceOf[EqLit])
+      if (allComparable) {
+        val values = rules.collect { case EqLit(v) => v }
+        if (values.size == 1) {
+          if (values.head == null) JObj(Vector("type" -> JStr("null")))
+          else JObj(Vector("const" -> toJsonValue(values.head)))
+        } else JObj(Vector("enum" -> JArr(values.map(toJsonValue).toVector)))
+      } else {
+        val subs = rules.map(toJson).filter(_.fields.nonEmpty).distinct
+        if (subs.size == 1) subs.head
+        else JObj(Vector("anyOf" -> JArr(subs.toVector)))
+      }
+
+    case AndRule(rules) =>
+      val subs = rules.map(toJson).filter(_.fields.nonEmpty).distinct
+      if (subs.isEmpty) JObj(Vector.empty)
+      else if (subs.size == 1) subs.head
+      else JObj(Vector("allOf" -> JArr(subs.toVector)))
+
+    case ArrayRule(elem, _) =>
+      val items = toJson(elem)
+      if (items.fields.isEmpty) JObj(Vector("type" -> JStr("array")))
+      else JObj(Vector("type" -> JStr("array"), "items" -> items))
+
+    case MapRule(_, _) =>
+      // pattern keys: broad key schema ⇒ additionalProperties allowed (:793-798)
+      JObj(Vector("type" -> JStr("object"),
+        "properties" -> JObj(Vector.empty),
+        "required" -> JArr(Vector.empty),
+        "additionalProperties" -> JBool(true)))
+
+    case sr: StructRule =>
+      var props = Vector.empty[(String, J)]
+      var required = Vector.empty[J]
+      sr.fields.foreach { f =>
+        f.kind match {
+          case FieldKind.Hook(_) | FieldKind.Forbidden => // skipped (:790-791)
+          case FieldKind.Required =>
+            required :+= JStr(f.name)
+            props :+= (f.name -> toJson(f.rule))
+          case FieldKind.Opt(default) =>
+            val base = toJson(f.rule)
+            val withDefault = default match {
+              case Some(d) => JObj(base.fields :+ ("default" -> toJsonValue(d): (String, J)))
+              case None => base
+            }
+            props :+= (f.name -> withDefault)
+        }
+      }
+      JObj(Vector(
+        "type" -> JStr("object"),
+        "properties" -> JObj(props),
+        "required" -> JArr(required),
+        "additionalProperties" -> JBool(sr.ignoreExtra)))
+
+    case NamedRule(n, sub) =>
+      JObj(("title" -> JStr(n): (String, J)) +: toJson(sub).fields)
+
+    case WithErrorRule(sub, _) => toJson(sub)
+
+    // CALLABLE / VALIDATOR-without-handler → {} (:779-782)
+    case _: Pred | _: UseCast | _: UseExpr | _: ConstRule => JObj(Vector.empty)
+
+    case _ => JObj(Vector.empty)
+  }
+}

@@ -1,0 +1,92 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Multimodal columns: image/audio/video as opaque `binary` + typed
+  * metadata. The Spark-side plumbing — schema, partitioning, batch-shaped
+  * per-partition processing — is real and tested; the actual media DECODE is
+  * a clearly-marked deterministic STUB (`fakeDecode`) because no image/audio
+  * libraries ship in this container. Swapping in a real decoder changes one
+  * function, not the pipeline.
+  *
+  * Scale design: decode runs in `mapPartitions` (the Scala analog of
+  * `mapInPandas` batches) so a partition amortizes decoder initialization;
+  * binary payloads never shuffle — feature extraction happens before any
+  * wide operation, and downstream ops see only the small feature vectors.
+  */
+object Multimodal {
+
+  val mediaSchema: StructType = StructType(Seq(
+    StructField("media_id", LongType, nullable = false),
+    StructField("kind", StringType, nullable = false), // image | audio | video
+    StructField("bytes", BinaryType, nullable = false),
+    StructField("meta", StructType(Seq(
+      StructField("width", IntegerType),
+      StructField("height", IntegerType),
+      StructField("sample_rate", IntegerType),
+      StructField("duration_ms", IntegerType))), nullable = true)))
+
+  final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
+                            width: Int, height: Int)
+  final case class MediaFeatures(media_id: Long, kind: String, n_bytes: Int,
+                                 checksum: Long, features: Array[Float])
+
+  /** STUB decoder: deterministic pseudo-features from the byte content.
+    * ??? -- replace with a real decoder (JPEG/PNG/PCM) when the runtime has
+    * the codec libraries; signature and batch shape stay identical.
+    */
+  def fakeDecode(bytes: Array[Byte], dims: Int): Array[Float] = {
+    val out = new Array[Float](dims)
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) {
+      h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L
+      out(i % dims) += ((h >>> 40).toInt % 1000) / 1000.0f
+      i += 1
+    }
+    out
+  }
+
+  private def checksum(bytes: Array[Byte]): Long = {
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < bytes.length) { h = (h ^ (bytes(i) & 0xFF)) * 0x100000001B3L; i += 1 }
+    h
+  }
+
+  /** Batch feature extraction: one decoder "session" per partition, rows
+    * streamed through it — the mapInPandas batch shape in Scala.
+    */
+  def extractFeatures(ds: Dataset[MediaRow], dims: Int = 16): Dataset[MediaFeatures] = {
+    import ds.sparkSession.implicits._
+    ds.mapPartitions { rows =>
+      // per-partition init (real decoder handle would be created here)
+      rows.map { r =>
+        MediaFeatures(r.media_id, r.kind, r.bytes.length,
+          checksum(r.bytes), fakeDecode(r.bytes, dims))
+      }
+    }
+  }
+
+  /** Deterministic synthetic media table (binary payload derived from id). */
+  def syntheticMedia(spark: SparkSession, rows: Int, parts: Int): Dataset[MediaRow] = {
+    import spark.implicits._
+    spark.range(0, rows, 1, parts).map { id =>
+      val len = 64 + (id % 192).toInt
+      val bytes = Array.tabulate[Byte](len)(i => ((id * 31 + i) % 251).toByte)
+      val kind = if (id % 3 == 0) "image" else if (id % 3 == 1) "audio" else "video"
+      MediaRow(id, kind, bytes, 32 + (id % 64).toInt, 32 + (id % 48).toInt)
+    }
+  }
+
+  /** Frame-sampling stub for video rows: emits one row per sampled frame
+    * index (the explode-shaped part of a real pipeline).
+    */
+  def sampleFrames(df: DataFrame, everyNth: Int): DataFrame =
+    df.where(col("kind") === "video")
+      .withColumn("frame_idx",
+        explode(sequence(lit(0),
+          greatest((length(col("bytes")) / everyNth).cast("int") - 1, lit(0)))))
+}

@@ -1,0 +1,43 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.rules.{Ctx, StructRule, Validator}
+
+/** Structured-Streaming face of the engine. The rule compiler emits plain
+  * `Column`s, so the SAME rules apply to a streaming DataFrame unchanged
+  * (SURVEY.md §2.3) — these helpers add the streaming-specific plumbing:
+  * watermarks, windowed verdicts, and the split into validated / violation
+  * sinks.
+  */
+object StreamingValidator {
+
+  /** Annotate a (possibly streaming) DataFrame with `__valid` — pure
+    * stateless projection, no watermark needed.
+    */
+  def withValidity(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    df.withColumn("__valid", rule.validCol(rowCol, df.schema, ctx))
+  }
+
+  /** Violation rows with full message detail (stateless, append-safe). */
+  def violations(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame =
+    Validator.run(df, rule, ctx).violations
+
+  /** Windowed pass/fail verdicts over event time — the streaming analog of
+    * per-partition verdicts: watermark + tumbling window, counts of valid /
+    * total per window. Late rows beyond the watermark are dropped by Spark's
+    * state eviction.
+    */
+  def windowedVerdicts(df: DataFrame, rule: StructRule, tsCol: String,
+                       watermarkDelay: String, windowLen: String,
+                       ctx: Ctx = Ctx()): DataFrame = {
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val valid = rule.validCol(rowCol, df.schema, ctx)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(count(lit(1)).as("n_rows"),
+        sum(valid.cast("long")).as("n_valid"))
+      .withColumn("pass", col("n_rows") === col("n_valid"))
+  }
+}

@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import graft.checkpoint.{CheckpointedRun, Manifest}
+import graft.gen.SequenceGen
+import graft.pipeline.Multimodal
+import graft.streaming.StreamingValidator
+
+class CheckpointStreamingSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("checkpointed run resumes: completed splits are skipped") {
+    val dir = Files.createTempDirectory("graft-manifest").toString
+    val mpath = s"$dir/manifest.jsonl"
+    val seqs = SequenceGen.sequences(spark, 2000, 4).cache()
+    val rule = SeqValidation.rule()
+    val first = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "test-v1")
+    assert(first.size == 8)
+    assert(first.map(_.nRows).sum == 2000)
+    // resume: everything done → nothing re-processed
+    val second = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "test-v1")
+    assert(second.isEmpty)
+    // simulate partial run: drop 3 splits from the manifest
+    val lines = Files.readAllLines(java.nio.file.Paths.get(mpath))
+    Files.writeString(java.nio.file.Paths.get(mpath),
+      String.join("\n", lines.subList(0, 5)) + "\n")
+    val third = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "test-v1")
+    assert(third.size == 3)
+    assert(new Manifest(mpath).completedSplits().size == 8)
+    seqs.unpersist()
+  }
+
+  test("splits are stable across partitioning (lineage-safe resume)") {
+    val a = SequenceGen.sequences(spark, 1000, 2)
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))
+    val b = SequenceGen.sequences(spark, 1000, 16)
+      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))
+    assert(a.exceptAll(b).count() == 0)
+  }
+
+  test("streaming: same rules on a MemoryStream with windowed verdicts") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "n_tok", "ts")
+    val rule = graft.rules.dsl.schema(
+      graft.rules.dsl.req("doc_id", graft.rules.dsl.str),
+      graft.rules.dsl.req("n_tok", graft.rules.dsl.and(graft.rules.dsl.int,
+        graft.rules.dsl.pred("pos")(_ > 0))),
+      graft.rules.dsl.opt("ts", graft.rules.dsl.anything))
+    val verdicts = StreamingValidator.windowedVerdicts(df, rule, "ts", "1 minute", "1 minute")
+    val q = verdicts.writeStream.outputMode("complete")
+      .format("memory").queryName("verd").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:30")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:01:30")
+    mem.addData(("d1", 5, t0), ("d2", -1, t0), ("d3", 7, t1))
+    q.processAllAvailable()
+    val rows = spark.table("verd").orderBy("window").collect()
+    q.stop()
+    assert(rows.length == 2)
+    assert(rows(0).getAs[Long]("n_rows") == 2 && rows(0).getAs[Long]("n_valid") == 1)
+    assert(!rows(0).getAs[Boolean]("pass"))
+    assert(rows(1).getAs[Boolean]("pass"))
+  }
+
+  test("multimodal: batch feature extraction plumbing with stubbed decode") {
+    val media = Multimodal.syntheticMedia(spark, 300, 4)
+    val feats = Multimodal.extractFeatures(media, dims = 16)
+    val rows = feats.collect()
+    assert(rows.length == 300)
+    assert(rows.forall(_.features.length == 16))
+    // determinism: same input → same checksum/features
+    val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 300, 8), 16)
+      .collect().map(r => r.media_id -> r.checksum).toMap
+    assert(rows.forall(r => again(r.media_id) == r.checksum))
+    // frame sampling explodes only video rows
+    val frames = Multimodal.sampleFrames(media.toDF(), everyNth = 50)
+    assert(frames.select("media_id").distinct().count() == media.filter(_.kind == "video").count())
+  }
+}

@@ -1,0 +1,76 @@
+package graft
+
+import org.scalatest.funsuite.AnyFunSuite
+import graft.rules.dsl._
+import graft.rules.{FieldKind, FieldRule, StructRule}
+import graft.jsonschema.JsonSchemaExport.export
+
+/** Golden draft-07 exports — expected strings captured from the reference
+  * (`Schema(...).json_schema("my-id")`, test_schema.py:912-2057 family).
+  * Key order matches the reference's insertion order.
+  */
+class JsonSchemaSpec extends AnyFunSuite {
+  private val tail = """"$id": "my-id", "$schema": "http://json-schema.org/draft-07/schema#""""
+
+  test("plain type") {
+    assert(export(int, "my-id") == s"""{"type": "integer", $tail}""")
+  }
+
+  test("object with optional default (test_schema.py golden)") {
+    val r = schema(req("name", str), optDefault("age", int, 21))
+    assert(export(r, "my-id") ==
+      s"""{"type": "object", "properties": {"name": {"type": "string"}, "age": {"type": "integer", "default": 21}}, "required": ["name"], "additionalProperties": false, $tail}""")
+  }
+
+  test("enum from Or of comparables") {
+    assert(export(or(is(1), is(2), is(3)), "my-id") == s"""{"enum": [1, 2, 3], $tail}""")
+  }
+
+  test("anyOf from Or of types") {
+    assert(export(or(str, int), "my-id") ==
+      s"""{"anyOf": [{"type": "string"}, {"type": "integer"}], $tail}""")
+  }
+
+  test("And collapses unrepresentable callables") {
+    assert(export(and(str, useLower), "my-id") == s"""{"type": "string", $tail}""")
+  }
+
+  test("regex pattern") {
+    assert(export(regex("^v\\d+"), "my-id") ==
+      s"""{"type": "string", "pattern": "^v\\\\d+", $tail}""")
+  }
+
+  test("array items") {
+    assert(export(arrayOf(int), "my-id") ==
+      s"""{"type": "array", "items": {"type": "integer"}, $tail}""")
+  }
+
+  test("nested object with ignore_extra_keys propagated") {
+    val inner = StructRule(Seq(req("b", int)), ignoreExtra = true)
+    val outer = StructRule(Seq(req("a", inner)), ignoreExtra = true)
+    assert(export(outer, "my-id") ==
+      s"""{"type": "object", "properties": {"a": {"type": "object", "properties": {"b": {"type": "integer"}}, "required": ["b"], "additionalProperties": true}}, "required": ["a"], "additionalProperties": true, $tail}""")
+  }
+
+  test("None spec → null type") {
+    assert(export(is(null), "my-id") == s"""{"type": "null", $tail}""")
+  }
+
+  test("pattern-key dict → open object") {
+    assert(export(mapOf(str, str), "my-id") ==
+      s"""{"type": "object", "properties": {}, "required": [], "additionalProperties": true, $tail}""")
+  }
+
+  test("named schema → title first") {
+    assert(export(int.named("Integer"), "my-id") ==
+      s"""{"title": "Integer", "type": "integer", $tail}""")
+  }
+
+  test("hooks and forbidden keys are skipped") {
+    val r = StructRule(Seq(req("a", int),
+      FieldRule("b", anything, FieldKind.Forbidden),
+      FieldRule("h", str, FieldKind.Hook("h"))))
+    assert(export(r, "my-id") ==
+      s"""{"type": "object", "properties": {"a": {"type": "integer"}}, "required": ["a"], "additionalProperties": false, $tail}""")
+  }
+}

@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+import graft.rules._
+import graft.rules.dsl._
+
+/** Property-based upgrade of the reference's 1024-iteration flakiness loop
+  * (test_schema.py:737-770): algebraic laws of the combinators checked over
+  * generated inputs, evaluated through the real Spark expression path.
+  */
+class PropertySpec extends SparkSpec {
+
+  /** Manual ScalaCheck driver (no scalatestplus bridge in the offline
+    * cache): 20 deterministic seeds per property. */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    (1 to 20).foreach { i =>
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+    }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    (1 to 20).foreach { i =>
+      for (a <- g1.apply(Gen.Parameters.default, Seed(i.toLong));
+           b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000)))
+        f(a, b)
+    }
+
+  import spark.implicits._
+
+  private def evalBatch(rule: Rule, values: Seq[Int]): Seq[Boolean] = {
+    val df = values.toDF("v")
+    val c = rule.validCol(col("v"), org.apache.spark.sql.types.IntegerType, Ctx())
+    df.select(c.as("ok")).as[Boolean].collect().toSeq
+  }
+
+  private val smallInts = Gen.listOfN(24, Gen.chooseNum(-50, 50)).suchThat(_.nonEmpty)
+
+  test("And associativity: and(a, and(b, c)) == and(and(a, b), c)") {
+    val a = pred("a")(_ > -10)
+    val b = pred("b")(_ < 10)
+    val c = pred("c")(v => v % 2 === 0)
+    forAll(smallInts) { vs =>
+      assert(evalBatch(and(a, and(b, c)), vs) == evalBatch(and(and(a, b), c), vs))
+    }
+  }
+
+  test("Or first-success == boolean disjunction of branches") {
+    val a = pred("a")(_ > 0)
+    val b = pred("b")(_ < -5)
+    forAll(smallInts) { vs =>
+      val got = evalBatch(or(a, b), vs)
+      val expected = vs.map(v => v > 0 || v < -5)
+      assert(got == expected)
+    }
+  }
+
+  test("validCol agrees with compile().error.isNull for arbitrary combinator trees") {
+    val leafGen: Gen[Rule] = Gen.oneOf(
+      Gen.const(int), Gen.const(anything),
+      Gen.chooseNum(-20, 20).map(n => is(n)),
+      Gen.chooseNum(-20, 20).map(n => pred(s"gt$n")(_ > n)),
+      Gen.chooseNum(1, 20).map(n => pred(s"lt$n")(_ < n)))
+    def treeGen(depth: Int): Gen[Rule] =
+      if (depth == 0) leafGen
+      else Gen.oneOf(leafGen,
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => AndRule(rs)),
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => OrRule(rs)),
+        treeGen(depth - 1).map(ConstRule(_)))
+    forAll(treeGen(2), smallInts) { (rule, vs) =>
+      val df = vs.toDF("v")
+      val it = org.apache.spark.sql.types.IntegerType
+      val fast = rule.validCol(col("v"), it, Ctx())
+      val full = rule.compile(col("v"), it, Ctx()).error.isNull
+      assert(df.where(fast =!= full).count() == 0)
+    }
+  }
+
+  test("error code is deterministic and de-duplicated (SchemaError.code law)") {
+    val r = or(is(1), is(1), is(2)) // duplicate branch messages must dedup
+    forAll(smallInts) { vs =>
+      val df = vs.toDF("v")
+      val c = r.compile(col("v"), org.apache.spark.sql.types.IntegerType, Ctx())
+      val codes = df.select(Err.code(c.error).as("c")).as[String].collect()
+      codes.zip(vs).foreach { case (code, v) =>
+        if (v == 1 || v == 2) assert(code == null)
+        else {
+          // "1 does not match v" must appear once despite two is(1) branches
+          val lines = code.split("\n")
+          assert(lines.count(_ == s"1 does not match $v") == 1)
+          assert(lines.distinct.length == lines.length)
+        }
+      }
+    }
+  }
+
+  test("mutation law: rows failing a range rule are exactly the out-of-range rows") {
+    forAll(smallInts, Gen.chooseNum(-10, 10)) { (vs, lo) =>
+      val r = and(int, pred("range")(v => v >= lo && v < lo + 10))
+      val got = evalBatch(r, vs)
+      assert(got == vs.map(v => v >= lo && v < lo + 10))
+    }
+  }
+}
