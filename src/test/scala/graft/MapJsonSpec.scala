@@ -1,0 +1,72 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import graft.rules._
+import graft.rules.dsl._
+
+/** Pattern-key maps ({str: int}, README.rst:239-249; key transforms
+  * test_schema.py:319-326) and the JSON gist example (test_schema.py:610-628).
+  */
+class MapJsonSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("map pattern keys: {str: int} validates entries") {
+    val df = Seq(Map("a" -> 1, "b" -> 2)).toDF("v")
+    val rule = mapOf(str, int)
+    val c = rule.compile(col("v"), df.schema("v").dataType, Ctx())
+    assert(df.select(c.error.isNull).head().getBoolean(0))
+  }
+
+  test("map wrong-key and value-error messages") {
+    val df = Seq(Map("ok" -> "1", "bad" -> "xx")).toDF("v")
+    // {str: Use(int)}: values transformed; 'xx' fails the cast
+    val rule = mapOf(str, useInt)
+    val c = rule.compile(col("v"), df.schema("v").dataType, Ctx())
+    val code = df.select(Err.code(c.error)).head().getString(0)
+    assert(code != null && code.startsWith("Key 'bad' error:"))
+    // all-valid map: transform applies to values
+    val ok = Seq(Map("a" -> "1", "b" -> "2")).toDF("v")
+    val c2 = rule.compile(col("v"), ok.schema("v").dataType, Ctx())
+    val out = ok.select(c2.value).head().getMap[String, Int](0)
+    assert(out == Map("a" -> 1, "b" -> 2))
+  }
+
+  test("map key transforms: {Use(lower): int} (test_schema.py:319-326)") {
+    val df = Seq(Map("KeY" -> 5)).toDF("v")
+    val rule = mapOf(useLower, int)
+    val c = rule.compile(col("v"), df.schema("v").dataType, Ctx())
+    val out = df.select(c.value).head().getMap[String, Int](0)
+    assert(out == Map("key" -> 5))
+  }
+
+  test("JSON gist: Use(json.loads) then struct rule (test_schema.py:610-628)") {
+    val gist = """{"description": "the description", "public": true, "files": {"file1": {"content": "..."}}}"""
+    val parsed = StructType(Seq(
+      StructField("description", StringType),
+      StructField("public", BooleanType),
+      StructField("files", MapType(StringType,
+        StructType(Seq(StructField("content", StringType)))))))
+    val df = Seq(gist).toDF("v")
+    val rule = and(useJson(parsed), StructRule(Seq(
+      opt("description", str),
+      req("public", bool),
+      req("files", mapOf(str, StructRule(Seq(req("content", str))))))))
+    val c = rule.compile(col("v"), StringType, Ctx())
+    val row = df.select(c.error.isNull.as("ok"), c.value.getField("public").as("p")).head()
+    assert(row.getBoolean(0) && row.getBoolean(1))
+    // invalid: public is a string → type violation surfaces through the parse
+    val bad = Seq("""{"public": "yes", "files": {}}""").toDF("v")
+    val cb = rule.compile(col("v"), StringType, Ctx())
+    assert(!bad.select(cb.error.isNull).head().getBoolean(0))
+  }
+
+  test("useTimestamp parses and fails like Use(datetime.strptime) (test_schema.py:751-754)") {
+    val df = Seq("2026-01-02 10:11:12", "not a date").toDF("v")
+    val rule = and(str, useTimestamp("yyyy-MM-dd HH:mm:ss"),
+      pred("is_ts")(_.isNotNull))
+    val c = rule.compile(col("v"), StringType, Ctx())
+    val oks = df.select(c.error.isNull).as[Boolean].collect().toSeq
+    assert(oks == Seq(true, false))
+  }
+}
