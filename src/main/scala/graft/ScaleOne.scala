@@ -1,5 +1,7 @@
 package graft
 
+import java.util.concurrent.atomic.LongAdder
+import org.apache.spark.scheduler.{SparkListener, SparkListenerTaskEnd}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
@@ -13,34 +15,60 @@ object ScaleOne {
   def main(args: Array[String]): Unit = {
     val sf = if (args.nonEmpty) args(0).toDouble else 0.1
     val mode = if (args.length > 1) args(1) else "flagship"
+    val iters = if (args.length > 2) args(2).toInt else 5
     val spark = SparkSession.builder()
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val cores = spark.sparkContext.defaultParallelism
+    // Total executor CPU-ns across tasks: host-steal-insensitive evidence of
+    // the PLAN's parallel efficiency — if total CPU stays flat from N to 4N
+    // threads, the job has no serial bottleneck or contention overhead and
+    // wall-clock deviations are the host's, not the plan's.
+    val cpuNs = new LongAdder
+    val runMs = new LongAdder
+    spark.sparkContext.addSparkListener(new SparkListener {
+      override def onTaskEnd(t: SparkListenerTaskEnd): Unit = {
+        if (t.taskMetrics != null) {
+          cpuNs.add(t.taskMetrics.executorCpuTime)
+          runMs.add(t.taskMetrics.executorRunTime)
+        }
+      }
+    })
     val path = Bench.materialize(spark, sf, parts = 64)
     val seqs = spark.read.parquet(path)
     val (rows, sec) = mode match {
       case "scan" =>
         val plan = seqs.select(sum(size(col("tokens"))))
         plan.head() // warmup
-        val s = Bench.medianSec(5)(plan.head())
+        val s = Bench.medianSec(iters)(plan.head())
         (seqs.count(), s)
       case "valid" =>
         val rule = SeqValidation.rule()
         val rowCol = struct(seqs.columns.map(col).toIndexedSeq: _*)
         val plan = seqs.select(sum(rule.validCol(rowCol, seqs.schema, graft.rules.Ctx()).cast("long")))
         plan.head()
-        val s = Bench.medianSec(5)(plan.head())
+        val s = Bench.medianSec(iters)(plan.head())
         (seqs.count(), s)
       case _ =>
         val job = Bench.flagshipJob(spark, seqs)
         val r = job.run()
-        val s = Bench.medianSec(5)(job.run())
+        val s = Bench.medianSec(iters)(job.run())
         (r, s)
     }
-    println(s"""{"metric":"scale_one","mode":"$mode","sf":$sf,"cores":$cores,"rows":$rows,"sec":$sec,"seq_per_sec":${(rows / sec).round}}""")
+    cpuNs.reset(); runMs.reset()
+    mode match { // one more measured pass purely for the CPU accounting
+      case "scan" => seqs.select(sum(size(col("tokens")))).head()
+      case "valid" =>
+        val rule = SeqValidation.rule()
+        val rowCol = struct(seqs.columns.map(col).toIndexedSeq: _*)
+        seqs.select(sum(rule.validCol(rowCol, seqs.schema, graft.rules.Ctx()).cast("long"))).head()
+      case _ => Bench.flagshipJob(spark, seqs).run()
+    }
+    val cpuSec = cpuNs.sum() / 1e9
+    val taskSec = runMs.sum() / 1e3
+    println(s"""{"metric":"scale_one","mode":"$mode","sf":$sf,"cores":$cores,"rows":$rows,"sec":$sec,"seq_per_sec":${(rows / sec).round},"executor_cpu_sec":${math.round(cpuSec * 100) / 100.0},"task_run_sec":${math.round(taskSec * 100) / 100.0}}""")
     spark.stop()
   }
 }

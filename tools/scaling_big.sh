@@ -1,0 +1,11 @@
+#!/bin/bash
+OUT=/root/repo/target/scaling_big.jsonl
+: > $OUT
+# materialize once (32-core JVM, untimed) by running the 8-core leg first? No:
+# materialize happens inside first run; order 8 then 2 then 2 then 8 balances drift.
+for c in 8 2 2 8; do
+  /opt/spark/bin/spark-submit --master "local[$c]" --driver-memory 48g \
+    --class graft.ScaleOne /root/repo/target/scala-2.13/schemaspark_2.13-0.1.0.jar \
+    0.5 flagship 1 2>/dev/null | grep scale_one >> $OUT
+done
+echo DONE >> $OUT

@@ -1,0 +1,15 @@
+#!/bin/bash
+# Interleaved A/B scaling study: host noise drifts on the minutes scale, so
+# alternate the two core counts within each round and take per-config medians.
+OUT=/root/repo/target/scaling_study.jsonl
+: > $OUT
+for round in 1 2 3; do
+  for pair in "2 8" "4 16" "8 32"; do
+    for c in $pair; do
+      /opt/spark/bin/spark-submit --master "local[$c]" --driver-memory 32g \
+        --class graft.ScaleOne /root/repo/target/scala-2.13/schemaspark_2.13-0.1.0.jar \
+        0.1 flagship 2>/dev/null | grep scale_one >> $OUT
+    done
+  done
+done
+echo DONE >> $OUT
