@@ -25,6 +25,7 @@ final case class SplitResult(split: Int, status: String, nRows: Long,
 
 class Manifest(path: String) {
   private val file = Paths.get(path)
+  if (file.getParent != null) Files.createDirectories(file.getParent)
 
   def completedSplits(): Set[Int] =
     if (!Files.exists(file)) Set.empty
