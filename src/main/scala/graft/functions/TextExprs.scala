@@ -26,6 +26,41 @@ object TextExprs {
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
   def jaccardShingles(a: Column, b: Column, k: Int): Column =
     column(JaccardShingles(expression(a), expression(b), k))
+  def jaccardWordGrams(a: Column, b: Column, k: Int): Column =
+    column(JaccardWordGrams(expression(a), expression(b), k))
+  def wordGramSet(text: Column, k: Int): Column =
+    column(WordGramSet(expression(text), k))
+  def sortedArrayJaccard(a: Column, b: Column): Column =
+    column(SortedArrayJaccard(expression(a), expression(b)))
+
+  /** Hashes of word k-grams (with duplicates): FNV per word, polynomial
+    * combine over k consecutive words. */
+  private[functions] def wordGrams(bytes: Array[Byte], k: Int): Array[Long] = {
+    val words = scala.collection.mutable.ArrayBuffer.empty[Long]
+    var start = 0
+    var i = 0
+    val n = bytes.length
+    while (i <= n) {
+      if (i == n || bytes(i) == ' ') {
+        if (i > start) words += mix(fnv(bytes, start, i - start))
+        start = i + 1
+      }
+      i += 1
+    }
+    if (words.length <= k) Array(words.foldLeft(0xCBF29CE484222325L)((a, w) => mix(a ^ w)))
+    else {
+      val out = new Array[Long](words.length - k + 1)
+      var j = 0
+      while (j <= words.length - k) {
+        var h = 0xCBF29CE484222325L
+        var t = 0
+        while (t < k) { h = mix(h ^ words(j + t)); t += 1 }
+        out(j) = h
+        j += 1
+      }
+      out
+    }
+  }
 
   /** FNV-1a 64-bit over a byte window. */
   @inline private[functions] def fnv(bytes: Array[Byte], from: Int, len: Int): Long = {
@@ -144,6 +179,69 @@ case class JaccardShingles(left: Expression, right: Expression, k: Int)
   override def nullSafeEval(a: Any, b: Any): Any = {
     val sa = TextExprs.shingles(a.asInstanceOf[UTF8String].getBytes, k)
     val sb = TextExprs.shingles(b.asInstanceOf[UTF8String].getBytes, k)
+    val na = TextExprs.sortDistinct(sa)
+    val nb = TextExprs.sortDistinct(sb)
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      if (sa(i) == sb(j)) { inter += 1; i += 1; j += 1 }
+      else if (sa(i) < sb(j)) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Sorted-distinct word k-gram hash set of a text — precomputed ONCE per
+  * document so candidate pairs only pay the O(n) merge, not re-gramming.
+  */
+case class WordGramSet(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    val g = TextExprs.wordGrams(s.asInstanceOf[UTF8String].getBytes, k)
+    val n = TextExprs.sortDistinct(g)
+    new GenericArrayData(java.util.Arrays.copyOf(g, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Jaccard of two pre-sorted distinct long arrays: single merge pass. */
+case class SortedArrayJaccard(left: Expression, right: Expression)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val y = b.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    val na = x.numElements(); val nb = y.numElements()
+    var i = 0; var j = 0; var inter = 0
+    while (i < na && j < nb) {
+      val xv = x.getLong(i); val yv = y.getLong(j)
+      if (xv == yv) { inter += 1; i += 1; j += 1 }
+      else if (xv < yv) i += 1
+      else j += 1
+    }
+    val union = na + nb - inter
+    if (union == 0) 1.0 else inter.toDouble / union
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** Exact Jaccard of word k-gram sets — the word-level sibling of
+  * `JaccardShingles` (n-gram Jaccard dedup family): one pass to gram-hash
+  * each side, sort+dedup, merge-count.
+  */
+case class JaccardWordGrams(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val sa = TextExprs.wordGrams(a.asInstanceOf[UTF8String].getBytes, k)
+    val sb = TextExprs.wordGrams(b.asInstanceOf[UTF8String].getBytes, k)
     val na = TextExprs.sortDistinct(sa)
     val nb = TextExprs.sortDistinct(sb)
     var i = 0; var j = 0; var inter = 0

@@ -116,15 +116,20 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3): DataFrame = {
+    // gram sets precomputed once per doc; pairs pay only the merge.
+    // blocking on token-count bucket is EXACT-safe relative to the length
+    // bound J(A,B) ≤ min/max set size only within a bucket — as the naive
+    // baseline this op accepts missing cross-bucket pairs (minhash is the
+    // scale path).
     val g = df.select(col(idCol).as("id"),
-      TextFunctions.wordShingles(col(textCol), k).as("sh"),
+      graft.functions.TextExprs.wordGramSet(
+        TextFunctions.normalize(col(textCol)), k).as("g"),
       (TextFunctions.tokenCount(col(textCol)) / 16).cast("int").as("blk"))
-    val a = g.select(col("blk"), col("id").as("id_a"), col("sh").as("sh_a"))
-    val b = g.select(col("blk"), col("id").as("id_b"), col("sh").as("sh_b"))
+    val a = g.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
+    val b = g.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
     a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
-      .withColumn("jaccard",
-        size(array_intersect(col("sh_a"), col("sh_b"))).cast("double") /
-          size(array_union(col("sh_a"), col("sh_b"))).cast("double"))
+      .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
+        col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
