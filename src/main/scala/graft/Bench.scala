@@ -90,7 +90,7 @@ object Bench {
     val seqs = spark.read.parquet(seqPath)
     val job = flagshipJob(spark, seqs) // plan once (production shape)
     val rows = job.run() // warmup (JIT + codegen cache)
-    val flagshipSec = medianSec(5)(job.run())
+    val flagshipSec = medianSec(3)(job.run())
     val seqPerSec = rows / flagshipSec
 
     val results = SparkEntry.queries.map { case (name, fn) =>
