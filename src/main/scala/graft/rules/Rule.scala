@@ -391,7 +391,10 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
     case ArrayType(et, _) =>
-      val all = fastAll.map(f => f(in))
+      // coalesce: a fastAll built from array_min/array_max returns NULL on an
+      // empty array — forall-on-empty is TRUE (README.rst:320), and a null
+      // validity flag would drop the row from validated AND violations.
+      val all = fastAll.map(f => coalesce(f(in), lit(true)))
         .getOrElse(forall(in, x => elemOrRule.validCol(x, et, ctx.clearName)))
       in.isNotNull && all
     case _ => lit(false)

@@ -102,4 +102,16 @@ class SeqValidationSpec extends SparkSpec {
   test("entry returns non-empty violations") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
+
+  test("empty token array: valid iff n_tok==0; row never vanishes (null-flag regression)") {
+    val df = Seq(
+      ("doc-a", Seq.empty[Int], 0, "cc"),   // empty + consistent → VALID
+      ("doc-b", Seq.empty[Int], 3, "cc"),   // empty + inconsistent → VIOLATION
+      ("doc-c", Seq(1, 2, 3), 3, "cc")
+    ).toDF("doc_id", "tokens", "n_tok", "source")
+    val res = SeqValidation.validate(df)
+    assert(res.validated.count() + res.violations.count() == 3) // nothing dropped
+    assert(res.validated.select("doc_id").as[String].collect().toSet == Set("doc-a", "doc-c"))
+    assert(res.violations.select("doc_id").as[String].head() == "doc-b")
+  }
 }
