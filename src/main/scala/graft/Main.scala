@@ -37,15 +37,23 @@ object Main {
     val rule = SeqValidation.rule(vocab)
     val lineage = s"input=$input rule=seq-v1 vocab=$vocab app=${spark.sparkContext.applicationId}"
 
-    // resumable split-wise validation with manifest lineage
+    // resumable validation, ONE scan of the input: writes output/rows/
+    // partitioned by (__split, __valid) — validated rows = __valid=true via
+    // partition pruning, violations = __valid=false with kind/code columns —
+    // and appends per-split manifest rows with lineage. (Round 1 scanned the
+    // input once per split AND re-validated the whole table for the outputs.)
     val results = checkpoint.CheckpointedRun.run(
-      spark, df, rule, "doc_id", splits, manifest, lineage)
+      spark, df, rule, "doc_id", splits, manifest, lineage,
+      outputDir = Some(output))
 
-    // whole-table outputs (validated rows, violations, table checks)
-    val res = rules.Validator.run(df, rule)
-    res.validated.write.mode("overwrite").parquet(s"$output/validated")
-    res.violations.write.mode("overwrite").parquet(s"$output/violations")
-    res.verdicts.write.mode("overwrite").json(s"$output/verdicts")
+    // per-split verdicts from the manifest results — no extra scan
+    import spark.implicits._
+    results.map(r => (r.split, r.nRows, r.nValid, r.nRows == r.nValid))
+      .toDF("split", "n_rows", "n_valid", "pass")
+      .coalesce(1).write.mode("overwrite").json(s"$output/verdicts")
+
+    // table-level checks: each is its own aggregate over the columns it
+    // needs (parquet scan is column-pruned to doc_id / source / scalars)
     checks.TableChecks.duplicateRows(df, "doc_id")
       .write.mode("overwrite").parquet(s"$output/duplicate_rows")
     checks.TableChecks.referentialViolations(

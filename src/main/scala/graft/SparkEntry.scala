@@ -241,7 +241,7 @@ object SparkEntry {
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
-        |       sum(CAST(l_quantity AS BIGINT)) AS sum_qty, count(*) AS n
+        |       CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty, count(*) AS n
         |FROM lineitem GROUP BY l_returnflag, l_linestatus""".stripMargin,
 
     "q_filter_date" ->
@@ -259,17 +259,17 @@ object SparkEntry {
     "q_column_stats" ->
       """SELECT 'l_orderkey' AS col_name, CAST(min(l_orderkey) AS VARCHAR) AS min_value,
         |       CAST(max(l_orderkey) AS VARCHAR) AS max_value,
-        |       sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS null_count,
+        |       CAST(sum(CASE WHEN l_orderkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS null_count,
         |       count(DISTINCT l_orderkey) AS distinct_count FROM lineitem
         |UNION ALL
         |SELECT 'l_partkey', CAST(min(l_partkey) AS VARCHAR), CAST(max(l_partkey) AS VARCHAR),
-        |       sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_partkey) FROM lineitem
+        |       CAST(sum(CASE WHEN l_partkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_partkey) FROM lineitem
         |UNION ALL
         |SELECT 'l_suppkey', CAST(min(l_suppkey) AS VARCHAR), CAST(max(l_suppkey) AS VARCHAR),
-        |       sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_suppkey) FROM lineitem
+        |       CAST(sum(CASE WHEN l_suppkey IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_suppkey) FROM lineitem
         |UNION ALL
         |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
-        |       sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+        |       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
 
     "q_validate_documents" ->
       """SELECT doc_id,
@@ -282,10 +282,10 @@ object SparkEntry {
 
     "q_verdict_by_source" ->
       """SELECT source, count(*) AS n_rows,
-        |       sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+        |       CAST(sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
         |                 AND lang IN ('en','zh','fr','es','de') AND source LIKE 'src%'
         |                 AND n_chars IS NOT NULL AND n_chars <= 420
-        |                 AND n_chars = length(text) THEN 1 ELSE 0 END) AS n_valid,
+        |                 AND n_chars = length(text) THEN 1 ELSE 0 END) AS BIGINT) AS n_valid,
         |       count(*) = sum(CASE WHEN doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
         |                 AND lang IN ('en','zh','fr','es','de') AND source LIKE 'src%'
         |                 AND n_chars IS NOT NULL AND n_chars <= 420

@@ -1,6 +1,6 @@
 package graft.checkpoint
 
-import java.nio.file.{Files, Paths, StandardCopyOption}
+import java.nio.file.{Files, Paths, StandardOpenOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
@@ -15,10 +15,12 @@ import org.apache.spark.sql.functions._
   * manifest doubles as the lineage record: input path, rule fingerprint,
   * and app id per split.
   *
-  * Writes are atomic (temp file + move) so a killed run never corrupts the
-  * manifest — re-running after a crash skips exactly the completed splits.
-  * This supplies the snapshot/lineage role Iceberg metadata would play in
-  * production (SURVEY.md §1.3: no Iceberg jar in the sandbox).
+  * Appends are O(1) (`O_APPEND` of one line). A crash mid-append can leave a
+  * torn tail line; `completedSplits` tolerates malformed lines, so the worst
+  * case is one split re-validated — idempotent, since the row output is
+  * overwritten per split partition. This supplies the snapshot/lineage role
+  * Iceberg metadata would play in production (SURVEY.md §1.3: no Iceberg jar
+  * in the sandbox).
   */
 final case class SplitResult(split: Int, status: String, nRows: Long,
                              nValid: Long, wallMs: Long, lineage: String)
@@ -41,38 +43,98 @@ class Manifest(path: String) {
 
   def append(r: SplitResult): Unit = synchronized {
     val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"${r.lineage}"}"""
-    val tmp = Paths.get(path + ".tmp")
-    val existing = if (Files.exists(file)) Files.readString(file) else ""
-    Files.writeString(tmp, existing + line + "\n")
-    Files.move(tmp, file, StandardCopyOption.REPLACE_EXISTING,
-      StandardCopyOption.ATOMIC_MOVE)
+    Files.writeString(file, line + "\n",
+      StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
 }
 
 object CheckpointedRun {
 
-  /** Validate `df` split-by-split with resume. Returns per-split results of
-    * THIS run (skipped splits not re-listed). `keyCol` must be stable
-    * (doc_id); numSplits sizes the unit of reprocessing lost on failure.
+  /** Validate `df` with resume, in as few input scans as possible. Returns
+    * per-split results of THIS run (skipped splits not re-listed).
+    *
+    * `keyCol` must be stable (doc_id); `numSplits` sizes the unit of
+    * reprocessing lost on failure. All pending splits are processed in ONE
+    * pass over the input (round 1 ran one full scan PER split — 64× read
+    * amplification); `splitsPerPass > 0` trades scans for failure granularity
+    * (ceil(todo/splitsPerPass) scans, at most splitsPerPass splits re-done
+    * after a crash).
+    *
+    * With `outputDir` set, the pass also WRITES the full row-level product in
+    * the same scan: `outputDir/rows/` parquet partitioned by
+    * (`__split`, `__valid`) carrying every input column plus
+    * `violation_kind`/`code` (null on valid rows — the message expressions
+    * sit under a `when(!valid, …)` guard, so only failing rows pay them).
+    * Readers get validated rows via partition pruning (`__valid=true`), and
+    * per-split verdict counts are aggregated from the written files reading
+    * only the two partition columns — the INPUT is read exactly once.
+    * Dynamic partition overwrite keeps re-runs idempotent per split.
     */
   def run(spark: SparkSession, df: DataFrame, rule: graft.rules.StructRule,
           keyCol: String, numSplits: Int, manifestPath: String,
-          lineage: String): Seq[SplitResult] = {
+          lineage: String, outputDir: Option[String] = None,
+          splitsPerPass: Int = 0): Seq[SplitResult] = {
     val manifest = new Manifest(manifestPath)
     val done = manifest.completedSplits()
     val todo = (0 until numSplits).filterNot(done.contains)
-    val withSplit = df.withColumn("__split", pmod(xxhash64(col(keyCol)), lit(numSplits)).cast("int"))
-    todo.map { split =>
+    if (todo.isEmpty) return Nil
+    val passes =
+      if (splitsPerPass <= 0) Seq(todo)
+      else todo.grouped(splitsPerPass).toSeq
+    val withSplit = df.withColumn("__split",
+      pmod(xxhash64(col(keyCol)), lit(numSplits)).cast("int"))
+
+    passes.flatMap { passSplits =>
       val t0 = System.nanoTime()
-      val part = withSplit.where(col("__split") === split).drop("__split")
-      val res = graft.rules.Validator.run(part, rule)
-      val agg = res.verdicts.agg(
-        coalesce(sum(col("n_rows")), lit(0L)),
-        coalesce(sum(col("n_valid")), lit(0L))).head()
-      val r = SplitResult(split, "done", agg.getLong(0), agg.getLong(1),
-        (System.nanoTime() - t0) / 1000000, lineage)
-      manifest.append(r)
-      r
+      val part =
+        if (passSplits.size == numSplits) withSplit
+        else withSplit.where(col("__split").isin(passSplits: _*))
+
+      val counts: Map[Int, (Long, Long)] = outputDir match {
+        case Some(out) =>
+          val dataCols = df.columns.map(col).toIndexedSeq
+          val rowCol = struct(dataCols: _*)
+          // coalesce: a null validity flag must land in __valid=false, not in
+          // a null partition with no violation info
+          val valid = coalesce(
+            rule.validCol(rowCol, df.schema, graft.rules.Ctx()), lit(false))
+          val sc = rule.compileStruct(rowCol, df.schema, graft.rules.Ctx())
+          // stage the error struct once; derive kind/code from the attribute
+          // (inlining it per column multiplies the analyzed tree)
+          val staged = part.select(dataCols ++ Seq(col("__split"),
+            valid.as("__valid"),
+            when(!valid, sc.error).otherwise(graft.rules.Err.none).as("__err")): _*)
+          staged.select(dataCols ++ Seq(col("__split"), col("__valid"),
+            col("__err.kind").as("violation_kind"),
+            graft.rules.Err.code(col("__err")).as("code")): _*)
+            // bound concurrently-open writers per task; no extra shuffle
+            .sortWithinPartitions(col("__split"), col("__valid"))
+            .write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy("__split", "__valid")
+            .parquet(s"$out/rows")
+          // verdict counts from the written files: partition-column-only scan
+          // (partition values come back as strings — cast through boolean)
+          spark.read.parquet(s"$out/rows")
+            .where(col("__split").cast("int").isin(passSplits: _*))
+            .groupBy(col("__split").cast("int").as("__split"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("__valid").cast("boolean").cast("long")).as("v"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+        case None =>
+          val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+          val valid = rule.validCol(rowCol, df.schema, graft.rules.Ctx())
+          part.groupBy(col("__split"))
+            .agg(count(lit(1)).as("n"), sum(valid.cast("long")).as("v"))
+            .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+      }
+      val wallMs = (System.nanoTime() - t0) / 1000000
+      passSplits.map { split =>
+        val (n, v) = counts.getOrElse(split, (0L, 0L))
+        val r = SplitResult(split, "done", n, v, wallMs, lineage)
+        manifest.append(r)
+        r
+      }
     }
   }
 }

@@ -32,10 +32,12 @@ object Ann {
     graft.functions.VectorExprs.dotProduct(a, b)
 
   /** Brute-force top-k cosine neighbors for each query.
-    * `queries` must be small (it is broadcast). Per-query top-k uses a
-    * size-bounded sorted-array aggregate — NO window over the full cross
-    * product, so the shuffle carries at most n_queries×k candidate structs
-    * after partial aggregation.
+    * `queries` must be small (it is broadcast). Per-query top-k uses the
+    * bounded-heap aggregate — NO window over the full cross product and no
+    * unbounded collect state, so the shuffle carries at most n_queries×k
+    * candidate structs after partial aggregation. Scores are rounded to 6 dp
+    * BEFORE ranking so rank order is reproducible across engines (ties break
+    * on neighbor_id).
     */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
@@ -44,23 +46,24 @@ object Ann {
     val scored = c.crossJoin(broadcast(q))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        cosine(col("qv"), col("cv")).as("cos"))
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
     topKPerQuery(scored, k)
   }
 
-  /** Shared top-k reduction: slice(array_sort(collect_list)) per query with
-    * map-side partial aggregation; deterministic tiebreak on neighbor_id.
-    * For huge corpora, cap memory by pre-filtering with a score threshold or
-    * using the LSH path.
+  /** Shared top-k reduction: `TopKByScore` TypedImperativeAggregate — a
+    * binary heap of at most k entries per group in BOTH the map-side partial
+    * state and the shuffled partials (round-1's collect_list buffered every
+    * candidate per query before slicing; the heap truly truncates).
+    * Deterministic tiebreak on neighbor_id.
     */
   private[pipeline] def topKPerQuery(scored: DataFrame, k: Int): DataFrame =
     scored
       .groupBy(col("query_id"))
-      .agg(slice(array_sort(collect_list(struct(
-        (-col("cos")).as("neg"), col("neighbor_id").as("nid")))), 1, k).as("top"))
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("cos"), col("neighbor_id"), k).as("top"))
       .select(col("query_id"), posexplode(col("top")))
       .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.nid").as("neighbor_id"), round(-col("col.neg"), 6).as("cos"))
+        col("col.nid").as("neighbor_id"), col("col.score").as("cos"))
 
   /** Random-hyperplane signature: `bits` sign-bits of dot(v, r_j) with
     * deterministic pseudo-random planes — native single-pass expression,
@@ -90,7 +93,10 @@ object Ann {
             .as("bucket"))
     val scored = c.join(broadcast(probes), Seq("bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
-      .select(col("query_id"), col("neighbor_id"), cosine(col("qv"), col("cv")).as("cos"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(cosine(col("qv"), col("cv")), 6).as("cos"))
+    // no dedupe needed: each corpus vector lives in exactly ONE bucket, so a
+    // (query, neighbor) pair matches at most one probe row
     topKPerQuery(scored, k)
   }
 

@@ -89,20 +89,41 @@ object Dedup {
   def simhash(text: Column): Column =
     graft.functions.TextExprs.simhash64(TextFunctions.normalize(text))
 
-  /** SimHash near-dup pairs: band on 4×16-bit chunks (a pair within hamming
-    * distance 3 must agree on ≥1 chunk), verify with bit_count(xor) <= maxHamming.
+  /** SimHash near-dup pairs: band the 64-bit signature into `bands` disjoint
+    * bit chunks and candidate-join on (chunk, value); verify with
+    * `bit_count(xor) <= maxHamming`. Pigeonhole: a pair within hamming
+    * distance `maxHamming` differs in at most `maxHamming` chunks, so with
+    * `bands >= maxHamming + 1` it MUST agree on ≥1 chunk — recall is exactly 1
+    * relative to the requested threshold (round-1 bug: 4 fixed chunks only
+    * guaranteed hamming ≤ 3 while callers asked for 8).
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3): DataFrame = {
+                      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
     val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+    nearDupsFromSimhash(sh, maxHamming, bands)
+  }
+
+  /** Banding + verify over a precomputed `(id, sim)` sketch table — split out
+    * so tests can feed crafted signatures and the oracle can recompute
+    * all-pairs hamming over the materialized sketch.
+    */
+  def nearDupsFromSimhash(sh: DataFrame, maxHamming: Int, bands: Int = 0): DataFrame = {
+    val b = if (bands > 0) bands else maxHamming + 1
+    require(b > maxHamming,
+      s"bands=$b must exceed maxHamming=$maxHamming for the pigeonhole recall guarantee")
+    require(b <= 64, s"bands=$b cannot exceed the 64 signature bits")
     val chunks = sh.select(col("id"), col("sim"),
-      explode(array((0 until 4).map(c =>
+      explode(array((0 until b).map { c =>
+        val lo = (64 * c) / b
+        val w = (64 * (c + 1)) / b - lo
+        val mask = if (w == 64) -1L else (1L << w) - 1L
         struct(lit(c).as("chunk"),
-          shiftright(col("sim"), c * 16).bitwiseAND(0xFFFFL).as("val"))): _*)).as("ck"))
+          shiftright(col("sim"), lo).bitwiseAND(mask).as("val"))
+      }: _*)).as("ck"))
       .select(col("id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.val").as("val"))
     val a = chunks.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val b = chunks.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(b, Seq("chunk", "val"))
+    val bb = chunks.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
+    a.join(bb, Seq("chunk", "val"))
       .where(col("id_a") < col("id_b"))
       .dropDuplicates("id_a", "id_b")
       .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))

@@ -390,12 +390,19 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
     case r => OrRule(Seq(r))
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
-    case ArrayType(et, _) =>
+    case ArrayType(et, containsNull) =>
       // coalesce: a fastAll built from array_min/array_max returns NULL on an
       // empty array — forall-on-empty is TRUE (README.rst:320), and a null
       // validity flag would drop the row from validated AND violations.
-      val all = fastAll.map(f => coalesce(f(in), lit(true)))
-        .getOrElse(forall(in, x => elemOrRule.validCol(x, et, ctx.clearName)))
+      // fastAll is only sound when the schema rules out null elements:
+      // array_min/array_max SKIP nulls (an all-null array even yields null →
+      // "valid"), while the forall/message path rejects them, so with
+      // containsNull=true the two paths would disagree — use forall there.
+      val all =
+        if (containsNull)
+          forall(in, x => elemOrRule.validCol(x, et, ctx.clearName))
+        else fastAll.map(f => coalesce(f(in), lit(true)))
+          .getOrElse(forall(in, x => elemOrRule.validCol(x, et, ctx.clearName)))
       in.isNotNull && all
     case _ => lit(false)
   }

@@ -32,6 +32,36 @@ class CheckpointStreamingSpec extends SparkSpec {
     seqs.unpersist()
   }
 
+  test("single-pass output mode: rows written per split/validity, resume overwrites only its splits") {
+    val dir = Files.createTempDirectory("graft-ckpt-out").toString
+    val mpath = s"$dir/manifest.jsonl"
+    val out = s"$dir/out"
+    val seqs = SequenceGen.sequences(spark, 2000, 4).cache()
+    val rule = SeqValidation.rule()
+    val res = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "v1",
+      outputDir = Some(out))
+    assert(res.size == 8 && res.map(_.nRows).sum == 2000)
+    val rows = spark.read.parquet(s"$out/rows")
+    assert(rows.count() == 2000)
+    // written product must agree with the direct Validator outputs
+    val direct = SeqValidation.validate(seqs)
+    assert(rows.where(col("__valid").cast("boolean")).count() == direct.validated.count())
+    val viol = rows.where(!col("__valid").cast("boolean"))
+    assert(viol.count() == direct.violations.count())
+    assert(viol.where(col("violation_kind").isNull).count() == 0)
+    // manifest counts match the data
+    assert(res.map(_.nValid).sum == direct.validated.count())
+    // resume with 2 splits re-opened: only those are re-processed, totals stable
+    val lines = Files.readAllLines(java.nio.file.Paths.get(mpath))
+    Files.writeString(java.nio.file.Paths.get(mpath),
+      String.join("\n", lines.subList(0, 6)) + "\n")
+    val again = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "v1",
+      outputDir = Some(out), splitsPerPass = 1)
+    assert(again.size == 2)
+    assert(spark.read.parquet(s"$out/rows").count() == 2000)
+    seqs.unpersist()
+  }
+
   test("splits are stable across partitioning (lineage-safe resume)") {
     val a = SequenceGen.sequences(spark, 1000, 2)
       .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))

@@ -58,6 +58,25 @@ class PipelineSpec extends SparkSpec {
     assert(ham(sims(0), sims(1)) < ham(sims(0), sims(2)))
   }
 
+  test("simhash banding recall: hamming-6 pair found at maxHamming=8 (round-1 bug)") {
+    // bits 0,16,32,48,1,17 flipped: differs in ALL FOUR of the old fixed
+    // 16-bit chunks, so 4-chunk banding missed it; bands=maxHamming+1 must
+    // agree on ≥1 of 9 chunks by pigeonhole.
+    val base = 0x0123456789ABCDEFL
+    val flipped = base ^ ((1L << 0) | (1L << 16) | (1L << 32) | (1L << 48) | (1L << 1) | (1L << 17))
+    val far = ~base // hamming 58 from base
+    val sh = Seq((0L, base), (1L, flipped), (2L, far)).toDF("id", "sim")
+    val pairs = Dedup.nearDupsFromSimhash(sh, maxHamming = 8)
+      .select("id_a", "id_b", "hamming").collect()
+    assert(pairs.length == 1)
+    assert(pairs.head.getLong(0) == 0L && pairs.head.getLong(1) == 1L)
+    assert(pairs.head.getAs[Int]("hamming") == 6)
+    // contract violation fails loudly instead of silently losing recall
+    intercept[IllegalArgumentException] {
+      Dedup.nearDupsFromSimhash(sh, maxHamming = 8, bands = 4)
+    }
+  }
+
   test("ngram jaccard pairs") {
     val pairs = Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.5)
       .select("id_a", "id_b", "jaccard").collect()
@@ -80,6 +99,27 @@ class PipelineSpec extends SparkSpec {
     assert(top(0).getAs[Long]("neighbor_id") == 1L) // cos ≈ 0.9939
     assert(top(0).getAs[Int]("rank") == 1)
     assert(top(1).getAs[Long]("neighbor_id") != 4L) // opposite vector is last
+  }
+
+  test("bounded top-k agg == window row_number on a many-candidate group") {
+    // 20k candidates for one query: the heap state stays at k entries where
+    // collect_list buffered all 20k; result must equal the window formulation
+    // including the (score, id) tiebreak order.
+    val scored = spark.range(0, 20000).toDF("neighbor_id")
+      .select(lit(1L).as("query_id"), col("neighbor_id"),
+        round((col("neighbor_id") % 997).cast("double") / 997.0, 6).as("cos"))
+    val got = scored.groupBy(col("query_id"))
+      .agg(graft.functions.TopKAgg.topKByScore(col("cos"), col("neighbor_id"), 7).as("top"))
+      .select(posexplode(col("top")))
+      .select((col("pos") + 1).as("rank"), col("col.nid").as("neighbor_id"),
+        col("col.score").as("cos")).collect()
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col("query_id"))
+      .orderBy(col("cos").desc, col("neighbor_id").asc)
+    val want = scored.withColumn("rank", row_number().over(w)).where(col("rank") <= 7)
+      .select(col("rank"), col("neighbor_id"), col("cos")).collect()
+    assert(got.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq ==
+      want.map(r => (r.getInt(0), r.getLong(1), r.getDouble(2))).toSeq)
   }
 
   test("LSH top-k returns plausible neighbors (recall ≥ top-1 on clustered data)") {

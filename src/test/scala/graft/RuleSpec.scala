@@ -129,4 +129,22 @@ class RuleSpec extends SparkSpec {
     assert(got._2 == null)
     assert(got._1 == Seq(1, 2))
   }
+
+  // fastAll soundness: array_min/array_max SKIP null elements, so with
+  // containsNull=true the fast path must be bypassed — a null element (or an
+  // all-null array) is a violation on BOTH the validity and message paths.
+  test("arrayOfFast falls back to forall when the schema allows null elements") {
+    val r = arrayOfFast(and(int, pred("in_vocab")(t => t >= 0 && t < 100)))(
+      a => array_min(a) >= 0 && array_max(a) < 100)
+    // Seq[Option[Int]] ⇒ ArrayType(IntegerType, containsNull = true)
+    val withNull = Seq(Seq(Some(1), None, Some(2))).toDF("v")
+    val allNull = Seq(Seq[Option[Int]](None, None)).toDF("v")
+    val clean = Seq(Seq(Some(1), Some(2))).toDF("v")
+    val dt = withNull.schema("v").dataType
+    def validOf(df: DataFrame): Boolean =
+      df.select(r.validCol(col("v"), dt, Ctx()).as("ok")).head().getBoolean(0)
+    assert(!validOf(withNull) && one(r, withNull)._2 != null)
+    assert(!validOf(allNull) && one(r, allNull)._2 != null)
+    assert(validOf(clean) && one(r, clean)._2 == null)
+  }
 }

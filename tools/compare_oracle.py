@@ -30,12 +30,17 @@ for name in sorted(oracle):
     try:
         spark_rel = con.execute(f"SELECT * FROM '{outdir}/{name}/*.parquet'")
         s_rows, s_cols = spark_rel.fetchall(), [d[0] for d in spark_rel.description]
+        s_types = {d[0]: str(d[1]) for d in spark_rel.description}
         d_rel = con.execute(oracle[name])
         d_rows, d_cols = d_rel.fetchall(), [d[0] for d in d_rel.description]
+        d_types = {d[0]: str(d[1]) for d in d_rel.description}
         sc, scols = canon(s_rows, s_cols)
         dc, dcols = canon(d_rows, d_cols)
         if scols != dcols:
             print(f"FAIL {name}: columns spark={scols} duck={dcols}"); fail += 1
+        elif s_types != d_types:
+            bad = {c: (s_types[c], d_types[c]) for c in s_types if s_types[c] != d_types.get(c)}
+            print(f"FAIL {name}: column types differ (spark, duck): {bad}"); fail += 1
         elif sc != dc:
             diff = [x for x in sc if x not in set(dc)][:3]
             diff2 = [x for x in dc if x not in set(sc)][:3]
