@@ -18,6 +18,22 @@ object SparkEntry {
   private def T(spark: SparkSession, dir: String, name: String): DataFrame =
     spark.read.parquet(s"$dir/$name.parquet")
 
+  /** Deterministic sketch/input materialization for oracle parity: queries
+    * whose semantics hinge on engine-native sketches (simhash bits, LSH
+    * buckets, generated inputs) write the sketch to a fixed path and read it
+    * back, and the DuckDB oracle recomputes the DERIVED result (all-pairs
+    * hamming, bucket joins, rule predicates) from the same file with
+    * independent SQL — so banding/join/top-k logic is hash-checked even when
+    * the sketch function itself has no ANSI-SQL equivalent.
+    */
+  private val OracleAux = "/root/repo/target/graft_oracle"
+  private def materialize(s: SparkSession, df: DataFrame, name: String,
+                          files: Int = 1): DataFrame = {
+    val path = s"$OracleAux/$name"
+    (if (files == 1) df.coalesce(1) else df).write.mode("overwrite").parquet(path)
+    s.read.parquet(path)
+  }
+
   /** Flagship: validate a deterministic synthetic sequence table
     * (BASELINE.json input_hint shape, sf0.001-scale row count) and return the
     * violation rows — non-empty by construction (violation injection,
@@ -204,35 +220,58 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
 
-    // ===== rows-only checks (no ANSI-SQL equivalent: engine-hash based) =====
+    // ===== sketch-based queries: oracle via materialized sketches =====
     "q_dedup_fingerprint" -> ((s, dir) => {
+      // fingerprint = xxhash64(normalize(text)): groups == groups by the
+      // normalized text itself (collision-free at oracle scale), so the
+      // survivor set is SQL-expressible without the hash
       Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"))
     }),
     "q_minhash_neardups" -> ((s, dir) => {
+      // r=1, b=32 banding: P(miss | jaccard >= 0.5) = (1-J)^32 ≤ 2.3e-10 —
+      // empirically recall 1 on this deterministic data, so the all-pairs
+      // exact-jaccard oracle is an equality check, not an approximation
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
-        shingleK = 7, numHashes = 32, bands = 4, threshold = 0.5)
+        shingleK = 7, numHashes = 32, bands = 32, threshold = 0.5)
     }),
     "q_simhash_neardups" -> ((s, dir) => {
-      Dedup.simhashNearDups(T(s, dir, "documents"), "text", "doc_id", maxHamming = 8)
+      // sketch materialized; bands = maxHamming+1 ⇒ recall 1 by pigeonhole,
+      // so all-pairs hamming over the sketch is an exact oracle
+      val sh = T(s, dir, "documents")
+        .select(col("doc_id").as("id"), Dedup.simhash(col("text")).as("sim"))
+      Dedup.nearDupsFromSimhash(
+        materialize(s, sh, "q_simhash_sketch"), maxHamming = 8)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
         k = 3, threshold = 0.2)
     }),
     "q_cosine_neardups" -> ((s, dir) => {
-      Ann.cosineNearDups(T(s, dir, "embeddings"), threshold = 0.35, bits = 4)
+      val e = T(s, dir, "embeddings")
+      val buckets = e.select(col("vec_id").as("id"),
+        explode(Ann.bandedBuckets(col("embedding"), 8, 8)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      materialize(s, buckets, "q_embedding_buckets")
+      Ann.cosineNearDups(e, threshold = 0.35, bands = 8, bitsPerBand = 8)
     }),
     "q_lsh_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
-      Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 5, bits = 4)
+      val buckets = e.select(col("vec_id").as("id"),
+        explode(Ann.bandedBuckets(col("embedding"), 8, 8)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      materialize(s, buckets, "q_embedding_buckets")
+      Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 5, bands = 8, bitsPerBand = 8)
     }),
     "q_seq_validate" -> ((s, dir) => {
-      // flagship sequence validation at a dir-scaled row count
+      // flagship sequence validation at a dir-scaled row count; the generated
+      // input is materialized so the oracle can evaluate the rule predicates
+      // over the exact same rows in DuckDB
       val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
         .map(_.group(1).toDouble).getOrElse(0.001)
       val rows = math.max((6000000 * sf).toLong, 1000L)
-      val seqs = graft.gen.SequenceGen.sequences(s, rows, 16)
+      val seqs = materialize(s,
+        graft.gen.SequenceGen.sequences(s, rows, 16), "q_seq_input", files = 16)
       SeqValidation.validate(seqs).violations
         .select(col("doc_id"), col("n_tok"), col("source"), col("violation_kind"))
     }),
@@ -352,6 +391,99 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |       count(*) AS n, count(DISTINCT user_id) AS users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // normalized text (trim + collapse whitespace + lowercase), shared by the
+    // dedup oracles — mirrors TextFunctions.normalize exactly
+    "q_dedup_fingerprint" ->
+      """SELECT doc_id FROM (
+        |  SELECT doc_id, row_number() OVER (
+        |    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |    ORDER BY doc_id) AS rn
+        |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    // all-pairs exact jaccard over 7-char shingle sets of the normalized
+    // text; the engine's r=1,b=32 minhash banding has recall 1 on this data
+    // (P(miss | J>=0.5) <= 2.3e-10, deterministic input), so equality holds
+    "q_minhash_neardups" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |sh AS (SELECT doc_id,
+        |         CASE WHEN length(t) <= 7 THEN [t]
+        |              ELSE list_distinct([substring(t, i, 7) for i in generate_series(1, length(t) - 6)]) END AS g
+        |       FROM n),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+        |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+
+    // all-pairs hamming over the materialized simhash sketch: the banding
+    // guarantees recall 1 for hamming <= maxHamming (pigeonhole), so the
+    // engine's banded join must equal the quadratic recomputation
+    "q_simhash_neardups" ->
+      """WITH s AS (SELECT id, sim FROM read_parquet('/root/repo/target/graft_oracle/q_simhash_sketch/*.parquet'))
+        |SELECT a.id AS id_a, b.id AS id_b,
+        |       CAST(bit_count(xor(a.sim, b.sim)) AS INTEGER) AS hamming
+        |FROM s a JOIN s b ON a.id < b.id
+        |WHERE bit_count(xor(a.sim, b.sim)) <= 8""".stripMargin,
+
+    // word-3-gram jaccard within token-count blocks — replicates the
+    // engine's blocking (blk = tokenCount/16) and gram-set semantics
+    "q_ngram_jaccard" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+        |             CASE WHEN length(text) = 0 THEN 0
+        |                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS ntok
+        |           FROM documents),
+        |w AS (SELECT doc_id, CAST(floor(ntok / 16.0) AS INT) AS blk, string_split(t, ' ') AS ws, t FROM n),
+        |g AS (SELECT doc_id, blk,
+        |        CASE WHEN len(ws) <= 3 THEN [t]
+        |             ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) END AS gs
+        |      FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+        |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.2""".stripMargin,
+
+    // pairs colliding in >=1 band of the materialized bucket table, scored
+    // with exact cosine at 6dp — checks dedupe + join + threshold exactly
+    "q_cosine_neardups" ->
+      """WITH bk AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_embedding_buckets/*.parquet')),
+        |cand AS (SELECT DISTINCT a.id AS id_a, b.id AS id_b
+        |         FROM bk a JOIN bk b ON a.band = b.band AND a.bucket = b.bucket AND a.id < b.id),
+        |sc AS (SELECT id_a, id_b,
+        |         round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos
+        |       FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.35""".stripMargin,
+
+    // candidates from the same bucket table (probes = rows with id < 8),
+    // exact cosine, then an independent row_number top-k formulation
+    "q_lsh_topk" ->
+      """WITH bk AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_embedding_buckets/*.parquet')),
+        |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
+        |         FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
+        |         WHERE q.id < 8 AND c.id <> q.id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |         round(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(ec.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])))), 6) AS cos
+        |       FROM cand JOIN embeddings eq ON eq.vec_id = query_id JOIN embeddings ec ON ec.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM sc) t WHERE rank <= 5""".stripMargin,
+
+    // rule predicates over the materialized generated input: every failing
+    // row surfaces with kind SchemaError (fields present and non-null by
+    // construction, so value/rowcheck errors are the only kinds reachable)
+    "q_seq_validate" ->
+      """SELECT doc_id, n_tok, source, 'SchemaError' AS violation_kind
+        |FROM read_parquet('/root/repo/target/graft_oracle/q_seq_input/*.parquet')
+        |WHERE NOT (regexp_matches(doc_id, '^doc-')
+        |           AND list_min(tokens) >= 0 AND list_max(tokens) < 50257
+        |           AND source IN ('cc','wiki','books','code','arxiv','forums')
+        |           AND n_tok = len(tokens))""".stripMargin,
 
     "q_ann_topk" ->
       """WITH pairs AS (

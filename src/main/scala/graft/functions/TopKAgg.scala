@@ -30,7 +30,20 @@ final class TopKHeap(val k: Int) {
   @inline private def worse(sa: Double, ia: Long, sb: Double, ib: Long): Boolean =
     sa < sb || (sa == sb && ia > ib)
 
+  /** Insert keeping at most ONE entry per id (the better-scored one) —
+    * banded multi-signature LSH can surface the same candidate through
+    * several bands, and a duplicate id must not occupy two of the k slots.
+    * O(k) scan per insert; k is small by construction.
+    */
   def insert(score: Double, id: Long): Unit = {
+    var e = 0
+    while (e < size) {
+      if (ids(e) == id) {
+        if (worse(scores(e), ids(e), score, id)) { scores(e) = score; siftDown(e) }
+        return
+      }
+      e += 1
+    }
     if (size < k) {
       var i = size
       scores(i) = score; ids(i) = id; size += 1

@@ -18,7 +18,8 @@ object VectorExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def cosineSim(a: Column, b: Column): Column = column(CosineSim(expression(a), expression(b)))
   def dotProduct(a: Column, b: Column): Column = column(DotProduct(expression(a), expression(b)))
-  def lshSign(v: Column, bits: Int): Column = column(LshSign(expression(v), bits))
+  def lshSign(v: Column, bits: Int, seedOffset: Int = 0): Column =
+    column(LshSign(expression(v), bits, seedOffset))
 
   private[functions] def elemGetter(dt: DataType, arr: String, i: String): String =
     dt match {
@@ -106,15 +107,17 @@ case class CosineSim(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** Random-hyperplane LSH signature: bit j = sign of dot(v, r_j) with
-  * r_j[i] = unit-scaled splitmix64(j * 1_000_003 + i). All `bits` planes
+/** Random-hyperplane LSH signature: bit j = sign of dot(v, r_{seedOffset+j})
+  * with r_s[i] = unit-scaled splitmix64(s * 1_000_003 + i). All `bits` planes
   * accumulate in one pass over the vector (dims × bits multiply-adds in a
   * tight loop). Deterministic — corpus and queries share planes by
-  * construction, no materialized plane matrix.
+  * construction, no materialized plane matrix; `seedOffset` gives banded
+  * multi-signature schemes disjoint plane families per band.
   */
-case class LshSign(child: Expression, bits: Int)
+case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
   extends UnaryExpression {
   require(bits > 0 && bits <= 30, "bits in (0, 30]")
+  require(seedOffset >= 0, "seedOffset must be non-negative")
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any): Any = {
@@ -126,7 +129,7 @@ case class LshSign(child: Expression, bits: Int)
       val xv = VectorExprs.elemAt(child.dataType, x, i)
       var j = 0
       while (j < bits) {
-        acc(j) += xv * LshSign.unit(j * 1000003 + i)
+        acc(j) += xv * LshSign.unit((seedOffset + j) * 1000003L + i)
         j += 1
       }
       i += 1
@@ -145,7 +148,8 @@ case class LshSign(child: Expression, bits: Int)
          |double[] acc = new double[$bits];
          |for (int i = 0; i < n; i++) {
          |  double xv = $g;
-         |  for (int j = 0; j < $bits; j++) acc[j] += xv * $cls.unit(j * 1000003 + i);
+         |  for (int j = 0; j < $bits; j++)
+         |    acc[j] += xv * $cls.unit(($seedOffset + j) * 1000003L + i);
          |}
          |int sig = 0;
          |for (int j = 0; j < $bits; j++) if (acc[j] > 0) sig |= (1 << j);

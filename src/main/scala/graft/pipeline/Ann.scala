@@ -72,46 +72,64 @@ object Ann {
   def lshSignature(vec: Column, bits: Int): Column =
     graft.functions.VectorExprs.lshSign(vec, bits)
 
-  /** IVF/LSH top-k: corpus bucketed by signature; each query scores only its
-    * bucket (plus hamming-1 buckets when multiprobe), then the same top-k
-    * reduction. Recall < 1 by construction; bits trades recall for cost.
+  /** Banded multi-signature buckets: `bands` independent `bitsPerBand`-bit
+    * signatures (disjoint hyperplane families per band). Two vectors are
+    * candidates when they collide in ANY band — P(candidate) =
+    * 1-(1-p^r)^b with p = 1-θ/π, the classic recall/cost dial. Round 1 used
+    * ONE signature of ≤6 bits: 64 buckets total, O((N/64)²) within-bucket
+    * pairs — quadratic blowup at corpus scale. Here `bitsPerBand` sets bucket
+    * granularity (scale it with log2 N to keep buckets near-constant size,
+    * e.g. 16 bits → 65k buckets/band) and `bands` sets recall.
     */
-  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bits: Int = 4,
-              multiprobe: Boolean = true,
+  def bandedBuckets(vec: Column, bands: Int, bitsPerBand: Int): Column =
+    array((0 until bands).map { b =>
+      struct(lit(b).as("band"),
+        graft.functions.VectorExprs.lshSign(vec, bitsPerBand, b * bitsPerBand).as("bucket"))
+    }: _*)
+
+  /** LSH top-k: corpus exploded to `bands` (band, bucket) rows; each query
+    * probes its own bucket in every band; candidates scored once (the
+    * bounded-heap reduction keeps the best entry per neighbor id, so a pair
+    * surfacing through several bands costs k-slot space once), then the same
+    * top-k reduction. Recall < 1 by construction; bands trade recall for
+    * candidate volume.
+    */
+  def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int, bands: Int = 8,
+              bitsPerBand: Int = 12,
               idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
-      lshSignature(col(vecCol), bits).as("bucket"))
-    val qSig = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
-      lshSignature(col(vecCol), bits).as("sig"))
-    val probes =
-      if (!multiprobe) qSig.withColumn("bucket", col("sig"))
-      else qSig.select(col("query_id"), col("qv"), col("sig"),
-        explode(array((lit(-1) +: (0 until bits).map(b => lit(b))): _*)).as("flip"))
-        .select(col("query_id"), col("qv"),
-          when(col("flip") === -1, col("sig"))
-            .otherwise(col("sig").bitwiseXOR(pow(lit(2), col("flip")).cast("int")))
-            .as("bucket"))
-    val scored = c.join(broadcast(probes), Seq("bucket"))
+      explode(bandedBuckets(col(vecCol), bands, bitsPerBand)).as("bk"))
+      .select(col("neighbor_id"), col("cv"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(bandedBuckets(col(vecCol), bands, bitsPerBand)).as("bk"))
+      .select(col("query_id"), col("qv"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val scored = c.join(broadcast(probes), Seq("band", "bucket"))
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(cosine(col("qv"), col("cv")), 6).as("cos"))
-    // no dedupe needed: each corpus vector lives in exactly ONE bucket, so a
-    // (query, neighbor) pair matches at most one probe row
     topKPerQuery(scored, k)
   }
 
-  /** Embedding-cosine near-duplicate pairs at threshold, LSH-blocked:
-    * only same-bucket pairs are scored.
+  /** Embedding-cosine near-duplicate pairs at threshold, banded-LSH-blocked:
+    * only pairs colliding in ≥1 band are scored; `dropDuplicates` collapses
+    * multi-band hits before the cosine evaluation. Threshold compares the
+    * 6dp-rounded cosine so the decision is reproducible across engines.
     */
-  def cosineNearDups(df: DataFrame, threshold: Double, bits: Int = 6,
+  def cosineNearDups(df: DataFrame, threshold: Double, bands: Int = 8,
+                     bitsPerBand: Int = 12,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
     val s = df.select(col(idCol).as("id"), col(vecCol).as("v"),
-      lshSignature(col(vecCol), bits).as("bucket"))
-    val a = s.select(col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = s.select(col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("bucket")).where(col("id_a") < col("id_b"))
-      .withColumn("cos", cosine(col("va"), col("vb")))
+      explode(bandedBuckets(col(vecCol), bands, bitsPerBand)).as("bk"))
+      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = s.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
+    val b = s.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
+      .dropDuplicates("id_a", "id_b")
+      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
       .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), round(col("cos"), 6).as("cos"))
+      .select(col("id_a"), col("id_b"), col("cos"))
   }
 }

@@ -123,18 +123,44 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("LSH top-k returns plausible neighbors (recall ≥ top-1 on clustered data)") {
-    val got = Ann.lshTopK(vecs, vecs.where(col("vec_id") === 0L), k = 2, bits = 2)
+    val got = Ann.lshTopK(vecs, vecs.where(col("vec_id") === 0L), k = 2,
+      bands = 8, bitsPerBand = 2)
       .collect()
     assert(got.nonEmpty)
     assert(got.head.getAs[Long]("neighbor_id") != 4L)
   }
 
   test("cosine near-dup pairs at high threshold") {
-    val pairs = Ann.cosineNearDups(vecs, threshold = 0.95, bits = 2,
+    val pairs = Ann.cosineNearDups(vecs, threshold = 0.95, bands = 8, bitsPerBand = 2,
       idCol = "vec_id", vecCol = "embedding")
       .select("id_a", "id_b").as[(Long, Long)].collect().toSet
     // (0,1) and (2,3) are the only cos>0.95 pairs; LSH blocking may drop
     // across-bucket pairs but must never invent pairs
     assert(pairs.subsetOf(Set((0L, 1L), (2L, 3L))))
+  }
+
+  test("banded LSH recall = 1 vs brute force on clustered vectors") {
+    // 6 clusters of 10 vectors: center[c] one-hot-ish in 16 dims + tiny
+    // deterministic noise → intra-cluster cos ≈ 0.999, cross-cluster ≈ 0.
+    val data = (0 until 60).map { i =>
+      val c = i % 6
+      val v = Array.tabulate(16)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (((i * 16 + d) * 2654435761L % 7).toInt - 3))
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    // near-dup recall: every intra-cluster pair must survive banded blocking
+    val pairs = Ann.cosineNearDups(df, threshold = 0.9, bands = 16, bitsPerBand = 4)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    val wantPairs = (for {
+      a <- 0 until 60; b <- (a + 1) until 60; if a % 6 == b % 6
+    } yield (a.toLong, b.toLong)).toSet
+    assert(pairs == wantPairs)
+    // top-k recall: LSH top-1 equals brute-force top-1 for every query
+    val bf = Ann.bruteForceTopK(df, df, k = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    val lsh = Ann.lshTopK(df, df, k = 1, bands = 16, bitsPerBand = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(lsh == bf)
   }
 }
