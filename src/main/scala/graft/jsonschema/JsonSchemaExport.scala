@@ -1,5 +1,6 @@
 package graft.jsonschema
 
+import scala.collection.mutable
 import graft.rules._
 
 /** Draft-07 JSON Schema export — the second interpreter over the rule tree,
@@ -16,12 +17,19 @@ import graft.rules._
   *    rewritten and '/' escaped (:772-778)
   *  - CALLABLE (Pred/Use) → {} — not representable (:779-782)
   *  - dict → object with properties/required/additionalProperties, hooks
-  *    skipped, optional defaults emitted (:784-870)
-  *  - main schema stamped with $id/$schema, named schema → title (:872-880)
+  *    skipped, optional defaults emitted (:784-870); Literal key
+  *    title/description carried onto the property schema (:790-828)
+  *  - named/described schemas → title/description metadata (:682-702)
+  *  - `asReference` schemas → {"$ref": "#/definitions/<name>"} with the full
+  *    definition collected once on the main schema (:689-699,882-885)
+  *  - `useRefs` → hash-consing of repeated sub-schemas: the first occurrence
+  *    gains an "$id", later ones become {"$ref": id} (:624-639). Deviation:
+  *    ids are murmur3 of the canonical rendering, not CPython `hash()`
+  *    (unreproducible cross-language); the structure is identical.
+  *  - main schema stamped with $id/$schema (:872-880)
   *
-  * Deviation (documented): `use_refs` hash-consing (:624-639) is not
-  * implemented — definitions/$ref require the `as_reference` API our DSL
-  * does not expose.
+  * Key ORDER inside objects is ours (title, description, body); JSON object
+  * key order carries no meaning and the reference asserts dict equality.
   */
 object JsonSchemaExport {
 
@@ -52,21 +60,62 @@ object JsonSchemaExport {
       case c => c.toString
     } + "\""
 
-  def export(rule: Rule, schemaId: String): String = render(exportJ(rule, schemaId))
+  /** Export state: collected definitions plus the two-pass use_refs
+    * hash-consing (pass 1 counts canonical sub-schema renderings, pass 2
+    * rewrites repeats into $id/$ref pairs — toJson is deterministic, so the
+    * passes see the same nodes).
+    */
+  private final class ExportCtx(val useRefs: Boolean) {
+    val defs: mutable.LinkedHashMap[String, JObj] = mutable.LinkedHashMap.empty
+    val counts: mutable.Map[String, Int] = mutable.Map.empty
+    val emitted: mutable.Set[String] = mutable.Set.empty
+    var counting: Boolean = true
+  }
 
-  def exportJ(rule: Rule, schemaId: String): JObj = {
-    val (body, title) = rule match {
-      case NamedRule(n, sub) => (toJson(sub), Some(n))
-      case r => (toJson(r), None)
+  private def canonical(j: JObj): String = render(JObj(j.fields.sortBy(_._1)))
+
+  /** Apply at every NON-MAIN schema node (the reference's
+    * `_create_or_use_ref`, :624-639).
+    */
+  private def cons(j: JObj, c: ExportCtx): JObj = {
+    if (!c.useRefs || j.fields.isEmpty) return j
+    val canon = canonical(j)
+    if (c.counting) {
+      c.counts(canon) = c.counts.getOrElse(canon, 0) + 1
+      j
+    } else if (c.counts.getOrElse(canon, 0) >= 2) {
+      val id = "#" + (scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
+      if (c.emitted.add(canon)) JObj(j.fields :+ ("$id" -> JStr(id): (String, J)))
+      else JObj(Vector("$ref" -> JStr(id)))
+    } else j
+  }
+
+  def export(rule: Rule, schemaId: String, useRefs: Boolean = false): String =
+    render(exportJ(rule, schemaId, useRefs))
+
+  def exportJ(rule: Rule, schemaId: String, useRefs: Boolean = false): JObj = {
+    val ctx = new ExportCtx(useRefs)
+    def build(): JObj = {
+      ctx.defs.clear(); ctx.emitted.clear()
+      // main schema: name/description become title/description; asReference
+      // is ignored at the main level (is_main_schema, :689)
+      val (body, title, desc) = rule match {
+        case NamedRule(n, s, d, _) => (toJson(s, ctx), Some(n), d)
+        case r => (toJson(r, ctx), None, None)
+      }
+      val headed =
+        title.map(t => "title" -> (JStr(t): J)).toVector ++
+          desc.map(d => "description" -> (JStr(d): J)).toVector ++ body.fields
+      val withDefs =
+        if (ctx.defs.isEmpty) headed
+        else headed :+ ("definitions" -> (JObj(ctx.defs.toVector): J))
+      JObj(withDefs :+
+        ("$id" -> (JStr(schemaId): J)) :+
+        ("$schema" -> (JStr("http://json-schema.org/draft-07/schema#"): J)))
     }
-    // title is emitted FIRST (set before flavor handling, :701-702)
-    val titled = title match {
-      case Some(t) => ("title" -> JStr(t): (String, J)) +: body.fields
-      case None => body.fields
-    }
-    JObj(titled :+
-      ("$id" -> JStr(schemaId): (String, J)) :+
-      ("$schema" -> JStr("http://json-schema.org/draft-07/schema#"): (String, J)))
+    val first = build() // counting pass (also the result when !useRefs)
+    if (!useRefs) first
+    else { ctx.counting = false; build() }
   }
 
   private def typeName(t: PyType): String = t match {
@@ -87,10 +136,16 @@ object JsonSchemaExport {
     case other => JStr(other.toString)
   }
 
+  /** Back-compat face: body of a rule with no refs/definitions in play. */
+  def toJson(rule: Rule): JObj = toJson(rule, new ExportCtx(false))
+
   /** Schema body for a rule; JObj(empty) ⇔ the reference's `{}` (not
-    * representable).
+    * representable). Every recursive call routes through `sub` so use_refs
+    * consing sees each non-main schema node.
     */
-  def toJson(rule: Rule): JObj = rule match {
+  private def sub(rule: Rule, c: ExportCtx): JObj = cons(toJson(rule, c), c)
+
+  private def toJson(rule: Rule, c: ExportCtx): JObj = rule match {
     case IsType(t) => JObj(Vector("type" -> JStr(typeName(t))))
 
     case EqLit(null) => JObj(Vector("type" -> JStr("null")))
@@ -109,23 +164,23 @@ object JsonSchemaExport {
           else JObj(Vector("const" -> toJsonValue(values.head)))
         } else JObj(Vector("enum" -> JArr(values.map(toJsonValue).toVector)))
       } else {
-        val subs = rules.map(toJson).filter(_.fields.nonEmpty).distinct
+        val subs = rules.map(sub(_, c)).filter(_.fields.nonEmpty).distinct
         if (subs.size == 1) subs.head
         else JObj(Vector("anyOf" -> JArr(subs.toVector)))
       }
 
     case AndRule(rules) =>
-      val subs = rules.map(toJson).filter(_.fields.nonEmpty).distinct
+      val subs = rules.map(sub(_, c)).filter(_.fields.nonEmpty).distinct
       if (subs.isEmpty) JObj(Vector.empty)
       else if (subs.size == 1) subs.head
       else JObj(Vector("allOf" -> JArr(subs.toVector)))
 
     case ArrayRule(elem, _) =>
-      val items = toJson(elem)
+      val items = sub(elem, c)
       if (items.fields.isEmpty) JObj(Vector("type" -> JStr("array")))
       else JObj(Vector("type" -> JStr("array"), "items" -> items))
 
-    case MapRule(_, _) =>
+    case MapRule(_) =>
       // pattern keys: broad key schema ⇒ additionalProperties allowed (:793-798)
       JObj(Vector("type" -> JStr("object"),
         "properties" -> JObj(Vector.empty),
@@ -136,14 +191,25 @@ object JsonSchemaExport {
       var props = Vector.empty[(String, J)]
       var required = Vector.empty[J]
       sr.fields.foreach { f =>
+        // Literal-key metadata goes ON the property schema (:790-828)
+        def withKeyMeta(body: JObj): JObj = {
+          val headed =
+            f.keyTitle.map(t => "title" -> (JStr(t): J)).toVector ++
+              f.keyDescription.map(d => "description" -> (JStr(d): J)).toVector ++
+              body.fields
+          JObj(headed)
+        }
         f.kind match {
           case FieldKind.Hook(_) | FieldKind.Forbidden => // skipped (:790-791)
           case FieldKind.Required =>
             required :+= JStr(f.name)
-            props :+= (f.name -> toJson(f.rule))
-          case FieldKind.Opt(default) =>
-            val base = toJson(f.rule)
-            val withDefault = default match {
+            props :+= (f.name -> withKeyMeta(sub(f.rule, c)))
+          case FieldKind.Opt(default, defaultFn) =>
+            val base = withKeyMeta(sub(f.rule, c))
+            // callable defaults are invoked for the export, like
+            // _invoke_with_optional_kwargs at :856-860 (no kwargs here)
+            val dflt = defaultFn.map(fn => fn(Map.empty)).orElse(default)
+            val withDefault = dflt match {
               case Some(d) => JObj(base.fields :+ ("default" -> toJsonValue(d): (String, J)))
               case None => base
             }
@@ -154,15 +220,36 @@ object JsonSchemaExport {
         "type" -> JStr("object"),
         "properties" -> JObj(props),
         "required" -> JArr(required),
-        "additionalProperties" -> JBool(sr.ignoreExtra)))
+        "additionalProperties" -> JBool(sr.ignoreExtra || sr.patterns.nonEmpty)))
 
-    case NamedRule(n, sub) =>
-      JObj(("title" -> JStr(n): (String, J)) +: toJson(sub).fields)
+    case NamedRule(n, s, desc, asRef) =>
+      if (asRef) {
+        // collect the full definition once; emit a $ref at every use site
+        // (:689-699). The definition itself is generated with references
+        // disallowed (allow_reference=False) to avoid self-loops.
+        if (!c.defs.contains(n)) {
+          c.defs(n) = JObj(Vector.empty) // anti-recursion placeholder
+          val body = toJson(s, c)
+          val headed =
+            Vector("title" -> (JStr(n): J)) ++
+              desc.map(d => "description" -> (JStr(d): J)).toVector ++ body.fields
+          c.defs(n) = JObj(headed)
+        }
+        val refFields =
+          desc.map(d => "description" -> (JStr(d): J)).toVector :+
+            ("$ref" -> (JStr("#/definitions/" + n): J))
+        JObj(refFields)
+      } else {
+        val body = toJson(s, c)
+        JObj(Vector("title" -> (JStr(n): J)) ++
+          desc.map(d => "description" -> (JStr(d): J)).toVector ++ body.fields)
+      }
 
-    case WithErrorRule(sub, _) => toJson(sub)
+    case WithErrorRule(s, _) => toJson(s, c)
 
     // CALLABLE / VALIDATOR-without-handler → {} (:779-782)
-    case _: Pred | _: UseCast | _: UseExpr | _: ConstRule => JObj(Vector.empty)
+    case _: Pred | _: PredP | _: UseCast | _: UseExpr | _: UseP | _: ConstRule =>
+      JObj(Vector.empty)
 
     case _ => JObj(Vector.empty)
   }

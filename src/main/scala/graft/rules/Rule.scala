@@ -105,6 +105,23 @@ trait Rule {
   def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     compile(in, dtype, ctx).error.isNull
 
+  /** Static evaluation against a literal KEY NAME — the analysis-time analog
+    * of `Schema(skey).validate(key)` for pattern keys over STATIC struct
+    * columns (/root/reference/schema/__init__.py:457-474: literal keys bind
+    * before catch-all type keys). Column names are analysis-time constants,
+    * so the dynamic key dispatch of the reference becomes a driver-side
+    * binding here. False for rules that cannot be decided statically
+    * (Column predicates) — such keys only work over MapType data.
+    */
+  def acceptsName(name: String): Boolean = false
+
+  /** True when a NULL value passes this rule (e.g. `is(None)`, `anything`).
+    * Drives the Required special-case: "absence ≙ null" would otherwise make
+    * a required `None`-valued key unsatisfiable (the reference validates
+    * `Schema({'key': None})` against `{'key': None}`).
+    */
+  def acceptsNull: Boolean = false
+
   def &&(other: Rule): Rule = AndRule(Seq(this, other))
   def ||(other: Rule): Rule = OrRule(Seq(this, other))
   def withError(template: String): Rule = WithErrorRule(this, template)
@@ -133,6 +150,9 @@ final case class IsType(t: PyType) extends Rule {
     if (t == PyType.PyObject) lit(true)
     else if (t.matches(dtype)) in.isNotNull
     else lit(false)
+  override def acceptsName(name: String): Boolean =
+    t == PyType.PyStr || t == PyType.PyObject
+  override def acceptsNull: Boolean = t == PyType.PyObject
 }
 
 /** COMPARABLE flavor (/root/reference/schema/__init__.py:595-600):
@@ -148,6 +168,8 @@ final case class EqLit(v: Any) extends Rule {
     Compiled(in, dtype, when(pass(in), Err.none).otherwise(Err.one(Err.SchemaError, msg)))
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = pass(in)
+  override def acceptsName(name: String): Boolean = v == name
+  override def acceptsNull: Boolean = v == null
 }
 
 /** CALLABLE flavor (/root/reference/schema/__init__.py:579-594): a boolean
@@ -165,6 +187,41 @@ final case class Pred(name: String, f: Column => Column) extends Rule {
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     coalesce(f(in), lit(false))
+}
+
+/** CALLABLE flavor with `validate(**kwargs)` consumption
+  * (/root/reference/schema/__init__.py:352-357, tested
+  * test_schema.py:796-838): the predicate sees `Ctx.params`, so a rule can be
+  * parameterized per validate-call — the Spark recast of a Schema subclass
+  * whose `validate` threads kwargs to nested schemas. Params bind at PLAN
+  * time (they become literals in the compiled expressions), matching the
+  * reference where kwargs are fixed for the whole validate() call.
+  */
+final case class PredP(name: String, f: (Column, Map[String, Any]) => Column) extends Rule {
+  def reprStr: String = name
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val pass = coalesce(f(in, ctx.params), lit(false))
+    val msg = ctx.prefixed(concat(lit(name + "("), PyRepr.repr(in, dtype),
+      lit(") should evaluate to True")))
+    Compiled(in, dtype, when(pass, Err.none).otherwise(Err.one(Err.SchemaError, msg)))
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    coalesce(f(in, ctx.params), lit(false))
+}
+
+/** `Use` whose transform reads `Ctx.params` — kwargs-parameterized value
+  * transformation (the `convert(data, increment)` pattern of
+  * test_schema.py:796-815).
+  */
+final case class UseP(fname: String, out: DataType,
+                      f: (Column, Map[String, Any]) => Column) extends Rule {
+  def reprStr: String = s"Use($fname)"
+  override def transformFree: Boolean = false
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled =
+    Compiled(f(in, ctx.params), out, Err.none)
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    (f(in, ctx.params), out)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = lit(true)
 }
 
 /** `Regex` (/root/reference/schema/__init__.py:226-286): unanchored *search*
@@ -195,6 +252,8 @@ final case class MatchesRegex(pattern: String, inlineFlags: String = "") extends
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     if (dtype == StringType) in.isNotNull && in.rlike(effective) else lit(false)
+  override def acceptsName(name: String): Boolean =
+    java.util.regex.Pattern.compile(effective).matcher(name).find()
 }
 
 /** `Use(callable)` (/root/reference/schema/__init__.py:289-328): transform
@@ -268,6 +327,8 @@ final case class AndRule(rules: Seq[Rule]) extends Rule {
     }
     cond
   }
+  override def acceptsName(name: String): Boolean = rules.forall(_.acceptsName(name))
+  override def acceptsNull: Boolean = rules.forall(_.acceptsNull)
 }
 
 /** `Or` (/root/reference/schema/__init__.py:174-223): first-success
@@ -281,6 +342,11 @@ final case class OrRule(rules: Seq[Rule]) extends Rule {
   def reprStr: String = rules.map(_.reprStr).mkString("Or(", ", ", ")")
   override def transformFree: Boolean = rules.forall(_.transformFree)
 
+  /** Least common value type of the branches. Numeric/date promotions are
+    * value-preserving; a string branch absorbs the other side (Python's str
+    * repr fallback); anything else is a COMPILE-TIME error — round 1
+    * silently cast e.g. Or(useInt, useTimestamp) to string.
+    */
   private def widen(a: DataType, b: DataType): DataType =
     if (a == b) a
     else (a, b) match {
@@ -290,7 +356,11 @@ final case class OrRule(rules: Seq[Rule]) extends Rule {
         d == LongType || d == IntegerType || d == ShortType || d == ByteType) =>
         if (a == DoubleType || b == DoubleType || a == FloatType || b == FloatType) DoubleType
         else LongType
-      case _ => StringType
+      case (DateType, TimestampType) | (TimestampType, DateType) => TimestampType
+      case (StringType, _) | (_, StringType) => StringType
+      case _ => throw new IllegalArgumentException(
+        s"$reprStr: branches produce incompatible value types " +
+          s"${a.simpleString} and ${b.simpleString}; add a Use(...) cast to a common type")
     }
 
   def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
@@ -320,6 +390,8 @@ final case class OrRule(rules: Seq[Rule]) extends Rule {
     if (transformFree) (in, dtype)
     else { val c = compile(in, dtype, ctx); (c.value, c.dtype) }
   }
+  override def acceptsName(name: String): Boolean = rules.exists(_.acceptsName(name))
+  override def acceptsNull: Boolean = rules.exists(_.acceptsNull)
 }
 
 /** `Const` (/root/reference/schema/__init__.py:975-978): validate (running
@@ -335,12 +407,19 @@ final case class ConstRule(sub: Rule) extends Rule {
     (in, dtype)
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     sub.validCol(in, dtype, ctx)
+  override def acceptsName(name: String): Boolean = sub.acceptsName(name)
+  override def acceptsNull: Boolean = sub.acceptsNull
 }
 
-/** `Schema(name=...)` (/root/reference/schema/__init__.py:428-435): prepends
-  * `'name' ` to messages raised directly by the wrapped rule.
+/** `Schema(name=..., description=..., as_reference=...)`
+  * (/root/reference/schema/__init__.py:428-435,372-381): prepends `'name' `
+  * to messages raised directly by the wrapped rule; `description` and
+  * `asReference` feed the json_schema export (title/description metadata and
+  * `$ref`/definitions hash-consing — validation behavior is unchanged).
   */
-final case class NamedRule(name: String, sub: Rule) extends Rule {
+final case class NamedRule(name: String, sub: Rule,
+                           description: Option[String] = None,
+                           asReference: Boolean = false) extends Rule {
   def reprStr: String = sub.reprStr
   override def transformFree: Boolean = sub.transformFree
   def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled =
@@ -349,6 +428,8 @@ final case class NamedRule(name: String, sub: Rule) extends Rule {
     sub.compileValue(in, dtype, ctx)
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     sub.validCol(in, dtype, ctx)
+  override def acceptsName(name: String): Boolean = sub.acceptsName(name)
+  override def acceptsNull: Boolean = sub.acceptsNull
 }
 
 /** `error=` channel (/root/reference/schema/__init__.py:507,524,544,567…):
@@ -367,6 +448,8 @@ final case class WithErrorRule(sub: Rule, template: String) extends Rule {
     sub.compileValue(in, dtype, ctx)
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     sub.validCol(in, dtype, ctx)
+  override def acceptsName(name: String): Boolean = sub.acceptsName(name)
+  override def acceptsNull: Boolean = sub.acceptsNull
 }
 
 /** ITERABLE flavor (/root/reference/schema/__init__.py:447-450): container
@@ -445,39 +528,61 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
 
 /** DICT flavor with pattern keys over MapType data
   * (`{str: int}`, README.rst:239-249; key transforms tested
-  * test_schema.py:319-326): every entry's key must satisfy `keyRule` (else
-  * wrong key, /root/reference/schema/__init__.py:525-546) and its value
-  * `valueRule`. Entries iterate in sorted-key order for deterministic
-  * first-error selection (documented deviation: Python iterates insertion
-  * order).
+  * test_schema.py:319-326), now with MIXED literal+pattern entries
+  * (`{'key': 42, object: 42}`, test_schema.py:674-691): each map entry binds
+  * to the FIRST rule pair (priority order — literal keys before catch-alls,
+  * mirror of `_dict_key_priority`, /root/reference/schema/__init__.py:404-410,
+  * 457) whose key rule accepts the key; the bound value rule must then pass
+  * (no fallthrough on value failure — the reference raises, :498-509). Keys
+  * accepted by no entry are wrong keys (:525-546). Entries iterate in
+  * sorted-key order for deterministic first-error selection (documented
+  * deviation: Python iterates insertion order).
   */
-final case class MapRule(keyRule: Rule, valueRule: Rule) extends Rule {
-  def reprStr: String = s"{${keyRule.reprStr}: ${valueRule.reprStr}}"
-  override def transformFree: Boolean = keyRule.transformFree && valueRule.transformFree
+final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
+  require(entries.nonEmpty, "MapRule needs at least one (key, value) entry")
+  def reprStr: String =
+    entries.map { case (k, v) => s"${k.reprStr}: ${v.reprStr}" }.mkString("{", ", ", "}")
+  override def transformFree: Boolean =
+    entries.forall { case (k, v) => k.transformFree && v.transformFree }
+
+  /** value-rule dispatch: first entry whose key rule accepts `k` wins. */
+  private def dispatch(k: Column, kt: DataType, v: Column, vt: DataType, cctx: Ctx)
+                      (use: (Rule, Column, DataType) => Column, orElse: Column): Column =
+    entries.foldRight(orElse) { case ((kr, vr), acc) =>
+      when(kr.validCol(k, kt, cctx), use(vr, v, vt)).otherwise(acc)
+    }
+  private def keyMatched(k: Column, kt: DataType, cctx: Ctx): Column =
+    entries.map { case (kr, _) => kr.validCol(k, kt, cctx) }.reduce(_ || _)
+
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
     case MapType(kt, vt, _) =>
       val cctx = ctx.clearName
       in.isNotNull && forall(map_entries(in), e =>
-        keyRule.validCol(e.getField("key"), kt, cctx) &&
-          valueRule.validCol(e.getField("value"), vt, cctx))
+        dispatch(e.getField("key"), kt, e.getField("value"), vt, cctx)(
+          (vr, v, t) => vr.validCol(v, t, cctx), lit(false)))
     case _ => lit(false)
   }
   def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
     val cctx = ctx.clearName
     dtype match {
       case MapType(kt, vt, _) =>
-        val badKeys = map_keys(map_filter(in, (k, _) => keyRule.compile(k, kt, cctx).error.isNotNull))
+        val badKeys = map_keys(map_filter(in, (k, _) => !keyMatched(k, kt, cctx)))
         val badKeyReprs = array_sort(transform(badKeys, k => PyRepr.repr(k, kt)))
         val wrongMsg = ctx.prefixed(concat(
           lit("Wrong key"), when(size(badKeys) > 1, "s").otherwise(""), lit(" "),
           array_join(badKeyReprs, ", "), lit(" in "), PyRepr.repr(in, dtype)))
-        // first (by sorted key) entry whose key matches but value fails
-        val entries = array_sort(map_entries(in))
-        val badVals = filter(entries, e =>
-          keyRule.compile(e.getField("key"), kt, cctx).error.isNull &&
-            valueRule.compile(e.getField("value"), vt, cctx).error.isNotNull)
+        // first (by sorted key) entry whose key matches but its BOUND value
+        // rule fails
+        val sorted = array_sort(map_entries(in))
+        val badVals = filter(sorted, e =>
+          keyMatched(e.getField("key"), kt, cctx) &&
+            dispatch(e.getField("key"), kt, e.getField("value"), vt, cctx)(
+              (vr, v, t) => vr.compile(v, t, cctx).error.isNotNull, lit(false)))
         val firstBad = element_at(badVals, 1)
-        val innerErr = valueRule.compile(firstBad.getField("value"), vt, cctx).error
+        val innerErr = entries.foldRight(Err.none) { case ((kr, vr), acc) =>
+          when(kr.validCol(firstBad.getField("key"), kt, cctx),
+            vr.compile(firstBad.getField("value"), vt, cctx).error).otherwise(acc)
+        }
         val keyPrefix = ctx.prefixed(concat(lit("Key '"),
           firstBad.getField("key").cast(StringType), lit("' error:")))
         val typeMsg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
@@ -487,14 +592,24 @@ final case class MapRule(keyRule: Rule, valueRule: Rule) extends Rule {
             Err.wrap(innerErr, Some(Err.SchemaError), Some(keyPrefix), None))
           .when(size(badKeys) > 0, Err.one(Err.WrongKey, wrongMsg))
           .otherwise(Err.none)
-        val kOut = keyRule.compile(map_keys(in)(0), kt, cctx).dtype
-        val vOut = valueRule.compile(map_values(in)(0), vt, cctx).dtype
         val value =
           if (transformFree) in
-          else transform_values(
-            transform_keys(in, (k, _) => keyRule.compile(k, kt, cctx).value),
-            (_, v) => valueRule.compile(v, vt, cctx).value)
-        val outT = if (transformFree) dtype else MapType(kOut, vOut)
+          else {
+            require(entries.size == 1,
+              "MapRule: value/key transforms are only supported with a single entry " +
+                "(mixed-entry dispatch would need a common output type)")
+            val (keyRule, valueRule) = entries.head
+            transform_values(
+              transform_keys(in, (k, _) => keyRule.compile(k, kt, cctx).value),
+              (_, v) => valueRule.compile(v, vt, cctx).value)
+          }
+        val outT =
+          if (transformFree) dtype
+          else {
+            val (keyRule, valueRule) = entries.head
+            MapType(keyRule.compile(map_keys(in)(0), kt, cctx).dtype,
+              valueRule.compile(map_values(in)(0), vt, cctx).dtype)
+          }
         Compiled(value, outT, err)
       case other =>
         val msg = ctx.prefixed(concat(PyRepr.repr(in, other),
@@ -502,4 +617,8 @@ final case class MapRule(keyRule: Rule, valueRule: Rule) extends Rule {
         Compiled(in, other, Err.one(Err.UnexpectedType, msg))
     }
   }
+}
+
+object MapRule {
+  def apply(keyRule: Rule, valueRule: Rule): MapRule = MapRule(Seq((keyRule, valueRule)))
 }

@@ -11,9 +11,12 @@ object FieldKind {
   /** `Optional(key[, default=v])` (/root/reference/schema/__init__.py:892-923).
     * Absence ≙ null column value (static-schema convention, SURVEY.md §2.2);
     * a default fills absent values verbatim, NOT re-validated
-    * (README.rst:301-302).
+    * (README.rst:301-302). `defaultFn` is the CALLABLE default
+    * (:352-357,553-558): invoked driver-side with the validate-kwargs
+    * (`Ctx.params`), exactly once per compiled plan.
     */
-  final case class Opt(default: Option[Any] = None) extends FieldKind
+  final case class Opt(default: Option[Any] = None,
+                       defaultFn: Option[Map[String, Any] => Any] = None) extends FieldKind
   /** `Forbidden(key)` (/root/reference/schema/__init__.py:933-942): presence
     * with a matching value is itself the violation; sorts before other checks
     * on the same key (Hook priority −0.5, :407).
@@ -27,7 +30,26 @@ object FieldKind {
 }
 
 final case class FieldRule(name: String, rule: Rule,
-                           kind: FieldKind = FieldKind.Required)
+                           kind: FieldKind = FieldKind.Required,
+                           keyTitle: Option[String] = None,
+                           keyDescription: Option[String] = None) {
+  /** `Literal(key, title=..., description=...)` metadata
+    * (/root/reference/schema/__init__.py:945-972): carried to the
+    * json_schema export; validation ignores it.
+    */
+  def titled(t: String): FieldRule = copy(keyTitle = Some(t))
+  def described(d: String): FieldRule = copy(keyDescription = Some(d))
+}
+
+/** PATTERN KEY over static struct columns (`{str: int}` and the MIXED form
+  * `{'name': str, str: int}`, /root/reference/schema/__init__.py:457,
+  * test_schema.py:674-691): any column not claimed by a literal field whose
+  * NAME statically satisfies `keyRule` validates against `valueRule` (null =
+  * absent, as for Optional). `required = true` mirrors a bare (non-Optional)
+  * pattern key: at least one claimed column must be present, else
+  * `Missing key: <repr>`.
+  */
+final case class PatternRule(keyRule: Rule, valueRule: Rule, required: Boolean = true)
 
 /** Everything the DICT flavor produces, per row: the transformed output
   * struct, the FIRST error (exception-parity: the reference raises exactly
@@ -52,18 +74,44 @@ final case class StructRule(fields: Seq[FieldRule],
                             ignoreExtra: Boolean = false,
                             xorGroups: Seq[(String, Seq[String])] = Nil,
                             rowChecks: Seq[(String, Column => Column)] = Nil,
-                            wrongKeyError: Option[String] = None) extends Rule {
+                            wrongKeyError: Option[String] = None,
+                            patterns: Seq[PatternRule] = Nil) extends Rule {
 
   def reprStr: String =
-    fields.map(f => s"'${f.name}': ${f.rule.reprStr}").mkString("{", ", ", "}")
+    (fields.map(f => s"'${f.name}': ${f.rule.reprStr}") ++
+      patterns.map(p => s"${p.keyRule.reprStr}: ${p.valueRule.reprStr}"))
+      .mkString("{", ", ", "}")
 
   override def transformFree: Boolean = fields.forall { f =>
     f.kind match {
-      case FieldKind.Required | FieldKind.Opt(None) => f.rule.transformFree
-      case FieldKind.Opt(Some(_)) => false
+      case FieldKind.Required | FieldKind.Opt(None, None) => f.rule.transformFree
+      case _: FieldKind.Opt => false
       case _ => true // hooks/forbidden contribute nothing to the output
     }
+  } && patterns.forall(_.valueRule.transformFree)
+
+  /** Pattern-key binding over the static schema: literal fields claim their
+    * columns first, then each remaining column binds to the FIRST pattern
+    * whose key rule statically accepts its name (key-priority order,
+    * /root/reference/schema/__init__.py:457). Claimed columns behave like
+    * Optional fields (presence is row-dependent under the null convention);
+    * required patterns additionally demand ≥1 present claimed column.
+    */
+  private def patternClaims(st: StructType): Seq[(Int, String)] = {
+    if (patterns.isEmpty) Nil
+    else {
+      val declared = fields.map(_.name).toSet
+      st.fields.toIndexedSeq.map(_.name).filterNot(declared.contains).flatMap { n =>
+        patterns.zipWithIndex.collectFirst {
+          case (p, i) if p.keyRule.acceptsName(n) => (i, n)
+        }
+      }
+    }
   }
+  private def effectiveFields(st: StructType): Seq[FieldRule] =
+    fields ++ patternClaims(st).map { case (i, n) =>
+      FieldRule(n, patterns(i).valueRule, FieldKind.Opt())
+    }
 
   def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
     val sc = compileStruct(in, dtype, ctx)
@@ -78,10 +126,12 @@ final case class StructRule(fields: Seq[FieldRule],
     val cctx = ctx.clearName
     val st = dtype.asInstanceOf[StructType]
     val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
-    val fieldConds: Seq[Column] = fields.flatMap { fr =>
+    val eff = effectiveFields(st)
+    val fieldConds: Seq[Column] = eff.flatMap { fr =>
       dataTypes.get(fr.name) match {
         case None => fr.kind match {
-          case FieldKind.Required => Some(lit(false)) // statically missing
+          case FieldKind.Required if !fr.rule.acceptsNull =>
+            Some(lit(false)) // statically missing
           case _ => None
         }
         case Some(dt) =>
@@ -91,26 +141,47 @@ final case class StructRule(fields: Seq[FieldRule],
             case FieldKind.Forbidden =>
               Some(!(c.isNotNull && fr.rule.validCol(c, dt, cctx)))
             case FieldKind.Required =>
-              Some(c.isNotNull && fr.rule.validCol(c, dt, cctx))
-            case FieldKind.Opt(_) =>
+              // acceptsNull rules (is(None), anything, Or-with-null) must not
+              // be gated on presence: under "absence ≙ null" a required
+              // None-valued key would otherwise be unsatisfiable
+              if (fr.rule.acceptsNull) Some(fr.rule.validCol(c, dt, cctx))
+              else Some(c.isNotNull && fr.rule.validCol(c, dt, cctx))
+            case _: FieldKind.Opt =>
               Some(c.isNull || fr.rule.validCol(c, dt, cctx))
           }
       }
     }
+    val patternConds = requiredPatternPresence(in, st)
     val xorConds = xorGroups.map { case (_, members) =>
       members.map { m =>
         if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0)
         else lit(0)
       }.reduce(_ + _) <= 1
     }
-    val declared = fields.map(_.name).toSet
+    val claimed = eff.map(_.name).toSet
     val extraConds =
       if (ignoreExtra) Nil
-      else st.fields.map(_.name).filterNot(declared.contains)
+      else st.fields.map(_.name).filterNot(claimed.contains)
         .map(e => in.getField(e).isNull).toSeq
     val rowConds = rowChecks.map { case (_, f) => coalesce(f(in), lit(false)) }
-    (fieldConds ++ xorConds ++ extraConds ++ rowConds)
+    (fieldConds ++ patternConds ++ xorConds ++ extraConds ++ rowConds)
       .reduceOption(_ && _).getOrElse(lit(true))
+  }
+
+  /** Required-pattern coverage: ≥1 claimed column present per required
+    * pattern (statically unclaimed required pattern = always missing).
+    */
+  private def requiredPatternPresence(in: Column, st: StructType): Seq[Column] = {
+    if (patterns.forall(!_.required)) Nil
+    else {
+      val claims = patternClaims(st)
+      patterns.zipWithIndex.collect {
+        case (p, i) if p.required =>
+          val cols = claims.collect { case (`i`, n) => n }
+          if (cols.isEmpty) lit(false)
+          else cols.map(n => in.getField(n).isNotNull).reduce(_ || _)
+      }
+    }
   }
 
   def compileStruct(in: Column, dtype: DataType, ctx: Ctx): StructCompiled = {
@@ -126,8 +197,9 @@ final case class StructRule(fields: Seq[FieldRule],
     // evaluation order: data column order, scalars before nested structs (:467-469)
     val orderedData: Seq[StructField] =
       st.fields.toIndexedSeq.sortBy(f => f.dataType.isInstanceOf[StructType])
+    val eff = effectiveFields(st)
     val byName: Map[String, Seq[FieldRule]] =
-      fields.groupBy(_.name).view.mapValues { fs =>
+      eff.groupBy(_.name).view.mapValues { fs =>
         fs.sortBy(f => if (f.kind == FieldKind.Forbidden ||
           f.kind.isInstanceOf[FieldKind.Hook]) 0 else 1) // hooks first (:407)
       }.toMap
@@ -163,20 +235,37 @@ final case class StructRule(fields: Seq[FieldRule],
       when(cnt > 1, Err.one(Err.OnlyOneAllowed, msg)).otherwise(Err.none)
     }
 
-    val required = fields.filter(_.kind == FieldKind.Required).map(_.name).distinct
-    val missingErr: Option[Column] = if (required.isEmpty) None else {
-      val reprs = required.map { r =>
-        val absent = if (dataTypes.contains(r)) in.getField(r).isNull else lit(true)
-        when(absent, lit(s"'$r'")).otherwise(lit(null).cast(StringType))
+    // acceptsNull rules are satisfiable by an absent (null) key, so they are
+    // never "missing" under the static-column convention
+    val required = fields
+      .filter(f => f.kind == FieldKind.Required && !f.rule.acceptsNull)
+      .map(_.name).distinct
+    val claims = patternClaims(st)
+    val requiredPatterns = patterns.zipWithIndex.filter(_._1.required)
+    val missingErr: Option[Column] =
+      if (required.isEmpty && requiredPatterns.isEmpty) None
+      else {
+        val fieldReprs = required.map { r =>
+          val absent = if (dataTypes.contains(r)) in.getField(r).isNull else lit(true)
+          when(absent, lit(s"'$r'")).otherwise(lit(null).cast(StringType))
+        }
+        // a required pattern is missing when NO claimed column is present;
+        // its repr is the key rule's repr (`Missing key: <class 'str'>`)
+        val patternReprs = requiredPatterns.map { case (p, i) =>
+          val cols = claims.collect { case (`i`, n) => n }
+          val anyPresent =
+            if (cols.isEmpty) lit(false)
+            else cols.map(n => in.getField(n).isNotNull).reduce(_ || _)
+          when(!anyPresent, lit(p.keyRule.reprStr)).otherwise(lit(null).cast(StringType))
+        }
+        val missing = array_sort(filter(array(fieldReprs ++ patternReprs: _*), x => x.isNotNull))
+        val msg = ctx.prefixed(concat(lit("Missing key"),
+          when(size(missing) > 1, "s").otherwise(""), lit(": "),
+          array_join(missing, ", ")))
+        Some(when(size(missing) > 0, Err.one(Err.MissingKey, msg)).otherwise(Err.none))
       }
-      val missing = array_sort(filter(array(reprs: _*), x => x.isNotNull))
-      val msg = ctx.prefixed(concat(lit("Missing key"),
-        when(size(missing) > 1, "s").otherwise(""), lit(": "),
-        array_join(missing, ", ")))
-      Some(when(size(missing) > 0, Err.one(Err.MissingKey, msg)).otherwise(Err.none))
-    }
 
-    val declared = fields.map(_.name).toSet
+    val declared = eff.map(_.name).toSet
     val extras = st.fields.map(_.name).filterNot(declared.contains)
     val wrongErr: Option[Column] =
       if (ignoreExtra || extras.isEmpty) None
@@ -231,7 +320,7 @@ final case class StructRule(fields: Seq[FieldRule],
     val cctx = ctx.clearName
     val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
     fields.collect {
-      case FieldRule(name, r, FieldKind.Hook(hn)) if dataTypes.contains(name) =>
+      case FieldRule(name, r, FieldKind.Hook(hn), _, _) if dataTypes.contains(name) =>
         hn -> (in.getField(name).isNotNull && r.validCol(in.getField(name), dataTypes(name), cctx))
     }
   }
@@ -241,18 +330,21 @@ final case class StructRule(fields: Seq[FieldRule],
     */
   def outputFields(in: Column, st: StructType, cctx: Ctx): Seq[(String, Column, DataType)] = {
     val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
-    fields.flatMap { fr =>
+    effectiveFields(st).flatMap { fr =>
       fr.kind match {
         case FieldKind.Forbidden | FieldKind.Hook(_) => None
-        case FieldKind.Opt(default) =>
+        case FieldKind.Opt(default, defaultFn) =>
+          // callable defaults run driver-side with the validate-kwargs
+          // (_invoke_with_optional_kwargs, schema/__init__.py:352-357)
+          val dflt: Option[Any] = defaultFn.map(f => f(cctx.params)).orElse(default)
           if (dataTypes.contains(fr.name)) {
             val (v0, dt) = fr.rule.compileValue(in.getField(fr.name), dataTypes(fr.name), cctx)
-            val v = default match {
+            val v = dflt match {
               case Some(d) => coalesce(v0, lit(d).cast(dt))
               case None => v0
             }
             Some((fr.name, v, dt))
-          } else default.map { d =>
+          } else dflt.map { d =>
             val l = lit(d); (fr.name, l, literalType(d))
           }
         case FieldKind.Required =>

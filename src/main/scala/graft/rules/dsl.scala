@@ -35,6 +35,12 @@ object dsl {
   def isin(vs: Any*): Rule = OrRule(vs.map(EqLit))
 
   def pred(name: String)(f: Column => Column): Rule = Pred(name, f)
+  /** Predicate that reads the validate-kwargs (`Ctx.params`) — the
+    * `validate(data, **kwargs)` consumption path (test_schema.py:796-838). */
+  def predP(name: String)(f: (Column, Map[String, Any]) => Column): Rule = PredP(name, f)
+  /** Transform parameterized by validate-kwargs. */
+  def useP(name: String, out: DataType)(f: (Column, Map[String, Any]) => Column): Rule =
+    UseP(name, out, f)
   def regex(pattern: String, flags: String = ""): Rule = MatchesRegex(pattern, flags)
 
   // Use — transform while validating (/root/reference/schema/__init__.py:289-328)
@@ -60,12 +66,38 @@ object dsl {
   def arrayOfFast(elem: Rule)(fastAll: Column => Column): Rule =
     ArrayRule(elem, Some(fastAll))
   def mapOf(k: Rule, v: Rule): Rule = MapRule(k, v)
+  /** Mixed literal+pattern keys over MapType data, priority-sorted like the
+    * reference (`_dict_key_priority`: COMPARABLE < CALLABLE < VALIDATOR <
+    * TYPE — literal keys claim entries before catch-alls). */
+  def mapOfEntries(entries: (Rule, Rule)*): Rule =
+    MapRule(entries.sortBy { case (k, _) => keyPriority(k) })
+  private def keyPriority(r: Rule): Int = r match {
+    case _: EqLit => 0 // COMPARABLE
+    case _: Pred | _: PredP => 1 // CALLABLE
+    case _: MatchesRegex => 2 // VALIDATOR
+    case _: IsType => 3 // TYPE
+    case NamedRule(_, sub, _, _) => keyPriority(sub)
+    case WithErrorRule(sub, _) => keyPriority(sub)
+    case AndRule(rs) => rs.map(keyPriority).min
+    case OrRule(rs) => rs.map(keyPriority).min
+    case _ => 2
+  }
+  /** Pattern key over static struct columns (required form: `{str: int}`). */
+  def pattern(key: Rule, value: Rule): PatternRule = PatternRule(key, value)
+  /** `Optional(str): ...` pattern key — claimed columns validate, nothing
+    * is required. */
+  def optPattern(key: Rule, value: Rule): PatternRule =
+    PatternRule(key, value, required = false)
 
   // dict/struct fields
   def req(name: String, r: Rule): FieldRule = FieldRule(name, r, FieldKind.Required)
   def opt(name: String, r: Rule): FieldRule = FieldRule(name, r, FieldKind.Opt(None))
   def optDefault(name: String, r: Rule, default: Any): FieldRule =
     FieldRule(name, r, FieldKind.Opt(Some(default)))
+  /** `Optional(key, default=callable)` — invoked with the validate-kwargs
+    * (schema/__init__.py:352-357,553-558; test_schema.py:838-869). */
+  def optDefaultFn(name: String, r: Rule, default: Map[String, Any] => Any): FieldRule =
+    FieldRule(name, r, FieldKind.Opt(None, Some(default)))
   def forbidden(name: String, r: Rule = anything): FieldRule =
     FieldRule(name, r, FieldKind.Forbidden)
   def hook(name: String, r: Rule, hookName: String): FieldRule =
@@ -74,6 +106,17 @@ object dsl {
   def schema(fields: FieldRule*): StructRule = StructRule(fields)
   def schemaIgnoreExtra(fields: FieldRule*): StructRule =
     StructRule(fields, ignoreExtra = true)
+  /** Dict schema with MIXED literal + pattern keys over static columns
+    * (`{'name': str, str: int}`, test_schema.py:674-691). */
+  def schemaWithPatterns(patterns: Seq[PatternRule], fields: FieldRule*): StructRule =
+    StructRule(fields, patterns = patterns)
+
+  /** `Schema(..., name=..., description=..., as_reference=True)` — metadata
+    * for the json_schema export ($ref/definitions). */
+  def asRef(name: String, r: Rule, description: Option[String] = None): Rule =
+    NamedRule(name, r, description, asReference = true)
+  def described(name: String, description: String, r: Rule): Rule =
+    NamedRule(name, r, Some(description))
 
   // common predicates
   def between(lo: Double, hi: Double): Rule =

@@ -73,4 +73,58 @@ class JsonSchemaSpec extends AnyFunSuite {
     assert(export(r, "my-id") ==
       s"""{"type": "object", "properties": {"a": {"type": "integer"}}, "required": ["a"], "additionalProperties": false, $tail}""")
   }
+
+  // --- title/description metadata (test_schema.py:1447-1474) ---
+  test("schema + literal-key title and description") {
+    val r = schema(req("productId", int)
+      .titled("Product ID").described("The unique identifier for a product"))
+      .named("Product")
+    val rr = graft.rules.NamedRule("Product",
+      schema(req("productId", int).titled("Product ID")
+        .described("The unique identifier for a product")),
+      Some("A product in the catalog"))
+    assert(export(rr, "my-id") ==
+      s"""{"title": "Product", "description": "A product in the catalog", "type": "object", "properties": {"productId": {"title": "Product ID", "description": "The unique identifier for a product", "type": "integer"}}, "required": ["productId"], "additionalProperties": false, $tail}""")
+    assert(export(r, "my-id").contains(""""title": "Product ID""""))
+  }
+
+  // --- named descriptions inside Or (test_schema.py:1477-1514) ---
+  test("title/description on Or branches") {
+    val r = schema(req("test", or(
+      described("Option 1", "This is the first option", is("option1")),
+      described("Option 2", "This is the second option", is("option2")))))
+    assert(export(r, "my-id") ==
+      s"""{"type": "object", "properties": {"test": {"anyOf": [{"title": "Option 1", "description": "This is the first option", "const": "option1"}, {"title": "Option 2", "description": "This is the second option", "const": "option2"}]}}, "required": ["test"], "additionalProperties": false, $tail}""")
+  }
+
+  // --- as_reference → definitions + $ref (test_schema.py:1650-1678) ---
+  test("as_reference collects definitions and emits refs") {
+    val r = or(
+      asRef("Inner test", arrayOf(str)),
+      asRef("Inner test2", arrayOf(str)))
+    assert(export(r, "my-id") ==
+      s"""{"anyOf": [{"$$ref": "#/definitions/Inner test"}, {"$$ref": "#/definitions/Inner test2"}], "definitions": {"Inner test": {"title": "Inner test", "type": "array", "items": {"type": "string"}}, "Inner test2": {"title": "Inner test2", "type": "array", "items": {"type": "string"}}}, $tail}""")
+  }
+
+  test("as_reference reused twice emits ONE definition") {
+    val shared = asRef("Shared", schema(req("x", int)))
+    val r = schema(req("a", shared), req("b", shared))
+    val out = export(r, "my-id")
+    assert("\\{\"\\$ref\": \"#/definitions/Shared\"\\}".r.findAllIn(out).size == 2)
+    assert("\"Shared\": \\{\"title\"".r.findAllIn(out).size == 1)
+  }
+
+  // --- use_refs hash-consing (test_schema.py:1681-1703, structural) ---
+  test("use_refs: repeated sub-schemas collapse to $id/$ref") {
+    val r = schema(req("test1", str), req("test2", str), req("test3", str))
+    val out = export(r, "my-id", useRefs = true)
+    // exactly one property carries the $id, the other two reference it
+    val ids = "\"\\$id\": \"#\\d+\"".r.findAllIn(out).toSeq
+    val refs = "\"\\$ref\": \"#\\d+\"".r.findAllIn(out).toSeq
+    assert(ids.size == 1)
+    assert(refs.size == 2)
+    assert(refs.forall(_.endsWith(ids.head.split(" ")(1))))
+    // without use_refs: three inline string schemas, no ids
+    assert(!export(r, "my-id").contains("$ref"))
+  }
 }

@@ -40,6 +40,33 @@ class MapJsonSpec extends SparkSpec {
     assert(out == Map("key" -> 5))
   }
 
+  test("mixed literal + pattern map keys: {'key': 42, object: 42} (test_schema.py:674-676)") {
+    val rule = mapOfEntries(is("key") -> is(42), str -> is(42))
+    val dt = Seq(Map("key" -> 42)).toDF("v").schema("v").dataType
+    def okOf(m: Map[String, Int]): Boolean = {
+      val df = Seq(m).toDF("v")
+      df.select(rule.compile(col("v"), dt, Ctx()).error.isNull).head().getBoolean(0)
+    }
+    assert(okOf(Map("key" -> 42, "other" -> 42)))
+    assert(!okOf(Map("key" -> 41))) // literal key binds, value must match
+    assert(!okOf(Map("other" -> 41)))
+  }
+
+  test("mixed map keys: literal binding beats catch-all with different value rules") {
+    // {'n': int<=10, str: int}: 'n' gets the stricter rule, others the loose one
+    val rule = mapOfEntries(
+      is("n") -> and(int, pred("<lambda>")(_ <= 10)),
+      str -> int)
+    val dt = Seq(Map("n" -> 1)).toDF("v").schema("v").dataType
+    def code(m: Map[String, Int]): String = {
+      val df = Seq(m).toDF("v")
+      df.select(Err.code(rule.compile(col("v"), dt, Ctx()).error)).head().getString(0)
+    }
+    assert(code(Map("n" -> 5, "x" -> 999)) == null)
+    val c = code(Map("n" -> 99, "x" -> 1))
+    assert(c != null && c.startsWith("Key 'n' error:"))
+  }
+
   test("JSON gist: Use(json.loads) then struct rule (test_schema.py:610-628)") {
     val gist = """{"description": "the description", "public": true, "files": {"file1": {"content": "..."}}}"""
     val parsed = StructType(Seq(

@@ -130,6 +130,20 @@ class RuleSpec extends SparkSpec {
     assert(got._1 == Seq(1, 2))
   }
 
+  // Or branches with incompatible TRANSFORMED types are a plan-time error
+  // (round 1 silently cast both to string)
+  test("Or of incompatible Use transforms fails loudly at compile time") {
+    val bad = or(useInt, useTimestamp("yyyy-MM-dd"))
+    val e = intercept[IllegalArgumentException] {
+      bad.compile(col("v"), org.apache.spark.sql.types.StringType, Ctx())
+    }
+    assert(e.getMessage.contains("incompatible value types"))
+    // numeric branches still widen value-preservingly
+    val ok = or(useInt, useFloat)
+    val got = one(ok, Seq("2.5").toDF("v"))
+    assert(got._2 == null && got._1 == 2.5)
+  }
+
   // fastAll soundness: array_min/array_max SKIP null elements, so with
   // containsNull=true the fast path must be bypassed — a null element (or an
   // all-null array) is a violation on BOTH the validity and message paths.

@@ -124,6 +124,80 @@ class StructSpec extends SparkSpec {
     assert(res.violations.select("n").as[Int].head() == 3)
   }
 
+  test("mixed literal + pattern keys: literals claim first (test_schema.py:674-691)") {
+    // Schema({"ID": ..., "FILE": ..., Optional(str): object}) over data with
+    // extra string-named keys: the pattern catches 'other'/'other2'
+    val df = Seq((10, Some("f"), Some("x"), Some("y"))).toDF("ID", "FILE", "other", "other2")
+    val rule = StructRule(
+      fields = Seq(req("ID", int), req("FILE", or(isNone, str))),
+      patterns = Seq(optPattern(str, anything)))
+    val res = Validator.run(df, rule)
+    assert(res.isValid)
+    // pattern-claimed columns stay in the output
+    assert(res.validated.columns.toSeq == Seq("ID", "FILE", "other", "other2"))
+    // absent pattern matches are fine for Optional(str)
+    val df2 = Seq((10, Some("f"), Option.empty[String], Option.empty[String]))
+      .toDF("ID", "FILE", "other", "other2")
+    assert(Validator.run(df2, rule).isValid)
+  }
+
+  test("required pattern key: Missing key: <class 'str'> when nothing claimed") {
+    // Schema({str: int}).validate({}) raises Missing key: <class 'str'>
+    val df = Seq(Tuple1(Option.empty[Int])).toDF("a")
+    val rule = StructRule(fields = Nil, patterns = Seq(pattern(str, int)))
+    val (k, c) = firstError(rule, df)
+    assert(k == Err.MissingKey)
+    assert(c == "Missing key: <class 'str'>")
+    // present claimed column with valid value passes
+    assert(Validator.run(Seq(Tuple1(5)).toDF("a"), rule).isValid)
+    // claimed column failing the value rule is a violation
+    assert(!Validator.run(Seq(Tuple1("s")).toDF("a"), rule).isValid)
+  }
+
+  test("pattern key priority: regex pattern beats catch-all (issue #9 shape)") {
+    val df = Seq(("v", 7)).toDF("special_key", "num_key")
+    val rule = StructRule(fields = Nil, patterns = Seq(
+      optPattern(regex("^special"), str),
+      optPattern(str, int)))
+    assert(Validator.run(df, rule).isValid)
+    // swap the column types: both now fail their bound pattern
+    val bad = Seq((7, "v")).toDF("special_key", "num_key")
+    assert(!Validator.run(bad, rule).isValid)
+  }
+
+  test("required None-valued key is satisfiable (Schema({'key': None}))") {
+    val df = Seq(Tuple1(Option.empty[Int])).toDF("key")
+    assert(Validator.run(df, schema(req("key", isNone))).isValid)
+    // and a non-null value still fails it
+    assert(!Validator.run(Seq(Tuple1(Some(5))).toDF("key"), schema(req("key", isNone))).isValid)
+  }
+
+  test("callable default invoked with validate kwargs (test_schema.py:838-869)") {
+    val df = Seq(Tuple1("x")).toDF("k")
+    val rule = schema(req("k", str),
+      optDefaultFn("d", int, kw => 2 + kw.getOrElse("increment", 0).asInstanceOf[Int]))
+    val r1 = Validator.run(df, rule, Ctx(params = Map("increment" -> 1)))
+    assert(r1.validated.select("d").as[Int].head() == 3)
+    val r10 = Validator.run(df, rule, Ctx(params = Map("increment" -> 10)))
+    assert(r10.validated.select("d").as[Int].head() == 12)
+    // no-arg callable ignores kwargs (test_schema.py:860-869)
+    val rule42 = schema(req("k", str), optDefaultFn("d", int, _ => 42))
+    assert(Validator.run(df, rule42, Ctx(params = Map("increment" -> 10)))
+      .validated.select("d").as[Int].head() == 42)
+  }
+
+  test("predP consumes validate kwargs (test_schema.py:796-815 recast)") {
+    val df = Seq(Tuple1(5)).toDF("v")
+    val rule = schema(req("v", predP("below_limit")(
+      (c, kw) => c < lit(kw.getOrElse("limit", 0).asInstanceOf[Int]))))
+    assert(Validator.run(df, rule, Ctx(params = Map("limit" -> 10))).isValid)
+    assert(!Validator.run(df, rule, Ctx(params = Map("limit" -> 3))).isValid)
+    // message parity with Pred
+    val v = Validator.run(df, rule, Ctx(params = Map("limit" -> 3)))
+      .violations.select("code").head().getString(0)
+    assert(v == "Key 'v' error:\nbelow_limit(5) should evaluate to True")
+  }
+
   test("verdicts aggregate per partition") {
     val df = spark.range(0, 100, 1, 4)
       .select(col("id").cast("int").as("v"))
