@@ -229,11 +229,15 @@ object SparkEntry {
         .select(col("doc_id"))
     }),
     "q_minhash_neardups" -> ((s, dir) => {
-      // r=1, b=32 banding: P(miss | jaccard >= 0.5) = (1-J)^32 ≤ 2.3e-10 —
-      // empirically recall 1 on this deterministic data, so the all-pairs
-      // exact-jaccard oracle is an equality check, not an approximation
+      // r=2, b=16 banding: P(miss | jaccard = 0.5) = (1-0.25)^16 ≈ 1% per
+      // pair and falls off fast above the threshold — recall 1 on this
+      // deterministic data (asserted against the all-pairs exact-jaccard
+      // oracle at sf0.01), while 2-hash bucket keys keep candidate volume
+      // ~40× below single-hash banding (r=1/b=32 measured 286 s at sf0.1:
+      // template-generated texts share single min-hashes across hundreds of
+      // docs, so 1-hash buckets go quadratic)
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
-        shingleK = 7, numHashes = 32, bands = 32, threshold = 0.5)
+        shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
     }),
     "q_simhash_neardups" -> ((s, dir) => {
       // sketch materialized; bands = maxHamming+1 ⇒ recall 1 by pigeonhole,
@@ -270,8 +274,14 @@ object SparkEntry {
       val sf = "sf([0-9.]+)".r.findFirstMatchIn(dir)
         .map(_.group(1).toDouble).getOrElse(0.001)
       val rows = math.max((6000000 * sf).toLong, 1000L)
-      val seqs = materialize(s,
-        graft.gen.SequenceGen.sequences(s, rows, 16), "q_seq_input", files = 16)
+      // materialization exists solely for the DuckDB oracle, which the
+      // driver evaluates at sf<=0.01 — at bench scale validate the generated
+      // frame directly (production reads its input from storage anyway;
+      // Bench measures over a pre-materialized parquet table)
+      val gen = graft.gen.SequenceGen.sequences(s, rows, 16)
+      val seqs =
+        if (rows <= 100000) materialize(s, gen, "q_seq_input", files = 16)
+        else gen
       SeqValidation.validate(seqs).violations
         .select(col("doc_id"), col("n_tok"), col("source"), col("violation_kind"))
     }),
