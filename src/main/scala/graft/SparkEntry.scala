@@ -267,6 +267,17 @@ object SparkEntry {
       materialize(s, buckets, "q_embedding_buckets")
       Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 5, bands = 8, bitsPerBand = 8)
     }),
+    "q_ivf_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
+      val cells = e.select(col("vec_id").as("id"),
+        graft.pipeline.Ivf.cellOf(col("embedding"), cents).as("cell"))
+      materialize(s, cells, "q_ivf_cells")
+      val probes = e.where(col("vec_id") < 8).select(col("vec_id").as("id"),
+        explode(graft.pipeline.Ivf.probeCells(col("embedding"), cents, 2)).as("cell"))
+      materialize(s, probes, "q_ivf_probes")
+      graft.pipeline.Ivf.ivfTopK(e, e.where(col("vec_id") < 8), k = 5, cents, nProbe = 2)
+    }),
     "q_seq_validate" -> ((s, dir) => {
       // flagship sequence validation at a dir-scaled row count; the generated
       // input is materialized so the oracle can evaluate the rule predicates
@@ -474,6 +485,23 @@ object SparkEntry {
         |cand AS (SELECT DISTINCT q.id AS query_id, c.id AS neighbor_id
         |         FROM bk q JOIN bk c ON q.band = c.band AND q.bucket = c.bucket
         |         WHERE q.id < 8 AND c.id <> q.id),
+        |sc AS (SELECT query_id, neighbor_id,
+        |         round(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(ec.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])))), 6) AS cos
+        |       FROM cand JOIN embeddings eq ON eq.vec_id = query_id JOIN embeddings ec ON ec.vec_id = neighbor_id)
+        |SELECT query_id, CAST(rank AS INTEGER) AS rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM sc) t WHERE rank <= 5""".stripMargin,
+
+    // candidates from the materialized IVF cell assignments (corpus cells +
+    // query probe cells), exact cosine, independent row_number top-k
+    "q_ivf_topk" ->
+      """WITH cells AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_ivf_cells/*.parquet')),
+        |probes AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_ivf_probes/*.parquet')),
+        |cand AS (SELECT DISTINCT p.id AS query_id, c.id AS neighbor_id
+        |         FROM probes p JOIN cells c ON p.cell = c.cell AND c.id <> p.id),
         |sc AS (SELECT query_id, neighbor_id,
         |         round(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(ec.embedding AS DOUBLE[])) /
         |           (sqrt(list_dot_product(CAST(eq.embedding AS DOUBLE[]), CAST(eq.embedding AS DOUBLE[]))) *

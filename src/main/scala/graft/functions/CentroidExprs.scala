@@ -1,0 +1,64 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** IVF cell assignment expressions. The centroid matrix rides INSIDE the
+  * expression (k·dims doubles, serialized with the plan once per executor) —
+  * assignment is a narrow per-row pass, no join against a centroid table,
+  * no shuffle. CodegenFallback: each eval does k·dims multiply-adds, so
+  * surrounding-stage codegen is immaterial (same call as the sketch
+  * expressions in TextExprs).
+  */
+object CentroidExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def nearestCentroid(v: Column, centroids: Array[Array[Double]]): Column =
+    column(NearestCentroid(expression(v), centroids))
+  def topCentroids(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    column(TopCentroids(expression(v), centroids, nProbe))
+
+  private[functions] def dots(v: ArrayData, dt: DataType,
+                              cs: Array[Array[Double]]): Array[Double] = {
+    val n = v.numElements()
+    val out = new Array[Double](cs.length)
+    var c = 0
+    while (c < cs.length) {
+      val cv = cs(c)
+      val m = math.min(n, cv.length)
+      var dot = 0.0; var i = 0
+      while (i < m) { dot += VectorExprs.elemAt(dt, v, i) * cv(i); i += 1 }
+      out(c) = dot
+      c += 1
+    }
+    out
+  }
+}
+
+/** argmax over centroids of dot(v, c_j); first index wins ties. */
+case class NearestCentroid(child: Expression, centroids: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def nullSafeEval(a: Any): Any = {
+    val d = CentroidExprs.dots(a.asInstanceOf[ArrayData], child.dataType, centroids)
+    var best = 0; var i = 1
+    while (i < d.length) { if (d(i) > d(best)) best = i; i += 1 }
+    best
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The nProbe highest-dot centroid indices, best first (ties → lower index). */
+case class TopCentroids(child: Expression, centroids: Array[Array[Double]], nProbe: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(nProbe > 0, "nProbe must be positive")
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = {
+    val d = CentroidExprs.dots(a.asInstanceOf[ArrayData], child.dataType, centroids)
+    val idx = d.indices.sortBy(i => (-d(i), i)).take(math.min(nProbe, d.length))
+    new GenericArrayData(idx.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

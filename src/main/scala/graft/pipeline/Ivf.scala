@@ -1,0 +1,139 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.{CentroidExprs, TopKAgg}
+
+/** IVF (inverted-file) approximate nearest neighbor — the centroid-partition
+  * scale path next to the hyperplane-LSH one:
+  *
+  *  1. `trainCentroids`: spherical k-means-lite on a bounded, deterministic
+  *     sample pulled to the driver (k·dims doubles — trivial), Lloyd
+  *     iterations in primitive arrays. No MLlib dependency, no extra jobs.
+  *  2. corpus vectors are assigned to their nearest centroid ONCE (narrow
+  *     projection, native expression — the centroid table rides inside the
+  *     plan, no join);
+  *  3. each query probes its `nProbe` nearest cells, candidates come from a
+  *     shuffle-on-cell-id join, and the bounded-heap top-k reduces them.
+  *
+  * Scaling: cells ≈ √N keeps cell size √N, so each query scores
+  * nProbe·√N candidates instead of N. Recall is tunable via nProbe;
+  * assignment cost is one pass of k·dims multiply-adds per row.
+  */
+object Ivf {
+
+  /** Deterministic spherical k-means on a driver-side sample.
+    * Sample = first `maxSample` rows by `idCol` (stable across partitioning);
+    * init = k sample vectors at evenly-spread indices; `iters` Lloyd rounds
+    * with cosine assignment (normalize → mean → renormalize). Empty cells
+    * keep their previous centroid.
+    */
+  def trainCentroids(df: DataFrame, k: Int, iters: Int = 8,
+                     maxSample: Int = 4096,
+                     idCol: String = "vec_id",
+                     vecCol: String = "embedding"): Array[Array[Double]] = {
+    val sample: Array[Array[Double]] = df
+      .orderBy(col(idCol)).limit(maxSample)
+      .select(col(vecCol).cast("array<double>")).collect()
+      .map(_.getSeq[Double](0).toArray)
+      .map(normalize)
+    require(sample.length >= k, s"sample ${sample.length} smaller than k=$k")
+    val dims = sample.head.length
+    // deterministic farthest-point init (k-means++ greedy flavor): evenly
+    // spaced indices collapse when the sample interleaves clusters
+    var centroids = {
+      val seeds = scala.collection.mutable.ArrayBuffer(sample(0).clone())
+      // maxSim(i) = highest cosine of sample(i) to ANY chosen seed
+      val maxSim = Array.fill(sample.length)(Double.NegativeInfinity)
+      while (seeds.length < k) {
+        var i = 0
+        while (i < sample.length) {
+          var dot = 0.0; var d = 0
+          val last = seeds.last
+          while (d < dims) { dot += sample(i)(d) * last(d); d += 1 }
+          if (dot > maxSim(i)) maxSim(i) = dot
+          i += 1
+        }
+        // farthest point = lowest max-similarity to the chosen seeds
+        var best = 0; var bestSim = Double.PositiveInfinity
+        i = 0
+        while (i < sample.length) {
+          if (maxSim(i) < bestSim) { bestSim = maxSim(i); best = i }
+          i += 1
+        }
+        seeds += sample(best).clone()
+      }
+      seeds.toArray
+    }
+    var it = 0
+    while (it < iters) {
+      val sums = Array.fill(k)(new Array[Double](dims))
+      val counts = new Array[Int](k)
+      sample.foreach { v =>
+        val c = nearest(v, centroids)
+        var d = 0
+        while (d < dims) { sums(c)(d) += v(d); d += 1 }
+        counts(c) += 1
+      }
+      centroids = Array.tabulate(k) { c =>
+        if (counts(c) == 0) centroids(c) else normalize(sums(c))
+      }
+      it += 1
+    }
+    centroids
+  }
+
+  private def normalize(v: Array[Double]): Array[Double] = {
+    var n = 0.0; var i = 0
+    while (i < v.length) { n += v(i) * v(i); i += 1 }
+    val inv = if (n == 0) 0.0 else 1.0 / math.sqrt(n)
+    v.map(_ * inv)
+  }
+
+  /** Index of the max-dot centroid (first wins on ties — deterministic). */
+  private[pipeline] def nearest(v: Array[Double], cs: Array[Array[Double]]): Int = {
+    var best = 0; var bestDot = Double.NegativeInfinity
+    var c = 0
+    while (c < cs.length) {
+      var dot = 0.0; var i = 0
+      val cv = cs(c)
+      val n = math.min(v.length, cv.length)
+      while (i < n) { dot += v(i) * cv(i); i += 1 }
+      if (dot > bestDot) { bestDot = dot; best = c }
+      c += 1
+    }
+    best
+  }
+
+  /** Nearest-cell id for a vector column (native single-pass expression). */
+  def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
+    CentroidExprs.nearestCentroid(vec, centroids)
+
+  /** The `nProbe` nearest cell ids for a query vector. */
+  def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
+    CentroidExprs.topCentroids(vec, centroids, nProbe)
+
+  /** IVF top-k: corpus assigned to cells once; queries probe their nProbe
+    * nearest cells; candidates scored with the codegen'd cosine and reduced
+    * by the bounded heap (≤ k entries per group in partial state and
+    * shuffle). Scores round to 6dp before ranking for cross-engine
+    * determinism (ties break on neighbor id).
+    */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+              centroids: Array[Array[Double]], nProbe: Int = 2,
+              idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
+    val c = corpus.select(col(idCol).as("neighbor_id"), col(vecCol).as("cv"),
+      cellOf(col(vecCol), centroids).as("cell"))
+    val probes = queries.select(col(idCol).as("query_id"), col(vecCol).as("qv"),
+      explode(probeCells(col(vecCol), centroids, nProbe)).as("cell"))
+    val scored = c.join(broadcast(probes), Seq("cell"))
+      .where(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(Ann.cosine(col("qv"), col("cv")), 6).as("cos"))
+    scored.groupBy(col("query_id"))
+      .agg(TopKAgg.topKByScore(col("cos"), col("neighbor_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), (col("pos") + 1).as("rank"),
+        col("col.nid").as("neighbor_id"), col("col.score").as("cos"))
+  }
+}

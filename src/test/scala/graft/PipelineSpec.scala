@@ -162,5 +162,13 @@ class PipelineSpec extends SparkSpec {
     val lsh = Ann.lshTopK(df, df, k = 1, bands = 16, bitsPerBand = 4)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(lsh == bf)
+    // IVF: k-means centroids recover the 6 clusters; top-1 == brute force
+    val cents = pipeline.Ivf.trainCentroids(df, k = 6, iters = 8, maxSample = 60)
+    val cellCount = df.select(pipeline.Ivf.cellOf(col("embedding"), cents).as("c"))
+      .distinct().count()
+    assert(cellCount == 6) // one cell per cluster
+    val ivf = pipeline.Ivf.ivfTopK(df, df, k = 1, cents, nProbe = 1)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
+    assert(ivf == bf)
   }
 }
