@@ -101,4 +101,20 @@ class PropertySpec extends SparkSpec {
       assert(got == vs.map(v => v >= lo && v < lo + 10))
     }
   }
+
+  test("TopKHeap law: arbitrary inserts + merges == sort-take-k with id dedup") {
+    import graft.functions.TopKHeap
+    val entries = Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0L, 30L)))
+    forAll(Gen.zip(entries, entries), Gen.chooseNum(1, 8)) { case ((xs, ys), k) =>
+      val a = new TopKHeap(k); xs.foreach { case (s, i) => a.insert(s, i) }
+      val b = new TopKHeap(k); ys.foreach { case (s, i) => b.insert(s, i) }
+      // merge b into a the way the partial aggregate does
+      (0 until b.size).foreach(i => a.insert(b.scores(i), b.ids(i)))
+      val got = a.sortedPairs().toSeq
+      val want = (xs ++ ys)
+        .groupBy(_._2).values.map(_.maxBy(_._1)).toSeq // best score per id
+        .sortBy { case (s, i) => (-s, i) }.take(k)
+      assert(got == want)
+    }
+  }
 }
