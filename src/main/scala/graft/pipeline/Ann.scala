@@ -113,9 +113,13 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs at threshold, banded-LSH-blocked:
-    * only pairs colliding in ≥1 band are scored; `dropDuplicates` collapses
-    * multi-band hits before the cosine evaluation. Threshold compares the
-    * 6dp-rounded cosine so the decision is reproducible across engines.
+    * only pairs colliding in ≥1 band are scored. The cosine is evaluated and
+    * THRESHOLDED inside the join stage, so the dedupe shuffle (multi-band
+    * hits of the same pair) carries only passing (id_a, id_b, cos) rows —
+    * 8-byte score instead of two embedding payloads, HashAggregate instead
+    * of the SortAggregate a vector-carrying dropDuplicates compiles to.
+    * Threshold compares the 6dp-rounded cosine so the decision is
+    * reproducible across engines.
     */
   def cosineNearDups(df: DataFrame, threshold: Double, bands: Int = 8,
                      bitsPerBand: Int = 12,
@@ -126,10 +130,10 @@ object Ann {
     val a = s.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
     val b = s.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
     a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("va"), col("vb"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("cos", round(cosine(col("va"), col("vb")), 6))
+      .select(col("id_a"), col("id_b"),
+        round(cosine(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      .select(col("id_a"), col("id_b"), col("cos"))
+      // a pair collides in several bands → identical cos; first() dedupes
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
   }
 }

@@ -54,29 +54,32 @@ object Dedup {
     * verification on the shingle sets. Returns (id_a, id_b, jaccard) with
     * id_a < id_b and jaccard >= threshold.
     *
-    * Plan shape: shingle+signature projection (narrow) → explode bands
-    * (B rows/doc) → self-join on (band,bucket) (shuffle on 16-byte keys; AQE
-    * handles skewed buckets) → dedupe pairs → verify on shingles.
+    * Plan shape: signature projection (narrow) → explode bands into
+    * (id, band, bucket) rows ONLY — ~24 bytes/row, the text never rides the
+    * B-way explode (round 1 shuffled every document's text B times through
+    * the candidate join) → self-join on (band, bucket) (AQE handles skewed
+    * buckets) → distinct pairs (two 8-byte ids) → texts joined back by id →
+    * single-pass native Jaccard verify on just the candidate pairs.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 7, numHashes: Int = 32, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
     val rowsPerBand = numHashes / bands
     val norm = TextFunctions.normalize(col(textCol))
-    val sigs = df.select(col(idCol).as("id"), norm.as("txt"),
-      graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes).as("sig"))
-      .withColumn("bands", bandBuckets(col("sig"), bands, rowsPerBand))
-    // candidates carry the normalized TEXT (smaller than shingle arrays);
-    // jaccard recomputed natively only on deduped candidate pairs
-    val exploded = sigs.select(col("id"), col("txt"), explode(col("bands")).as("bk"))
-      .select(col("id"), col("txt"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"), col("txt").as("txt_a"))
-    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"), col("txt").as("txt_b"))
+    val base = df.select(col(idCol).as("id"), norm.as("txt"))
+    val exploded = df.select(col(idCol).as("id"),
+      explode(bandBuckets(
+        graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes),
+        bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"))
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"), col("txt_a"), col("txt_b"))
-      .dropDuplicates("id_a", "id_b")
+      .select(col("id_a"), col("id_b")).distinct()
     pairs
+      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
       .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
         col("txt_a"), col("txt_b"), shingleK))
       .where(col("jaccard") >= threshold)
@@ -125,10 +128,13 @@ object Dedup {
     val bb = chunks.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
     a.join(bb, Seq("chunk", "val"))
       .where(col("id_a") < col("id_b"))
-      .dropDuplicates("id_a", "id_b")
-      .withColumn("hamming", bit_count(col("sim_a").bitwiseXOR(col("sim_b"))))
+      // hamming computed and THRESHOLDED inside the join stage: the dedupe
+      // shuffle (multi-chunk hits of one pair) carries only passing rows,
+      // and first() over the identical hamming keeps it a HashAggregate
+      .select(col("id_a"), col("id_b"),
+        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
-      .select(col("id_a"), col("id_b"), col("hamming"))
+      .groupBy(col("id_a"), col("id_b")).agg(first(col("hamming")).as("hamming"))
   }
 
   /** Word n-gram Jaccard similarity for all candidate pairs blocked by a
