@@ -1,7 +1,8 @@
 package graft.streaming
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, Dataset}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
 import graft.rules.{Ctx, StructRule, Validator}
 
 /** Structured-Streaming face of the engine. The rule compiler emits plain
@@ -39,5 +40,44 @@ object StreamingValidator {
       .agg(count(lit(1)).as("n_rows"),
         sum(valid.cast("long")).as("n_valid"))
       .withColumn("pass", col("n_rows") === col("n_valid"))
+  }
+
+  /** Running per-key quality state — the `flatMapGroupsWithState` custom
+    * state path (brief: "KeyValueGroupedDataset.mapGroupsWithState /
+    * flatMapGroupsWithState for custom state"): tracks cumulative
+    * (n_rows, n_valid, consecutive_failures) per key across micro-batches
+    * and EMITS a row only when a key's health changes (healthy↔failing at
+    * `failStreak` consecutive invalid rows) — the alerting shape a windowed
+    * aggregate can't express, because it needs order-dependent state that
+    * survives batches.
+    */
+  final case class KeyQuality(key: String, nRows: Long, nValid: Long,
+                              streak: Long, failing: Boolean)
+
+  def keyedQualityUpdates(df: DataFrame, rule: StructRule, keyCol: String,
+                          failStreak: Int = 3,
+                          ctx: Ctx = Ctx()): Dataset[KeyQuality] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val flagged = withValidity(df, rule, ctx)
+      .select(col(keyCol).cast("string").as("key"),
+        coalesce(col("__valid"), lit(false)).as("ok"))
+      .as[(String, Boolean)]
+    flagged.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyQuality, KeyQuality](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[KeyQuality]) =>
+          var s = state.getOption.getOrElse(KeyQuality(key, 0L, 0L, 0L, failing = false))
+          var changed = false
+          rows.foreach { case (_, ok) =>
+            val streak = if (ok) 0L else s.streak + 1
+            val nowFailing = if (ok) false else streak >= failStreak
+            if (nowFailing != s.failing) changed = true
+            s = KeyQuality(key, s.nRows + 1, s.nValid + (if (ok) 1 else 0),
+              streak, nowFailing)
+          }
+          state.update(s)
+          if (changed) Iterator.single(s) else Iterator.empty
+      }
   }
 }

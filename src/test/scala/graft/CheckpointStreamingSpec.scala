@@ -94,6 +94,37 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Boolean]("pass"))
   }
 
+  test("streaming: flatMapGroupsWithState tracks per-key failure streaks across batches") {
+    implicit val sqlCtx = spark.sqlContext
+    val mem = MemoryStream[(String, Int)]
+    val df = mem.toDF().toDF("src", "n_tok")
+    val rule = graft.rules.dsl.schema(
+      graft.rules.dsl.req("src", graft.rules.dsl.str),
+      graft.rules.dsl.req("n_tok", graft.rules.dsl.and(graft.rules.dsl.int,
+        graft.rules.dsl.pred("pos")(_ > 0))))
+    val updates = StreamingValidator.keyedQualityUpdates(df, rule, "src", failStreak = 2)
+    val q = updates.writeStream.outputMode("append")
+      .format("memory").queryName("kq").start()
+    // batch 1: a healthy, b one failure (below streak) → no updates
+    mem.addData(("a", 5), ("b", -1))
+    q.processAllAvailable()
+    assert(spark.table("kq").count() == 0)
+    // batch 2: b fails again → crosses the streak, ONE failing update
+    mem.addData(("b", -2))
+    q.processAllAvailable()
+    val afterFail = spark.table("kq").collect()
+    assert(afterFail.length == 1)
+    assert(afterFail.head.getAs[String]("key") == "b" && afterFail.head.getAs[Boolean]("failing"))
+    // batch 3: b recovers → ONE healthy update; state carried across batches
+    mem.addData(("b", 7))
+    q.processAllAvailable()
+    val all = spark.table("kq").orderBy("nRows").collect()
+    q.stop()
+    assert(all.length == 2)
+    assert(!all.last.getAs[Boolean]("failing"))
+    assert(all.last.getAs[Long]("nRows") == 3 && all.last.getAs[Long]("nValid") == 1)
+  }
+
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
     val media = Multimodal.syntheticMedia(spark, 300, 4)
     val feats = Multimodal.extractFeatures(media, dims = 16)
