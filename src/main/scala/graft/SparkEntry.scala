@@ -194,6 +194,14 @@ object SparkEntry {
       TableChecks.histogram(T(s, dir, "documents"), "n_chars", 0, 500, 10)
     }),
 
+    // --- distributed χ² drift terms: even-doc_id half vs odd-doc_id half ---
+    "q_drift_nchars" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.checks.Drift.chi2Terms(
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
+    }),
+
     // --- time windows over events (streaming-shaped agg, batch oracle) ---
     "q_events_hourly" -> ((s, dir) => {
       T(s, dir, "events")
@@ -407,6 +415,25 @@ object SparkEntry {
       """SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
         |       count(*) AS cnt
         |FROM documents GROUP BY 1""".stripMargin,
+
+    // same bucketing split by doc_id parity; expected counts scaled by the
+    // total ratio, e>=5 validity guard → null term (mirrors Drift.chi2Terms)
+    "q_drift_nchars" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT bucket, n_obs, n_base,
+        |         CAST(n_base AS DOUBLE) *
+        |         (CAST(sum(n_obs) OVER () AS DOUBLE) / CAST(sum(n_base) OVER () AS DOUBLE)) AS e
+        |  FROM h)
+        |SELECT bucket, n_obs, n_base,
+        |       CASE WHEN e >= 5 THEN
+        |         round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
+        |       END AS chi2_term
+        |FROM t""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

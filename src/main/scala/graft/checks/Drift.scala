@@ -63,4 +63,27 @@ object Drift {
             baseline: Map[Int, Long], chi2PerDof: Double = 2.0,
             ksThreshold: Double = 0.05): DriftReport =
     compare(snapshot(df, c, lo, hi, buckets), baseline, buckets, chi2PerDof, ksThreshold)
+
+  /** Fully-distributed per-bucket χ² terms between an observed and a baseline
+    * histogram (both `(bucket, cnt)` as `TableChecks.histogram` emits) — the
+    * no-driver-collect form for baselines too wide to snapshot: full-outer
+    * align, expected counts scaled by the total ratio, standard e≥5 validity
+    * guard (null term below it). At most `buckets` rows flow through the
+    * final single-partition window, so the unpartitioned totals are free.
+    */
+  def chi2Terms(observed: DataFrame, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
+    val b = baseline.select(col("bucket"), col("cnt").as("n_base"))
+    val j = o.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"))
+    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val e = col("n_base").cast("double") *
+      (sum(col("n_obs")).over(w).cast("double") / sum(col("n_base")).over(w).cast("double"))
+    val diff = col("n_obs").cast("double") - e
+    j.select(col("bucket"), col("n_obs"), col("n_base"),
+      when(e >= 5.0, round(diff * diff / e, 6)).as("chi2_term"))
+  }
 }

@@ -92,6 +92,20 @@ class SeqValidationSpec extends SparkSpec {
     assert(!bad.pass, s"shifted distribution must fail: $bad")
   }
 
+  test("drift: distributed chi2Terms equals the driver-side compare statistic") {
+    val base = SequenceGen.sequences(spark, 4000, 4, maxLen = 2048, clean = true)
+    val obs = SequenceGen.sequences(spark, 4000, 8, maxLen = 1024, clean = true)
+    val terms = Drift.chi2Terms(
+      graft.checks.TableChecks.histogram(obs, "n_tok", 0, 2049, 32),
+      graft.checks.TableChecks.histogram(base, "n_tok", 0, 2049, 32)).collect()
+    val distributedChi2 = terms.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double])).sum
+    val report = Drift.compare(
+      Drift.snapshot(obs, "n_tok", 0, 2049, 32),
+      Drift.snapshot(base, "n_tok", 0, 2049, 32), 32)
+    assert(math.abs(distributedChi2 - report.chi2) < 1e-3,
+      s"distributed=$distributedChi2 driver=${report.chi2}")
+  }
+
   test("per-partition verdicts: failing partitions flagged") {
     val res = SeqValidation.validate(seqs)
     val verd = res.verdicts.collect()
