@@ -165,6 +165,15 @@ object SparkEntry {
         TextFunctions.tokenCount(t).as("n_tokens"))
     }),
 
+    // --- BPE-ish subword counting: whitespace words + length/4 units, plus
+    //     a regex token count (letters / digits / single punctuation) ---
+    "q_subword_count" -> ((s, dir) => {
+      T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.subwordCount(col("text")).cast("int").as("n_subwords"),
+        size(regexp_extract_all(col("text"),
+          lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_regex_tokens"))
+    }),
+
     // --- quality scoring (single division + round for float safety) ---
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
@@ -399,6 +408,13 @@ object SparkEntry {
         |                   ELSE length(text) - length(replace(text, ' ', '')) + 1 END), 4) AS avg_word_len,
         |       (CASE WHEN length(text) = 0 THEN 0
         |             ELSE length(text) - length(replace(text, ' ', '')) + 1 END) BETWEEN 20 AND 120 AS len_ok
+        |FROM documents""".stripMargin,
+
+    "q_subword_count" ->
+      """SELECT doc_id,
+        |       CAST(list_sum(list_transform(string_split(text, ' '),
+        |                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) AS INT) AS n_subwords,
+        |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
 
     "q_lang_id" ->
