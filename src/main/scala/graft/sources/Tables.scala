@@ -1,0 +1,65 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{StringType, StructField, StructType}
+import graft.rules.{Ctx, StructRule, ValidationResult, Validator}
+
+/** Multi-format table reads for the validation engine: parquet (columnar,
+  * self-describing), JSON lines, and CSV — the latter two read with an
+  * EXPLICIT expected schema, never inference, so rule compilation sees
+  * stable types regardless of file content (inference at 100 TB would also
+  * mean an extra full scan). Malformed text rows are captured PERMISSIVEly
+  * into `__corrupt` instead of killing the job, and `readValidated` surfaces
+  * them through the violations channel like any other rule failure.
+  */
+object Tables {
+
+  val CorruptCol = "__corrupt"
+
+  /** Infer format from the path suffix; explicit wins. */
+  def formatOf(path: String, format: String = "auto"): String =
+    if (format != "auto") format
+    else if (path.endsWith(".json") || path.endsWith(".jsonl")) "json"
+    else if (path.endsWith(".csv")) "csv"
+    else "parquet"
+
+  /** Read `path` as `format` with the expected `schema`. Text formats get a
+    * nullable `__corrupt` column holding the raw malformed record (null for
+    * clean rows); parquet is schema-checked by the engine itself.
+    */
+  def read(spark: SparkSession, path: String, schema: StructType,
+           format: String = "auto", csvHeader: Boolean = true): DataFrame =
+    formatOf(path, format) match {
+      case "parquet" => spark.read.parquet(path)
+      case f @ ("json" | "csv") =>
+        val withCorrupt = StructType(schema.fields :+
+          StructField(CorruptCol, StringType, nullable = true))
+        val r = spark.read
+          .schema(withCorrupt)
+          .option("mode", "PERMISSIVE")
+          .option("columnNameOfCorruptRecord", CorruptCol)
+        if (f == "json") r.json(path)
+        else r.option("header", csvHeader.toString).csv(path)
+      case other => throw new IllegalArgumentException(s"unsupported format: $other")
+    }
+
+  /** Read + validate in one step. Parse failures become violations: the rule
+    * is extended with a Forbidden check on `__corrupt`, so a malformed
+    * JSON/CSV line fails exactly like a rule violation (kind
+    * SchemaForbiddenKeyError, the raw line inside the row repr) instead of
+    * silently propagating nulls into the field rules.
+    */
+  def readValidated(spark: SparkSession, path: String, schema: StructType,
+                    rule: StructRule, format: String = "auto",
+                    csvHeader: Boolean = true, ctx: Ctx = Ctx()): ValidationResult = {
+    val df = read(spark, path, schema, format, csvHeader)
+    val effective =
+      if (df.columns.contains(CorruptCol))
+        rule.copy(fields = rule.fields :+
+          graft.rules.FieldRule(CorruptCol, graft.rules.dsl.anything,
+            graft.rules.FieldKind.Forbidden))
+      else rule
+    Validator.run(df, effective, ctx)
+  }
+}

@@ -1,0 +1,66 @@
+package graft
+
+import java.nio.file.Files
+import org.apache.spark.sql.types._
+import graft.rules.dsl._
+import graft.sources.Tables
+
+/** Multi-format source reads: explicit-schema JSON/CSV with corrupt-record
+  * capture routed into the violations channel, parquet passthrough.
+  */
+class SourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val schema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("text", StringType),
+    StructField("n_chars", IntegerType)))
+
+  private val rule = graft.rules.dsl.schema(
+    req("doc_id", int),
+    req("text", and(str, nonEmptyStr)),
+    req("n_chars", int))
+
+  test("json lines: clean rows validate, malformed lines become violations") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val p = s"$dir/docs.json"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """{"doc_id": 1, "text": "hello world", "n_chars": 11}
+        |{"doc_id": 2, "text": "ok", "n_chars": 2}
+        |{"doc_id": 3, "text": THIS IS NOT JSON
+        |""".stripMargin)
+    val res = Tables.readValidated(spark, p, schema, rule)
+    assert(res.validated.count() == 2)
+    assert(res.validated.columns.toSeq == Seq("doc_id", "text", "n_chars"))
+    val v = res.violations.select("violation_kind", "code").collect()
+    assert(v.length == 1)
+    assert(v.head.getString(0) == graft.rules.Err.ForbiddenKey)
+    assert(v.head.getString(1).contains("__corrupt"))
+  }
+
+  test("csv with header: schema-enforced read, type mismatch captured") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val p = s"$dir/docs.csv"
+    Files.writeString(java.nio.file.Paths.get(p),
+      """doc_id,text,n_chars
+        |1,hello world,11
+        |2,ok,2
+        |oops,broken,xx
+        |""".stripMargin)
+    val res = Tables.readValidated(spark, p, schema, rule)
+    assert(res.validated.count() == 2)
+    assert(res.violations.count() == 1)
+  }
+
+  test("parquet passthrough keeps the engine path identical") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val p = s"$dir/docs.parquet"
+    Seq((1L, "hello", 5), (2L, "", 0)).toDF("doc_id", "text", "n_chars")
+      .write.parquet(p)
+    val res = Tables.readValidated(spark, p, schema, rule)
+    assert(res.validated.count() == 1) // empty text fails nonEmptyStr
+    assert(res.violations.count() == 1)
+    assert(Tables.formatOf(p) == "parquet")
+    assert(Tables.formatOf("x.jsonl") == "json" && Tables.formatOf("x.csv", "auto") == "csv")
+  }
+}
