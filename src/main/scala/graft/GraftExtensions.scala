@@ -1,0 +1,71 @@
+package graft
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.types.IntegerType
+import graft.functions._
+
+/** SQL registration of the engine's native expressions, so the sketch /
+  * vector vocabulary is usable from pure `spark.sql(...)` — the standard
+  * `SparkSessionExtensions` path
+  * (`--conf spark.sql.extensions=graft.GraftExtensions`):
+  *
+  *   SELECT graft_cosine(a.embedding, b.embedding) FROM ...
+  *   SELECT graft_simhash64(graft_normalize(text)) FROM docs
+  *
+  * Each function maps 1:1 onto the Catalyst expression the Scala API uses,
+  * so SQL and DataFrame callers get the identical codegen'd/tight-loop
+  * implementation.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  import GraftExtensions._
+
+  override def apply(ext: SparkSessionExtensions): Unit =
+    all.foreach { case (name, usage, builder) =>
+      ext.injectFunction((FunctionIdentifier(name),
+        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
+        builder))
+    }
+}
+
+object GraftExtensions {
+
+  /** Same registrations on an already-constructed session. */
+  def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
+    all.foreach { case (name, usage, builder) =>
+      org.apache.spark.sql.graftbridge.Bridge.registerFunction(
+        spark, name, usage, classOf[GraftExtensions].getName, builder)
+    }
+
+  private def intLit(e: Expression, fn: String, pos: Int): Int = e match {
+    case Literal(v: Int, IntegerType) => v
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be an INT literal, got $other")
+  }
+
+  /** (name, usage, builder) for every exposed expression. */
+  val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
+    ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays",
+      (es: Seq[Expression]) => CosineSim(es(0), es(1))),
+    ("graft_dot", "graft_dot(a, b) - dot product of two float/double arrays",
+      (es: Seq[Expression]) => DotProduct(es(0), es(1))),
+    ("graft_lsh_sign", "graft_lsh_sign(v, bits[, seedOffset]) - random-hyperplane LSH signature",
+      (es: Seq[Expression]) => LshSign(es(0), intLit(es(1), "graft_lsh_sign", 1),
+        if (es.size > 2) intLit(es(2), "graft_lsh_sign", 2) else 0)),
+    ("graft_simhash64", "graft_simhash64(text) - 64-bit SimHash over whitespace tokens",
+      (es: Seq[Expression]) => SimHash64(es(0))),
+    ("graft_minhash_sig", "graft_minhash_sig(text, k, numHashes) - MinHash signature of char k-shingles",
+      (es: Seq[Expression]) => MinHashSig(es(0),
+        intLit(es(1), "graft_minhash_sig", 1), intLit(es(2), "graft_minhash_sig", 2))),
+    ("graft_jaccard_shingles", "graft_jaccard_shingles(a, b, k) - exact Jaccard of char k-shingle sets",
+      (es: Seq[Expression]) => JaccardShingles(es(0), es(1),
+        intLit(es(2), "graft_jaccard_shingles", 2))),
+    ("graft_word_gram_set", "graft_word_gram_set(text, k) - sorted distinct word k-gram hashes",
+      (es: Seq[Expression]) => WordGramSet(es(0), intLit(es(1), "graft_word_gram_set", 1))),
+    ("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - Jaccard of two sorted distinct long arrays",
+      (es: Seq[Expression]) => SortedArrayJaccard(es(0), es(1))),
+    ("graft_gen_tokens", "graft_gen_tokens(id, maxLen, vocab) - deterministic synthetic token array",
+      (es: Seq[Expression]) => GenTokens(es(0),
+        intLit(es(1), "graft_gen_tokens", 1), intLit(es(2), "graft_gen_tokens", 2))))
+}

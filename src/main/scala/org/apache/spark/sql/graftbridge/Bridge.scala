@@ -12,4 +12,19 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** Register a SQL function on an EXISTING session (tests, notebooks) —
+    * the extensions path (`spark.sql.extensions=graft.GraftExtensions`)
+    * only applies at session construction; `sessionState` is private[sql],
+    * hence this bridge method.
+    */
+  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
+                       usage: String, clazz: String,
+                       builder: Seq[Expression] => Expression): Unit = {
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    cs.sessionState.functionRegistry.registerFunction(
+      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
+      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name, usage),
+      builder)
+  }
 }

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** SQL surface of the native expressions (GraftExtensions): the same
+  * Catalyst implementations reachable from pure spark.sql, values identical
+  * to the DataFrame API.
+  */
+class SqlFunctionsSpec extends SparkSpec {
+  import spark.implicits._
+
+  GraftExtensions.registerAll(spark)
+
+  test("graft_cosine / graft_dot from SQL equal the DataFrame API") {
+    Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+      .createOrReplaceTempView("vv")
+    val r = spark.sql(
+      "SELECT graft_cosine(a, b) AS c, graft_dot(a, b) AS d FROM vv").head()
+    assert(math.abs(r.getDouble(0) - 0.6) < 1e-6) // 0.6f carries float error
+    assert(math.abs(r.getDouble(1) - 0.6) < 1e-6)
+    val df = Seq((Array(1.0f, 0.0f), Array(0.6f, 0.8f))).toDF("a", "b")
+      .select(graft.pipeline.Ann.cosine(col("a"), col("b"))).head().getDouble(0)
+    assert(r.getDouble(0) == df)
+  }
+
+  test("sketch functions from SQL: simhash, minhash, jaccard, gen_tokens") {
+    val r = spark.sql(
+      """SELECT graft_simhash64('the quick brown fox') AS sh,
+        |       size(graft_minhash_sig('the quick brown fox', 5, 16)) AS nh,
+        |       graft_jaccard_shingles('abcdefgh', 'abcdefgh', 5) AS j1,
+        |       graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j2,
+        |       size(graft_gen_tokens(7L, 128, 1000)) AS nt,
+        |       graft_lsh_sign(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 4) AS sig
+        |""".stripMargin).head()
+    // same values as the expression API
+    val api = Seq("the quick brown fox").toDF("t")
+      .select(graft.functions.TextExprs.simhash64(col("t"))).head().getLong(0)
+    assert(r.getAs[Long]("sh") == api)
+    assert(r.getAs[Int]("nh") == 16)
+    assert(r.getAs[Double]("j1") == 1.0)
+    assert(r.getAs[Double]("j2") == 0.5)
+    assert(r.getAs[Int]("nt") >= 1 && r.getAs[Int]("nt") <= 128)
+    assert(r.getAs[Int]("sig") >= 0 && r.getAs[Int]("sig") < 16)
+  }
+
+  test("non-literal int argument fails loudly") {
+    Seq(Tuple1("x")).toDF("t").createOrReplaceTempView("tt")
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_minhash_sig(t, length(t), 16) FROM tt").head()
+    }
+    assert(e.getMessage.contains("must be an INT literal"))
+  }
+}
