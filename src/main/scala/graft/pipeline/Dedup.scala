@@ -137,24 +137,44 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(first(col("hamming")).as("hamming"))
   }
 
-  /** Word n-gram Jaccard similarity for all candidate pairs blocked by a
-    * cheap key (token-count bucket) — the non-LSH baseline; quadratic within
-    * blocks, so block width bounds the cost.
+  /** Word n-gram Jaccard similarity for candidate pairs blocked by a cheap
+    * key — the non-LSH baseline; quadratic within blocks, so block width
+    * bounds the cost.
+    *
+    * Two blocking modes:
+    *  - default (token-count/16 buckets): cheap and SQL-replicable, but
+    *    pairs straddling a bucket boundary are silently missed — acceptable
+    *    only as the naive baseline (minhash is the scale path);
+    *  - `sizeRatioBlocking = true`: buckets by `floor(log_{1/t} |gramset|)`
+    *    with each doc emitted to buckets (b, b+1). J(A,B) ≥ t forces
+    *    |A|,|B| within a factor 1/t, i.e. adjacent log-buckets, so every
+    *    pair above threshold shares ≥1 bucket — RECALL 1 by construction.
+    *    Cost grows as the threshold drops (wider ratio ⇒ bigger buckets).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
-                        k: Int = 3, threshold: Double = 0.3): DataFrame = {
-    // gram sets precomputed once per doc; pairs pay only the merge.
-    // blocking on token-count bucket is EXACT-safe relative to the length
-    // bound J(A,B) ≤ min/max set size only within a bucket — as the naive
-    // baseline this op accepts missing cross-bucket pairs (minhash is the
-    // scale path).
+                        k: Int = 3, threshold: Double = 0.3,
+                        sizeRatioBlocking: Boolean = false): DataFrame = {
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k).as("g"),
-      (TextFunctions.tokenCount(col(textCol)) / 16).cast("int").as("blk"))
-    val a = g.select(col("blk"), col("id").as("id_a"), col("g").as("g_a"))
-    val b = g.select(col("blk"), col("id").as("id_b"), col("g").as("g_b"))
-    a.join(b, Seq("blk")).where(col("id_a") < col("id_b"))
+      TextFunctions.tokenCount(col(textCol)).as("ntok"))
+    val blocks =
+      if (!sizeRatioBlocking)
+        g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
+      else {
+        require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+        val base = math.log(1.0 / threshold)
+        val b = floor(log(greatest(size(col("g")), lit(1)).cast("double")) / base).cast("int")
+        g.select(col("id"), explode(array(b, b + 1)).as("blk"))
+      }
+    val a = blocks.select(col("blk"), col("id").as("id_a"))
+    val bb = blocks.select(col("blk"), col("id").as("id_b"))
+    val pairs = a.join(bb, Seq("blk")).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val sets = g.select(col("id"), col("g"))
+    pairs
+      .join(sets.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
+      .join(sets.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
       .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
         col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)

@@ -84,6 +84,21 @@ class PipelineSpec extends SparkSpec {
     assert(exact.exists(_.getAs[Double]("jaccard") == 1.0))
   }
 
+  test("ngram jaccard size-ratio blocking finds cross-bucket pairs the naive mode misses") {
+    // 15 vs 17 whitespace tokens: token-count buckets 0 vs 1 (naive blocking
+    // misses), word-3-gram jaccard = 13/15 ≈ 0.867
+    val base = (1 to 15).map(i => s"w$i").mkString(" ")
+    val longer = base + " extra tokens"
+    val docs2 = Seq((0L, base), (1L, longer)).toDF("doc_id", "text")
+    val naive = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3, threshold = 0.5)
+      .count()
+    assert(naive == 0) // documented miss
+    val guaranteed = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3,
+      threshold = 0.5, sizeRatioBlocking = true).collect()
+    assert(guaranteed.length == 1)
+    assert(math.abs(guaranteed.head.getAs[Double]("jaccard") - 13.0 / 15) < 1e-3)
+  }
+
   private val vecs = Seq(
     (0L, Array(1.0f, 0.0f, 0.0f, 0.0f)),
     (1L, Array(0.9f, 0.1f, 0.0f, 0.0f)),  // closest to 0
