@@ -7,9 +7,10 @@ import org.apache.spark.sql.functions._
   * multi-executor cluster"):
   *
   *   spark-submit --class graft.Main schemaspark.jar \
-  *     --input  <parquet/iceberg path of (doc_id, tokens, n_tok, source)> \
+  *     --input  <parquet/json/csv path of (doc_id, tokens, n_tok, source)> \
   *     --output <dir for validated/ violations/ verdicts/> \
   *     --manifest <checkpoint manifest path> [--splits N] [--vocab V]
+  *     [--format parquet|json|csv]   (default: inferred from the path)
   *
   * Master, executor counts, and memory come from spark-submit — the job
   * itself is cluster-size agnostic (stable hash splits, salted aggregation,
@@ -33,7 +34,20 @@ object Main {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val df = spark.read.parquet(input)
+    // multi-format read: JSON/CSV get the EXPECTED schema (no inference
+    // scan) and corrupt-record capture; parquet is self-describing
+    val seqSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("tokens",
+        org.apache.spark.sql.types.ArrayType(
+          org.apache.spark.sql.types.IntegerType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("n_tok",
+        org.apache.spark.sql.types.IntegerType),
+      org.apache.spark.sql.types.StructField("source",
+        org.apache.spark.sql.types.StringType)))
+    val df = sources.Tables.read(spark, input, seqSchema,
+      opts.getOrElse("format", "auto"))
     val rule = SeqValidation.rule(vocab)
     val lineage = s"input=$input rule=seq-v1 vocab=$vocab app=${spark.sparkContext.applicationId}"
 
