@@ -284,6 +284,21 @@ object SparkEntry {
       materialize(s, buckets, "q_embedding_buckets")
       Ann.lshTopK(e, e.where(col("vec_id") < 8), k = 5, bands = 8, bitsPerBand = 8)
     }),
+    // multimodal plumbing: synthetic binary media materialized, features
+    // extracted through the mapPartitions batch path; the oracle re-derives
+    // byte length + payload hex from the same parquet, so row alignment and
+    // binary round-trip through the batch pipeline are hash-checked (the
+    // decode itself is the documented stub — not SQL-checkable)
+    "q_multimodal_features" -> ((s, dir) => {
+      import s.implicits._
+      val media = graft.pipeline.Multimodal.syntheticMedia(s, 300, 8).toDF()
+      val stored = materialize(s, media, "q_media")
+      val feats = graft.pipeline.Multimodal.extractFeatures(
+        stored.as[graft.pipeline.Multimodal.MediaRow])
+      feats.toDF().select(col("media_id"), col("kind"), col("n_bytes"))
+        .join(stored.select(col("media_id"),
+          lower(hex(col("bytes"))).as("payload_hex")), Seq("media_id"))
+    }),
     "q_ivf_topk" -> ((s, dir) => {
       val e = T(s, dir, "embeddings")
       val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
@@ -537,6 +552,11 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM sc) t WHERE rank <= 5""".stripMargin,
+
+    "q_multimodal_features" ->
+      """SELECT media_id, kind, CAST(octet_length(bytes) AS INT) AS n_bytes,
+        |       lower(hex(bytes)) AS payload_hex
+        |FROM read_parquet('/root/repo/target/graft_oracle/q_media/*.parquet')""".stripMargin,
 
     // candidates from the materialized IVF cell assignments (corpus cells +
     // query probe cells), exact cosine, independent row_number top-k
