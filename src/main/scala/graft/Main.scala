@@ -8,9 +8,13 @@ import org.apache.spark.sql.functions._
   *
   *   spark-submit --class graft.Main schemaspark.jar \
   *     --input  <parquet/json/csv path of (doc_id, tokens, n_tok, source)> \
-  *     --output <dir for validated/ violations/ verdicts/> \
+  *     --output <dir: rows/ (per-split, __valid + violation cols), verdicts/,
+  *               duplicate_rows/, referential_violations/, column_stats/> \
   *     --manifest <checkpoint manifest path> [--splits N] [--vocab V]
   *     [--format parquet|json|csv]   (default: inferred from the path)
+  *
+  * Validated rows = `rows/` filtered `__valid = true`; violations carry
+  * `violation_kind`/`code`. One input scan per run (see CheckpointedRun).
   *
   * Master, executor counts, and memory come from spark-submit — the job
   * itself is cluster-size agnostic (stable hash splits, salted aggregation,
@@ -60,9 +64,12 @@ object Main {
       spark, df, rule, "doc_id", splits, manifest, lineage,
       outputDir = Some(output))
 
-    // per-split verdicts from the manifest results — no extra scan
+    // per-split verdicts from the FULL manifest (all completed splits, not
+    // just this run's — a resume or no-op re-run must not shrink the
+    // verdicts record) — no extra scan
     import spark.implicits._
-    results.map(r => (r.split, r.nRows, r.nValid, r.nRows == r.nValid))
+    new checkpoint.Manifest(manifest).allResults()
+      .map(r => (r.split, r.nRows, r.nValid, r.nRows == r.nValid))
       .toDF("split", "n_rows", "n_valid", "pass")
       .coalesce(1).write.mode("overwrite").json(s"$output/verdicts")
 

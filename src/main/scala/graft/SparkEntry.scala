@@ -318,12 +318,15 @@ object SparkEntry {
         .map(_.group(1).toDouble).getOrElse(0.001)
       val rows = math.max((6000000 * sf).toLong, 1000L)
       // materialization exists solely for the DuckDB oracle, which the
-      // driver evaluates at sf<=0.01 — at bench scale validate the generated
-      // frame directly (production reads its input from storage anyway;
-      // Bench measures over a pre-materialized parquet table)
+      // driver evaluates at sf0.01 (rows = 60000) — the path is ROW-COUNT
+      // TAGGED and the oracle SQL pins the 60000 path, so an oracle run at
+      // any other scale fails loudly on a missing file instead of silently
+      // comparing stale rows. At bench scale (rows > 100k) validate the
+      // generated frame directly; Bench measures over its own
+      // pre-materialized parquet table.
       val gen = graft.gen.SequenceGen.sequences(s, rows, 16)
       val seqs =
-        if (rows <= 100000) materialize(s, gen, "q_seq_input", files = 16)
+        if (rows <= 100000) materialize(s, gen, s"q_seq_input_$rows", files = 16)
         else gen
       SeqValidation.validate(seqs).violations
         .select(col("doc_id"), col("n_tok"), col("source"), col("violation_kind"))
@@ -481,8 +484,10 @@ object SparkEntry {
         |  FROM documents) t WHERE rn = 1""".stripMargin,
 
     // all-pairs exact jaccard over 7-char shingle sets of the normalized
-    // text; the engine's r=1,b=32 minhash banding has recall 1 on this data
-    // (P(miss | J>=0.5) <= 2.3e-10, deterministic input), so equality holds
+    // text; the engine's r=2,b=16 banding misses a borderline J=0.5 pair
+    // with p = 0.75^16 ≈ 1% and far less above it — on THIS deterministic
+    // input recall is exactly 1 (asserted by this very comparison), so
+    // equality holds; parameter changes must re-establish that
     "q_minhash_neardups" ->
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
         |sh AS (SELECT doc_id,
@@ -580,7 +585,7 @@ object SparkEntry {
     // construction, so value/rowcheck errors are the only kinds reachable)
     "q_seq_validate" ->
       """SELECT doc_id, n_tok, source, 'SchemaError' AS violation_kind
-        |FROM read_parquet('/root/repo/target/graft_oracle/q_seq_input/*.parquet')
+        |FROM read_parquet('/root/repo/target/graft_oracle/q_seq_input_60000/*.parquet')
         |WHERE NOT (regexp_matches(doc_id, '^doc-')
         |           AND list_min(tokens) >= 0 AND list_max(tokens) < 50257
         |           AND source IN ('cc','wiki','books','code','arxiv','forums')

@@ -29,16 +29,23 @@ class Manifest(path: String) {
   private val file = Paths.get(path)
   if (file.getParent != null) Files.createDirectories(file.getParent)
 
-  def completedSplits(): Set[Int] =
-    if (!Files.exists(file)) Set.empty
+  def completedSplits(): Set[Int] = allResults().map(_.split).toSet
+
+  /** Every completed split's recorded result (latest line wins per split) —
+    * the full-job picture for verdict outputs, independent of which splits
+    * THIS run processed. Malformed (torn) lines are skipped.
+    */
+  def allResults(): Seq[SplitResult] =
+    if (!Files.exists(file)) Nil
     else {
       import scala.jdk.CollectionConverters._
+      val re = ("\"split\":(\\d+),\"status\":\"done\",\"n_rows\":(\\d+)," +
+        "\"n_valid\":(\\d+),\"wall_ms\":(\\d+),\"lineage\":\"([^\"]*)\"").r
       Files.readAllLines(file).asScala.flatMap { line =>
-        // minimal parse: {"split":N,"status":"done",...}
-        val split = "\"split\":(\\d+)".r.findFirstMatchIn(line).map(_.group(1).toInt)
-        val done = line.contains("\"status\":\"done\"")
-        if (done) split else None
-      }.toSet
+        re.findFirstMatchIn(line).map(m =>
+          SplitResult(m.group(1).toInt, "done", m.group(2).toLong,
+            m.group(3).toLong, m.group(4).toLong, m.group(5)))
+      }.groupBy(_.split).map(_._2.last).toSeq.sortBy(_.split)
     }
 
   def append(r: SplitResult): Unit = synchronized {
@@ -61,14 +68,17 @@ object CheckpointedRun {
     * after a crash).
     *
     * With `outputDir` set, the pass also WRITES the full row-level product in
-    * the same scan: `outputDir/rows/` parquet partitioned by
-    * (`__split`, `__valid`) carrying every input column plus
-    * `violation_kind`/`code` (null on valid rows — the message expressions
-    * sit under a `when(!valid, …)` guard, so only failing rows pay them).
-    * Readers get validated rows via partition pruning (`__valid=true`), and
-    * per-split verdict counts are aggregated from the written files reading
-    * only the two partition columns — the INPUT is read exactly once.
-    * Dynamic partition overwrite keeps re-runs idempotent per split.
+    * the same scan: `outputDir/rows/` parquet partitioned by `__split`
+    * carrying every input column plus `__valid` and `violation_kind`/`code`
+    * (null on valid rows — the message expressions sit under a
+    * `when(!valid, …)` guard, so only failing rows pay them). Partitioning
+    * is by split ONLY: dynamic overwrite then replaces a re-run split
+    * atomically as a whole — partitioning by validity too would leave a
+    * stale opposite-validity partition when a re-run flips a split's rows.
+    * Readers filter `__valid` (parquet row-group stats skip, helped by the
+    * within-partition sort). Per-split verdict counts are aggregated from
+    * the written files reading only (__split, __valid) — the INPUT is read
+    * exactly once.
     */
   def run(spark: SparkSession, df: DataFrame, rule: graft.rules.StructRule,
           keyCol: String, numSplits: Int, manifestPath: String,
@@ -104,22 +114,29 @@ object CheckpointedRun {
           val staged = part.select(dataCols ++ Seq(col("__split"),
             valid.as("__valid"),
             when(!valid, sc.error).otherwise(graft.rules.Err.none).as("__err")): _*)
-          staged.select(dataCols ++ Seq(col("__split"), col("__valid"),
+          val written = staged.select(dataCols ++ Seq(col("__split"), col("__valid"),
             col("__err.kind").as("violation_kind"),
             graft.rules.Err.code(col("__err")).as("code")): _*)
+          written
             // bound concurrently-open writers per task; no extra shuffle
             .sortWithinPartitions(col("__split"), col("__valid"))
             .write.mode("overwrite")
             .option("partitionOverwriteMode", "dynamic")
-            .partitionBy("__split", "__valid")
+            .partitionBy("__split")
             .parquet(s"$out/rows")
-          // verdict counts from the written files: partition-column-only scan
-          // (partition values come back as strings — cast through boolean)
-          spark.read.parquet(s"$out/rows")
-            .where(col("__split").cast("int").isin(passSplits: _*))
-            .groupBy(col("__split").cast("int").as("__split"))
+          // verdict counts from the written files, reading only two columns.
+          // Explicit schema: an all-empty pass writes no part files and
+          // schema inference would throw; with the schema an empty read is
+          // just an empty frame (splits with no rows record (0, 0)).
+          val writtenSchema = org.apache.spark.sql.types.StructType(
+            written.schema.filterNot(_.name == "__split").toArray :+
+              org.apache.spark.sql.types.StructField("__split",
+                org.apache.spark.sql.types.IntegerType))
+          spark.read.schema(writtenSchema).parquet(s"$out/rows")
+            .where(col("__split").isin(passSplits: _*))
+            .groupBy(col("__split"))
             .agg(count(lit(1)).as("n"),
-              sum(col("__valid").cast("boolean").cast("long")).as("v"))
+              sum(col("__valid").cast("long")).as("v"))
             .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
         case None =>
           val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)

@@ -23,9 +23,13 @@ import graft.rules._
   *  - `asReference` schemas → {"$ref": "#/definitions/<name>"} with the full
   *    definition collected once on the main schema (:689-699,882-885)
   *  - `useRefs` → hash-consing of repeated sub-schemas: the first occurrence
-  *    gains an "$id", later ones become {"$ref": id} (:624-639). Deviation:
-  *    ids are murmur3 of the canonical rendering, not CPython `hash()`
-  *    (unreproducible cross-language); the structure is identical.
+  *    gains an "$id", later ones become {"$ref": id} (:624-639). Deviations:
+  *    (a) ids are murmur3 of the canonical rendering, not CPython `hash()`
+  *    (unreproducible cross-language); (b) consing is guaranteed for
+  *    repeated LEAF-level sub-schemas — a repeated PARENT whose children
+  *    were themselves consed re-renders differently between the counting
+  *    and emitting passes and stays expanded (valid output, just larger;
+  *    the reference's single-pass mutation conses such parents too).
   *  - main schema stamped with $id/$schema (:872-880)
   *
   * Key ORDER inside objects is ours (title, description, body); JSON object

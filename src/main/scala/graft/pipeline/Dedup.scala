@@ -146,10 +146,12 @@ object Dedup {
     *    pairs straddling a bucket boundary are silently missed — acceptable
     *    only as the naive baseline (minhash is the scale path);
     *  - `sizeRatioBlocking = true`: buckets by `floor(log_{1/t} |gramset|)`
-    *    with each doc emitted to buckets (b, b+1). J(A,B) ≥ t forces
-    *    |A|,|B| within a factor 1/t, i.e. adjacent log-buckets, so every
-    *    pair above threshold shares ≥1 bucket — RECALL 1 by construction.
-    *    Cost grows as the threshold drops (wider ratio ⇒ bigger buckets).
+    *    with each doc emitted to buckets (b-1, b, b+1). J(A,B) ≥ t forces
+    *    |A|,|B| within a factor 1/t, i.e. true log-bucket distance ≤ 1; the
+    *    ±1 window absorbs that PLUS a ulp of floating-point floor jitter at
+    *    exact power-of-(1/t) set sizes, so every pair above threshold
+    *    shares ≥1 bucket — RECALL 1 by construction. Cost grows as the
+    *    threshold drops (wider ratio ⇒ bigger buckets).
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3,
@@ -165,7 +167,7 @@ object Dedup {
         require(threshold > 0 && threshold < 1, "threshold in (0,1)")
         val base = math.log(1.0 / threshold)
         val b = floor(log(greatest(size(col("g")), lit(1)).cast("double")) / base).cast("int")
-        g.select(col("id"), explode(array(b, b + 1)).as("blk"))
+        g.select(col("id"), explode(array(b - 1, b, b + 1)).as("blk"))
       }
     val a = blocks.select(col("blk"), col("id").as("id_a"))
     val bb = blocks.select(col("blk"), col("id").as("id_b"))

@@ -2,7 +2,7 @@ package graft.pipeline
 
 import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
-import graft.functions.{CentroidExprs, TopKAgg}
+import graft.functions.CentroidExprs
 
 /** IVF (inverted-file) approximate nearest neighbor — the centroid-partition
   * scale path next to the hyperplane-LSH one:
@@ -130,10 +130,6 @@ object Ivf {
       .where(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(Ann.cosine(col("qv"), col("cv")), 6).as("cos"))
-    scored.groupBy(col("query_id"))
-      .agg(TopKAgg.topKByScore(col("cos"), col("neighbor_id"), k).as("top"))
-      .select(col("query_id"), posexplode(col("top")))
-      .select(col("query_id"), (col("pos") + 1).as("rank"),
-        col("col.nid").as("neighbor_id"), col("col.score").as("cos"))
+    Ann.topKPerQuery(scored, k)
   }
 }

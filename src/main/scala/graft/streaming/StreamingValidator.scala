@@ -50,26 +50,34 @@ object StreamingValidator {
     * `failStreak` consecutive invalid rows) — the alerting shape a windowed
     * aggregate can't express, because it needs order-dependent state that
     * survives batches.
+    *
+    * Streak order is defined by `orderCol` (ascending, materialized and
+    * sorted per key within the batch — groups are bounded by the
+    * micro-batch): Spark gives NO ordering guarantee on the group iterator,
+    * so a streak folded in iterator order would be nondeterministic across
+    * shuffles. The cumulative n_rows/n_valid counts are order-independent
+    * either way.
     */
   final case class KeyQuality(key: String, nRows: Long, nValid: Long,
                               streak: Long, failing: Boolean)
 
   def keyedQualityUpdates(df: DataFrame, rule: StructRule, keyCol: String,
-                          failStreak: Int = 3,
+                          orderCol: String, failStreak: Int = 3,
                           ctx: Ctx = Ctx()): Dataset[KeyQuality] = {
     val spark = df.sparkSession
     import spark.implicits._
     val flagged = withValidity(df, rule, ctx)
       .select(col(keyCol).cast("string").as("key"),
+        col(orderCol).cast("long").as("ord"),
         coalesce(col("__valid"), lit(false)).as("ok"))
-      .as[(String, Boolean)]
+      .as[(String, Long, Boolean)]
     flagged.groupByKey(_._1)
       .flatMapGroupsWithState[KeyQuality, KeyQuality](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[KeyQuality]) =>
           var s = state.getOption.getOrElse(KeyQuality(key, 0L, 0L, 0L, failing = false))
           var changed = false
-          rows.foreach { case (_, ok) =>
+          rows.toSeq.sortBy(_._2).foreach { case (_, _, ok) =>
             val streak = if (ok) 0L else s.streak + 1
             val nowFailing = if (ok) false else streak >= failStreak
             if (nowFailing != s.failing) changed = true

@@ -62,6 +62,18 @@ class CheckpointStreamingSpec extends SparkSpec {
     seqs.unpersist()
   }
 
+  test("empty splits: tiny input with many splits records (0,0) rows, no crash") {
+    val dir = Files.createTempDirectory("graft-ckpt-empty").toString
+    val seqs = SequenceGen.sequences(spark, 3, 1)
+    val res = CheckpointedRun.run(spark, seqs, SeqValidation.rule(), "doc_id", 16,
+      s"$dir/m.jsonl", "v1", outputDir = Some(s"$dir/out"), splitsPerPass = 4)
+    assert(res.size == 16)
+    assert(res.map(_.nRows).sum == 3)
+    assert(res.count(_.nRows == 0) >= 13)
+    // full-manifest view matches
+    assert(new Manifest(s"$dir/m.jsonl").allResults().map(_.nRows).sum == 3)
+  }
+
   test("splits are stable across partitioning (lineage-safe resume)") {
     val a = SequenceGen.sequences(spark, 1000, 2)
       .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))
@@ -96,27 +108,28 @@ class CheckpointStreamingSpec extends SparkSpec {
 
   test("streaming: flatMapGroupsWithState tracks per-key failure streaks across batches") {
     implicit val sqlCtx = spark.sqlContext
-    val mem = MemoryStream[(String, Int)]
-    val df = mem.toDF().toDF("src", "n_tok")
-    val rule = graft.rules.dsl.schema(
+    val mem = MemoryStream[(String, Int, Int)]
+    val df = mem.toDF().toDF("src", "n_tok", "seq")
+    val rule = graft.rules.dsl.schemaIgnoreExtra(
       graft.rules.dsl.req("src", graft.rules.dsl.str),
       graft.rules.dsl.req("n_tok", graft.rules.dsl.and(graft.rules.dsl.int,
         graft.rules.dsl.pred("pos")(_ > 0))))
-    val updates = StreamingValidator.keyedQualityUpdates(df, rule, "src", failStreak = 2)
+    val updates = StreamingValidator.keyedQualityUpdates(df, rule, "src",
+      orderCol = "seq", failStreak = 2)
     val q = updates.writeStream.outputMode("append")
       .format("memory").queryName("kq").start()
     // batch 1: a healthy, b one failure (below streak) → no updates
-    mem.addData(("a", 5), ("b", -1))
+    mem.addData(("a", 5, 1), ("b", -1, 2))
     q.processAllAvailable()
     assert(spark.table("kq").count() == 0)
     // batch 2: b fails again → crosses the streak, ONE failing update
-    mem.addData(("b", -2))
+    mem.addData(("b", -2, 3))
     q.processAllAvailable()
     val afterFail = spark.table("kq").collect()
     assert(afterFail.length == 1)
     assert(afterFail.head.getAs[String]("key") == "b" && afterFail.head.getAs[Boolean]("failing"))
     // batch 3: b recovers → ONE healthy update; state carried across batches
-    mem.addData(("b", 7))
+    mem.addData(("b", 7, 4))
     q.processAllAvailable()
     val all = spark.table("kq").orderBy("nRows").collect()
     q.stop()
