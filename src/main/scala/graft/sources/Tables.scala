@@ -44,6 +44,20 @@ object Tables {
       case other => throw new IllegalArgumentException(s"unsupported format: $other")
     }
 
+  /** Bucketed sink: persist a table hash-bucketed (and sorted) by a join
+    * key, so later equi-joins between co-bucketed tables need NO shuffle —
+    * Catalyst plans a SortMergeJoin over the existing bucket layout. The
+    * pattern for 100 TB fact-to-fact joins (validated corpus ⋈ features ⋈
+    * dedup survivors on doc_id): pay the partitioning once at write time,
+    * reuse it across every downstream join. Requires a catalog table
+    * (`saveAsTable`) — bucket metadata lives in the catalog, not the files.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    buckets: Int): Unit =
+    df.write.mode("overwrite").format("parquet")
+      .bucketBy(buckets, bucketCol).sortBy(bucketCol)
+      .saveAsTable(table)
+
   /** Read + validate in one step. Parse failures become violations: the rule
     * is extended with a Forbidden check on `__corrupt`, so a malformed
     * JSON/CSV line fails exactly like a rule violation (kind

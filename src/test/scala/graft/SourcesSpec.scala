@@ -52,6 +52,30 @@ class SourcesSpec extends SparkSpec {
     assert(res.violations.count() == 1)
   }
 
+  test("bucketed tables join WITHOUT a shuffle (co-located equi-join)") {
+    import org.apache.spark.sql.functions._
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val a = spark.range(0, 1000).select(col("id").as("doc_id"),
+        (col("id") % 7).as("score"))
+      val b = spark.range(0, 1000).select(col("id").as("doc_id"),
+        (col("id") % 5).as("label"))
+      Tables.writeBucketed(a, "bkt_a", "doc_id", 8)
+      Tables.writeBucketed(b, "bkt_b", "doc_id", 8)
+      val joined = spark.table("bkt_a").join(spark.table("bkt_b"), "doc_id")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"), s"bucketed join must not shuffle:\n$plan")
+      assert(joined.count() == 1000)
+      // contrast: the same join over plain (unbucketed) frames shuffles
+      val unbucketed = a.join(b, "doc_id")
+      assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
+    } finally {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.sql("DROP TABLE IF EXISTS bkt_a")
+      spark.sql("DROP TABLE IF EXISTS bkt_b")
+    }
+  }
+
   test("parquet passthrough keeps the engine path identical") {
     val dir = Files.createTempDirectory("graft-src").toString
     val p = s"$dir/docs.parquet"
