@@ -17,8 +17,10 @@ object Drift {
 
   final case class DriftReport(chi2: Double, chi2Dof: Int, ksD: Double,
                                nObserved: Long, nBaseline: Long,
-                               chi2Pass: Boolean, ksPass: Boolean) {
-    def pass: Boolean = chi2Pass && ksPass
+                               chi2Pass: Boolean, ksPass: Boolean,
+                               newMassRatio: Double = 0.0,
+                               newMassPass: Boolean = true) {
+    def pass: Boolean = chi2Pass && ksPass && newMassPass
   }
 
   /** Collect a histogram as bucket→count (buckets is small by construction). */
@@ -33,7 +35,8 @@ object Drift {
     * callers tune per their bucket count.
     */
   def compare(observed: Map[Int, Long], baseline: Map[Int, Long], buckets: Int,
-              chi2PerDof: Double = 2.0, ksThreshold: Double = 0.05): DriftReport = {
+              chi2PerDof: Double = 2.0, ksThreshold: Double = 0.05,
+              newMassTol: Double = 0.01): DriftReport = {
     val nObs = observed.values.sum
     val nBase = baseline.values.sum
     require(nBase > 0 && nObs > 0, "empty histogram")
@@ -43,20 +46,37 @@ object Drift {
     var cumObs = 0.0
     var cumBase = 0.0
     var ksD = 0.0
+    // buckets below the e>=5 χ² validity bound are POOLED into one synthetic
+    // bucket instead of dropped — otherwise mass appearing in thin/new
+    // buckets is invisible to the statistic
+    var pooledO = 0.0
+    var pooledE = 0.0
+    var newMass = 0L
     (0 until buckets).foreach { b =>
       val o = observed.getOrElse(b, 0L).toDouble
       val e = baseline.getOrElse(b, 0L).toDouble * scale
-      if (e >= 5.0) { // standard χ² validity guard
+      if (e >= 5.0) {
         chi2 += (o - e) * (o - e) / e
         dof += 1
+      } else {
+        pooledO += o; pooledE += e
       }
+      if (baseline.getOrElse(b, 0L) == 0L) newMass += observed.getOrElse(b, 0L)
       cumObs += o / nObs
       cumBase += baseline.getOrElse(b, 0L).toDouble / nBase
       ksD = math.max(ksD, math.abs(cumObs - cumBase))
     }
+    if (pooledE >= 5.0 || (pooledE > 0 && pooledO > 0)) {
+      chi2 += (pooledO - pooledE) * (pooledO - pooledE) / math.max(pooledE, 1.0)
+      dof += 1
+    }
     val dofAdj = math.max(dof - 1, 1)
+    // mass in buckets the baseline never saw — χ² can't price e=0, so a
+    // brand-new mode is gated explicitly
+    val newMassRatio = newMass.toDouble / nObs
     DriftReport(chi2, dofAdj, ksD, nObs, nBase,
-      chi2Pass = chi2 / dofAdj <= chi2PerDof, ksPass = ksD <= ksThreshold)
+      chi2Pass = chi2 / dofAdj <= chi2PerDof, ksPass = ksD <= ksThreshold,
+      newMassRatio = newMassRatio, newMassPass = newMassRatio <= newMassTol)
   }
 
   def check(df: DataFrame, c: String, lo: Double, hi: Double, buckets: Int,

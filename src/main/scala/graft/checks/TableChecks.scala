@@ -78,8 +78,13 @@ object TableChecks {
     * left_semi join against the (small) duplicated-key set; AQE picks
     * broadcast when that set is small, skew-join otherwise.
     */
-  def duplicateRows(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame =
-    df.join(duplicateKeys(df, key, saltBuckets).select(col(key)), Seq(key), "left_semi")
+  def duplicateRows(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame = {
+    // null-safe join: duplicateKeys groups nulls together, so duplicated
+    // null keys must surface here too (EqualTo would drop them and the two
+    // uniqueness surfaces would disagree)
+    val dups = duplicateKeys(df, key, saltBuckets).select(col(key).as("__dupkey"))
+    df.join(dups, df(key) <=> dups("__dupkey"), "left_semi")
+  }
 
   /** Referential check: rows whose `fk` has no match in (broadcast) `dim.pk`
     * — the table-scope `Or`-membership (SURVEY.md §2.3 joins). `dim` is a

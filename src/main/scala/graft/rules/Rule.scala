@@ -271,7 +271,7 @@ final case class UseCast(target: DataType, fname: String) extends Rule {
       case "int" => concat(lit("int("), rep,
         lit(") raised ValueError(\"invalid literal for int() with base 10: "), rep, lit("\")"))
       case "float" => concat(lit("float("), rep,
-        lit(") raised ValueError(could not convert string to float: "), rep, lit(")"))
+        lit(") raised ValueError(\"could not convert string to float: "), rep, lit("\")"))
       case _ => concat(lit(fname + "("), rep, lit(") raised an exception"))
     }
     val err = when(in.isNotNull && out.isNull,
@@ -284,7 +284,11 @@ final case class UseCast(target: DataType, fname: String) extends Rule {
     in.isNull || in.try_cast(target).isNotNull
 }
 
-/** `Use` with a total column transform (e.g. `Use(str.lower)` ⇒ `lower`). */
+/** `Use` with a TOTAL column transform (e.g. `Use(str.lower)` ⇒ `lower`) —
+  * cannot fail, so no error channel. PARTIAL transforms (parsers that return
+  * null on bad input) must use [[UsePartial]] instead, or bad input would
+  * silently validate with a null output.
+  */
 final case class UseExpr(fname: String, out: DataType, f: Column => Column) extends Rule {
   def reprStr: String = s"Use($fname)"
   override def transformFree: Boolean = false
@@ -293,6 +297,32 @@ final case class UseExpr(fname: String, out: DataType, f: Column => Column) exte
   override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
     (f(in), out)
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = lit(true)
+}
+
+/** `Use` with a PARTIAL transform: parse failure on a non-null input is
+  * the exception path, exactly like `UseCast` — the analog of
+  * `Use(datetime.strptime)` / `Use(json.loads)` raising on bad input
+  * (/root/reference/schema/__init__.py:323-328). By default failure = null
+  * output; parsers that return a non-null husk on bad input (from_json
+  * yields an all-null struct) supply their own `failedWhen` predicate.
+  */
+final case class UsePartial(fname: String, out: DataType, f: Column => Column,
+                            failedWhen: Option[Column => Column] = None) extends Rule {
+  def reprStr: String = s"Use($fname)"
+  override def transformFree: Boolean = false
+  private def failed(in: Column): Column =
+    failedWhen.map(p => p(in)).getOrElse(f(in).isNull)
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val auto = concat(lit(fname + "("), PyRepr.repr(in, dtype),
+      lit(") raised an exception"))
+    val err = when(in.isNotNull && failed(in),
+      Err.one(Err.SchemaError, ctx.prefixed(auto))).otherwise(Err.none)
+    Compiled(f(in), out, err)
+  }
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    (f(in), out)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    in.isNull || !failed(in)
 }
 
 /** `And` (/root/reference/schema/__init__.py:127-171): sequential conjunction
@@ -386,9 +416,23 @@ final case class OrRule(rules: Seq[Rule]) extends Rule {
   }
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
     rules.map(_.validCol(in, dtype, ctx.clearName)).reduce(_ || _)
+  /** Message-free first-success value: branch selection via validCol
+    * (≡ error.isNull by the Rule contract) — calling compile() here would
+    * pull the error-struct/message machinery into the hot validity path
+    * that AndRule.validCol threads values through.
+    */
   override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) = {
     if (transformFree) (in, dtype)
-    else { val c = compile(in, dtype, ctx); (c.value, c.dtype) }
+    else {
+      val cctx = ctx.clearName
+      val branchVals = rules.map(_.compileValue(in, dtype, cctx))
+      val outType = branchVals.map(_._2).reduce(widen)
+      val value = rules.zip(branchVals).foldRight(lit(null).cast(outType)) {
+        case ((r, (v, _)), acc) =>
+          when(r.validCol(in, dtype, cctx), v.cast(outType)).otherwise(acc)
+      }
+      (value, outType)
+    }
   }
   override def acceptsName(name: String): Boolean = rules.exists(_.acceptsName(name))
   override def acceptsNull: Boolean = rules.exists(_.acceptsNull)
@@ -571,6 +615,13 @@ final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
         val wrongMsg = ctx.prefixed(concat(
           lit("Wrong key"), when(size(badKeys) > 1, "s").otherwise(""), lit(" "),
           array_join(badKeyReprs, ", "), lit(" in "), PyRepr.repr(in, dtype)))
+        // custom `error=` from key rules that rejected the first wrong key is
+        // surfaced in the errors channel (schema/__init__.py:475-479,538-546)
+        val firstBadKey = element_at(array_sort(badKeys), 1)
+        val keyCustomErrs = filter(concat(entries.map { case (kr, _) =>
+          coalesce(kr.compile(firstBadKey, kt, cctx).error.getField("errors"),
+            array().cast(Err.msgArray))
+        }: _*), e => e.isNotNull)
         // first (by sorted key) entry whose key matches but its BOUND value
         // rule fails
         val sorted = array_sort(map_entries(in))
@@ -590,7 +641,7 @@ final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
         val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))
           .when(size(badVals) > 0,
             Err.wrap(innerErr, Some(Err.SchemaError), Some(keyPrefix), None))
-          .when(size(badKeys) > 0, Err.one(Err.WrongKey, wrongMsg))
+          .when(size(badKeys) > 0, Err.mk(Err.WrongKey, array(wrongMsg), keyCustomErrs))
           .otherwise(Err.none)
         val value =
           if (transformFree) in

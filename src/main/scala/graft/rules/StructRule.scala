@@ -113,9 +113,17 @@ final case class StructRule(fields: Seq[FieldRule],
       FieldRule(n, patterns(i).valueRule, FieldKind.Opt())
     }
 
-  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
-    val sc = compileStruct(in, dtype, ctx)
-    Compiled(sc.value, sc.dtype, sc.error)
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = dtype match {
+    case _: StructType =>
+      val sc = compileStruct(in, dtype, ctx)
+      Compiled(sc.value, sc.dtype, sc.error)
+    case other =>
+      // nested dict rule against a non-struct column: per-row type error,
+      // like MapRule/ArrayRule (the reference raises SchemaUnexpectedTypeError
+      // "<repr> should be instance of 'dict'" per value, never plan-time)
+      val msg = ctx.prefixed(concat(PyRepr.repr(in, other),
+        lit(" should be instance of 'dict'")))
+      Compiled(in, other, Err.one(Err.UnexpectedType, msg))
   }
 
   /** Codegen-lean whole-row validity: field validCols + xor + missing +
@@ -123,6 +131,7 @@ final case class StructRule(fields: Seq[FieldRule],
     * nested rule genuinely needs one.
     */
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = {
+    if (!dtype.isInstanceOf[StructType]) return lit(false)
     val cctx = ctx.clearName
     val st = dtype.asInstanceOf[StructType]
     val dataTypes = st.fields.map(f => f.name -> f.dataType).toMap
@@ -158,11 +167,32 @@ final case class StructRule(fields: Seq[FieldRule],
         else lit(0)
       }.reduce(_ + _) <= 1
     }
-    val claimed = eff.map(_.name).toSet
+    // coverage: Required/Opt fields (incl. pattern claims) and Hooks; a
+    // column claimed ONLY by Forbidden is a wrong key when its value does
+    // NOT match the forbidden rule (the reference's Hook-continue path,
+    // schema/__init__.py:490-496 — "excluding a key only if its value has a
+    // certain type"): matching value → forbidden error, non-matching → wrong
+    // key, null → absent.
+    val covered = eff.collect {
+      case fr if fr.kind != FieldKind.Forbidden => fr.name
+    }.toSet
+    val forbiddenOnly = eff.filter(_.kind == FieldKind.Forbidden)
+      .map(_.name).distinct.filterNot(covered.contains)
     val extraConds =
       if (ignoreExtra) Nil
-      else st.fields.map(_.name).filterNot(claimed.contains)
-        .map(e => in.getField(e).isNull).toSeq
+      else {
+        val plain = st.fields.map(_.name)
+          .filterNot(n => covered.contains(n) || forbiddenOnly.contains(n))
+          .map(e => in.getField(e).isNull).toSeq
+        val fb = forbiddenOnly.filter(dataTypes.contains).map { n =>
+          val anyMatch = eff.collect {
+            case FieldRule(`n`, r, FieldKind.Forbidden, _, _) =>
+              r.validCol(in.getField(n), dataTypes(n), cctx)
+          }.reduce(_ || _)
+          in.getField(n).isNull || anyMatch
+        }
+        plain ++ fb
+      }
     val rowConds = rowChecks.map { case (_, f) => coalesce(f(in), lit(false)) }
     (fieldConds ++ patternConds ++ xorConds ++ extraConds ++ rowConds)
       .reduceOption(_ && _).getOrElse(lit(true))
@@ -265,13 +295,28 @@ final case class StructRule(fields: Seq[FieldRule],
         Some(when(size(missing) > 0, Err.one(Err.MissingKey, msg)).otherwise(Err.none))
       }
 
-    val declared = eff.map(_.name).toSet
-    val extras = st.fields.map(_.name).filterNot(declared.contains)
+    // extras mirror validCol's coverage rule: Forbidden-only columns are
+    // wrong keys exactly when present with a NON-matching value
+    val coveredNames = eff.collect {
+      case fr if fr.kind != FieldKind.Forbidden => fr.name
+    }.toSet
+    val forbiddenOnlyNames = eff.filter(_.kind == FieldKind.Forbidden)
+      .map(_.name).distinct.filterNot(coveredNames.contains).toSet
+    val extras = st.fields.map(_.name).filterNot(coveredNames.contains)
     val wrongErr: Option[Column] =
       if (ignoreExtra || extras.isEmpty) None
       else {
         val reprs = extras.map { e =>
-          when(in.getField(e).isNotNull, lit(s"'$e'")).otherwise(lit(null).cast(StringType))
+          val present =
+            if (!forbiddenOnlyNames.contains(e)) in.getField(e).isNotNull
+            else {
+              val anyMatch = eff.collect {
+                case FieldRule(`e`, r, FieldKind.Forbidden, _, _) =>
+                  r.validCol(in.getField(e), dataTypes(e), cctx)
+              }.reduce(_ || _)
+              in.getField(e).isNotNull && !anyMatch
+            }
+          when(present, lit(s"'$e'")).otherwise(lit(null).cast(StringType))
         }
         val wrong = array_sort(filter(array(reprs.toIndexedSeq: _*), x => x.isNotNull))
         val msg = ctx.prefixed(concat(lit("Wrong key"),
@@ -356,12 +401,11 @@ final case class StructRule(fields: Seq[FieldRule],
     }
   }
 
-  private def literalType(v: Any): DataType = v match {
-    case _: Int => IntegerType
-    case _: Long => LongType
-    case _: Double => DoubleType
-    case _: Boolean => BooleanType
-    case _: String => StringType
-    case _ => StringType
-  }
+  /** Declared type of a default literal — derived from Catalyst's own
+    * literal typing so Float/Decimal/Timestamp defaults don't silently
+    * declare string (fallback only for values Literal cannot type).
+    */
+  private def literalType(v: Any): DataType =
+    try org.apache.spark.sql.catalyst.expressions.Literal(v).dataType
+    catch { case _: RuntimeException => StringType }
 }

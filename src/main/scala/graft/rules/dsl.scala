@@ -54,10 +54,26 @@ object dsl {
   def useCast(dt: DataType, name: String): Rule = UseCast(dt, name)
   def use(name: String, out: DataType)(f: Column => Column): Rule =
     UseExpr(name, out, f)
-  def useJson(schema: DataType): Rule =
-    UseExpr("json.loads", schema, c => from_json(c, schema))
+  // PARTIAL transforms: parse failure is the exception path, like the
+  // reference's Use(json.loads)/Use(strptime). from_json never nulls on
+  // malformed input (it yields an all-null struct), so failure is detected
+  // through a corrupt-record field spliced into the parse schema.
+  def useJson(schema: DataType): Rule = schema match {
+    case st: StructType =>
+      val corrupt = "__graft_corrupt"
+      val wc = StructType(st.fields :+ StructField(corrupt, StringType))
+      val opts = Map("columnNameOfCorruptRecord" -> corrupt, "mode" -> "PERMISSIVE")
+      UsePartial("json.loads", st,
+        c => from_json(c, wc, opts).dropFields(corrupt),
+        failedWhen = Some { c =>
+          val p = from_json(c, wc, opts)
+          p.isNull || p.getField(corrupt).isNotNull
+        })
+    case other =>
+      UsePartial("json.loads", other, c => from_json(c, other))
+  }
   def useTimestamp(fmt: String): Rule =
-    UseExpr("datetime.strptime", TimestampType, c => try_to_timestamp(c, lit(fmt)))
+    UsePartial("datetime.strptime", TimestampType, c => try_to_timestamp(c, lit(fmt)))
 
   def const(r: Rule): Rule = ConstRule(r)
   def arrayOf(elem: Rule): Rule = ArrayRule(elem)

@@ -96,4 +96,33 @@ class MapJsonSpec extends SparkSpec {
     val oks = df.select(c.error.isNull).as[Boolean].collect().toSeq
     assert(oks == Seq(true, false))
   }
+
+  test("partial Use transforms fail on unparseable input, not silently null") {
+    // bare useTimestamp (no extra pred): bad input must be a violation
+    val ts = useTimestamp("yyyy-MM-dd")
+    val cTs = ts.compile(col("v"), StringType, Ctx())
+    val bad = Seq("nope").toDF("v")
+      .select(cTs.error.getField("kind"), Err.code(cTs.error)).head()
+    assert(bad.getString(0) == Err.SchemaError)
+    assert(bad.getString(1) == "datetime.strptime('nope') raised an exception")
+    assert(bad != null)
+    // validCol agrees (no message machinery on the hot path)
+    assert(!Seq("nope").toDF("v")
+      .select(ts.validCol(col("v"), StringType, Ctx())).head().getBoolean(0))
+    // useJson: malformed JSON is a violation too
+    val js = useJson(StructType(Seq(StructField("k", IntegerType))))
+    val cJs = js.compile(col("v"), StringType, Ctx())
+    assert(!Seq("NOT JSON").toDF("v").select(cJs.error.isNull).head().getBoolean(0))
+    assert(Seq("""{"k": 1}""").toDF("v").select(cJs.error.isNull).head().getBoolean(0))
+  }
+
+  test("map wrong-key surfaces the key rule's custom error= (reference :538-546)") {
+    val rule = mapOfEntries((regex("^a").withError("keys must start with a"), int))
+    val dt = Seq(Map("a1" -> 1)).toDF("v").schema("v").dataType
+    val df = Seq(Map("b9" -> 1)).toDF("v")
+    val c = rule.compile(col("v"), dt, Ctx())
+    val r = df.select(c.error.getField("kind"), Err.code(c.error)).head()
+    assert(r.getString(0) == Err.WrongKey)
+    assert(r.getString(1) == "keys must start with a") // errors win over autos
+  }
 }

@@ -92,6 +92,29 @@ class SeqValidationSpec extends SparkSpec {
     assert(!bad.pass, s"shifted distribution must fail: $bad")
   }
 
+  test("drift: brand-new bucket mass fails the new-mass gate (chi2 e<5 blind spot)") {
+    // baseline concentrated in buckets 0..9; observed moves 5% into bucket
+    // 31 which the baseline never saw — chi2's e>=5 guard alone is blind to
+    // it, the pooled bucket + newMass gate are not
+    val baseline = (0 until 10).map(b => b -> 10000L).toMap
+    val observed = (0 until 10).map(b => b -> 9500L).toMap + (31 -> 5000L)
+    val r = Drift.compare(observed, baseline, 32)
+    assert(!r.newMassPass && r.newMassRatio > 0.04)
+    assert(!r.pass)
+    // identical distributions still pass all three gates
+    val same = Drift.compare(baseline, baseline, 32)
+    assert(same.pass && same.newMassRatio == 0.0)
+  }
+
+  test("duplicateRows surfaces duplicated NULL keys like duplicateKeys") {
+    val df = Seq(Some("k1"), Some("k1"), None, None, Some("k2"))
+      .toDF("doc_id")
+    val keys = TableChecks.duplicateKeys(df, "doc_id").collect()
+    assert(keys.length == 2) // k1 and null both duplicated
+    val rows = TableChecks.duplicateRows(df, "doc_id")
+    assert(rows.count() == 4) // 2×k1 + 2×null
+  }
+
   test("drift: distributed chi2Terms equals the driver-side compare statistic") {
     val base = SequenceGen.sequences(spark, 4000, 4, maxLen = 2048, clean = true)
     val obs = SequenceGen.sequences(spark, 4000, 8, maxLen = 1024, clean = true)

@@ -198,6 +198,34 @@ class StructSpec extends SparkSpec {
     assert(v == "Key 'v' error:\nbelow_limit(5) should evaluate to True")
   }
 
+  test("nested dict rule on a non-struct column is a row error, not a plan crash") {
+    val df = Seq(Tuple1("notastruct")).toDF("a")
+    val rule = schema(req("a", schema(req("b", int))))
+    val (k, c) = firstError(rule, df)
+    assert(k == Err.SchemaError) // wrapped by Key 'a' error:
+    assert(c == "Key 'a' error:\n'notastruct' should be instance of 'dict'")
+  }
+
+  test("Forbidden-with-type: non-matching value is a WRONG KEY (reference :490-496)") {
+    // {Forbidden('x', int)}: int value → forbidden; string value → wrong key
+    val ruleInt = StructRule(Seq(req("a", int), forbidden("x", int)))
+    val (k1, _) = firstError(ruleInt, Seq((1, 5)).toDF("a", "x"))
+    assert(k1 == Err.ForbiddenKey)
+    val ruleStr = StructRule(Seq(req("a", int), forbidden("x", int)))
+    val (k2, c2) = firstError(ruleStr, Seq((1, "s")).toDF("a", "x"))
+    assert(k2 == Err.WrongKey)
+    assert(c2.startsWith("Wrong key 'x'"))
+    // absent (null) forbidden-only column is fine
+    assert(Validator.run(Seq((1, Option.empty[Int])).toDF("a", "x"), ruleInt).isValid)
+  }
+
+  test("absent-column default declares the real literal type (float, not string)") {
+    val df = Seq(Tuple1("x")).toDF("k")
+    val rule = schema(req("k", str), optDefault("score", float, 1.5))
+    val sc = rule.compileStruct(struct(col("k")), df.schema, Ctx())
+    assert(sc.dtype("score").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
   test("verdicts aggregate per partition") {
     val df = spark.range(0, 100, 1, 4)
       .select(col("id").cast("int").as("v"))
