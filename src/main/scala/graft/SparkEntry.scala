@@ -430,8 +430,9 @@ object SparkEntry {
 
     "q_subword_count" ->
       """SELECT doc_id,
-        |       CAST(list_sum(list_transform(string_split(text, ' '),
-        |                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))) AS INT) AS n_subwords,
+        |       CAST(COALESCE(list_sum(list_transform(
+        |                list_filter(string_split(text, ' '), w -> len(w) > 0),
+        |                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))), 0) AS INT) AS n_subwords,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
 

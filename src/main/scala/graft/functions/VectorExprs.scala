@@ -85,7 +85,11 @@ case class CosineSim(left: Expression, right: Expression)
       dot += xv * yv; na += xv * xv; nb += yv * yv
       i += 1
     }
-    dot / (math.sqrt(na) * math.sqrt(nb))
+    // zero-norm guard: 0/0 would be NaN, which Spark orders ABOVE every
+    // number — a zero vector would pass any `cos >= t` filter and squat in
+    // top-k heaps. Define cos(0, ·) = 0.
+    val denom = math.sqrt(na) * math.sqrt(nb)
+    if (denom == 0.0) 0.0 else dot / denom
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -99,7 +103,8 @@ case class CosineSim(left: Expression, right: Expression)
          |  double xv = $ga; double yv = $gb;
          |  dot += xv * yv; na += xv * xv; nb += yv * yv;
          |}
-         |${ev.value} = dot / (java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb));
+         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
+         |${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
        """.stripMargin
     })
 
@@ -123,13 +128,14 @@ case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
   override def nullSafeEval(a: Any): Any = {
     val x = a.asInstanceOf[ArrayData]
     val n = x.numElements()
+    val pl = LshSign.planesFor(seedOffset, bits, n)
     val acc = new Array[Double](bits)
     var i = 0
     while (i < n) {
       val xv = VectorExprs.elemAt(child.dataType, x, i)
       var j = 0
       while (j < bits) {
-        acc(j) += xv * LshSign.unit((seedOffset + j) * 1000003L + i)
+        acc(j) += xv * pl(j * n + i)
         j += 1
       }
       i += 1
@@ -145,11 +151,11 @@ case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
       val cls = LshSign.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
          |int n = $a.numElements();
+         |double[] pl = $cls.planesFor($seedOffset, $bits, n);
          |double[] acc = new double[$bits];
          |for (int i = 0; i < n; i++) {
          |  double xv = $g;
-         |  for (int j = 0; j < $bits; j++)
-         |    acc[j] += xv * $cls.unit(($seedOffset + j) * 1000003L + i);
+         |  for (int j = 0; j < $bits; j++) acc[j] += xv * pl[j * n + i];
          |}
          |int sig = 0;
          |for (int j = 0; j < $bits; j++) if (acc[j] > 0) sig |= (1 << j);
@@ -169,4 +175,17 @@ object LshSign {
     z = z ^ (z >>> 31)
     (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
   }
+
+  /** Hyperplane values depend only on (seedOffset, bits, dims) — computed
+    * once per executor per configuration instead of per ROW (dims×bits
+    * splitmix64 finalizations each; at 8×12 bands over 1k dims that doubled
+    * the signature projection's cost). Layout: plane j at [j*n, (j+1)*n).
+    */
+  private val planeCache =
+    new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  def planesFor(seedOffset: Int, bits: Int, n: Int): Array[Double] =
+    planeCache.computeIfAbsent((seedOffset, bits, n), { key =>
+      val (so, b, dims) = key
+      Array.tabulate(b * dims)(idx => unit((so + idx / dims) * 1000003L + idx % dims))
+    })
 }

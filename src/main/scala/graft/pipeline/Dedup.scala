@@ -64,6 +64,11 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 7, numHashes: Int = 32, bands: Int = 4,
                       threshold: Double = 0.5): DataFrame = {
+    // bands > numHashes would give 0-hash bands (every doc in ONE bucket —
+    // silent all-pairs blowup); a non-divisor would silently discard the
+    // trailing hashes and change recall vs the requested signature size
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val norm = TextFunctions.normalize(col(textCol))
     val base = df.select(col(idCol).as("id"), norm.as("txt"))

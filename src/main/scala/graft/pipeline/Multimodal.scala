@@ -18,15 +18,15 @@ import org.apache.spark.sql.types._
   */
 object Multimodal {
 
+  /** The media-table contract — matches [[MediaRow]] exactly, so a frame
+    * read with this schema feeds `extractFeatures` via `.as[MediaRow]`.
+    */
   val mediaSchema: StructType = StructType(Seq(
     StructField("media_id", LongType, nullable = false),
     StructField("kind", StringType, nullable = false), // image | audio | video
     StructField("bytes", BinaryType, nullable = false),
-    StructField("meta", StructType(Seq(
-      StructField("width", IntegerType),
-      StructField("height", IntegerType),
-      StructField("sample_rate", IntegerType),
-      StructField("duration_ms", IntegerType))), nullable = true)))
+    StructField("width", IntegerType, nullable = false),
+    StructField("height", IntegerType, nullable = false)))
 
   final case class MediaRow(media_id: Long, kind: String, bytes: Array[Byte],
                             width: Int, height: Int)

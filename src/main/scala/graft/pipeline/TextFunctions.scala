@@ -18,10 +18,12 @@ object TextFunctions {
       .otherwise(length(text) - length(regexp_replace(text, " ", "")) + 1)
 
   /** BPE-ish subword count: words plus an extra unit per 4 chars of long
-    * words — a cheap deterministic stand-in for a real BPE vocab.
+    * words — a cheap deterministic stand-in for a real BPE vocab. Empty
+    * split tokens (consecutive/leading/trailing spaces, the empty string)
+    * are excluded — they are not words and must not count a phantom unit.
     */
   def subwordCount(text: Column): Column =
-    aggregate(split(text, " "), lit(0),
+    aggregate(filter(split(text, " "), w => length(w) > 0), lit(0),
       (acc, w) => acc + greatest(lit(1), ceil(length(w) / lit(4)).cast("int")))
 
   /** Quality score in [0,1]: combines length saturation, alpha ratio and
@@ -62,18 +64,20 @@ object TextFunctions {
     */
   def shingleHashes(text: Column, k: Int): Column = {
     val t = normalize(text)
+    // positions 0..len-k inclusive: n-k+1 shingles, same as TextExprs.shingles
     when(length(t) <= k, array(abs(xxhash64(t))))
       .otherwise(array_distinct(transform(
-        sequence(lit(0), length(t) - k - 1),
+        sequence(lit(0), length(t) - k),
         i => abs(xxhash64(t.substr(i + 1, lit(k)))))))
   }
 
   /** Word-level k-gram shingles (for n-gram Jaccard). */
   def wordShingles(text: Column, k: Int): Column = {
     val words = split(normalize(text), " ")
+    // positions 0..n-k inclusive, matching TextExprs.wordGrams
     when(size(words) <= k, array(abs(xxhash64(normalize(text)))))
       .otherwise(array_distinct(transform(
-        sequence(lit(0), size(words) - k - 1),
+        sequence(lit(0), size(words) - k),
         i => abs(xxhash64(array_join(slice(words, i + 1, lit(k)), " "))))))
   }
 }

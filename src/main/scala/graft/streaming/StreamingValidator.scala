@@ -34,7 +34,9 @@ object StreamingValidator {
                        watermarkDelay: String, windowLen: String,
                        ctx: Ctx = Ctx()): DataFrame = {
     val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
-    val valid = rule.validCol(rowCol, df.schema, ctx)
+    // null validity counts as invalid — without the coalesce an all-null
+    // window yields pass = NULL, invisible to a `pass === false` alert filter
+    val valid = coalesce(rule.validCol(rowCol, df.schema, ctx), lit(false))
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("n_rows"),
@@ -76,16 +78,20 @@ object StreamingValidator {
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
         case (key, rows, state: GroupState[KeyQuality]) =>
           var s = state.getOption.getOrElse(KeyQuality(key, 0L, 0L, 0L, failing = false))
-          var changed = false
+          // one event PER health transition, snapshotted at the transition
+          // row — an end-of-batch summary would collapse a fail→recover flip
+          // inside one batch into a single no-change row
+          val events = Vector.newBuilder[KeyQuality]
           rows.toSeq.sortBy(_._2).foreach { case (_, _, ok) =>
             val streak = if (ok) 0L else s.streak + 1
             val nowFailing = if (ok) false else streak >= failStreak
-            if (nowFailing != s.failing) changed = true
-            s = KeyQuality(key, s.nRows + 1, s.nValid + (if (ok) 1 else 0),
+            val next = KeyQuality(key, s.nRows + 1, s.nValid + (if (ok) 1 else 0),
               streak, nowFailing)
+            if (nowFailing != s.failing) events += next
+            s = next
           }
           state.update(s)
-          if (changed) Iterator.single(s) else Iterator.empty
+          events.result().iterator
       }
   }
 }

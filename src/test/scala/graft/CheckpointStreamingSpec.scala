@@ -132,14 +132,25 @@ class CheckpointStreamingSpec extends SparkSpec {
     mem.addData(("b", 7, 4))
     q.processAllAvailable()
     val all = spark.table("kq").orderBy("nRows").collect()
-    q.stop()
     assert(all.length == 2)
     assert(!all.last.getAs[Boolean]("failing"))
     assert(all.last.getAs[Long]("nRows") == 3 && all.last.getAs[Long]("nValid") == 1)
+    // batch 4: fail-fail-recover INSIDE one batch → BOTH transitions emitted
+    // (an end-of-batch summary would collapse this to a no-change row)
+    mem.addData(("b", -1, 5), ("b", -2, 6), ("b", 9, 7))
+    q.processAllAvailable()
+    val batch4 = spark.table("kq").orderBy("nRows").collect().drop(2)
+    q.stop()
+    assert(batch4.length == 2)
+    assert(batch4.head.getAs[Boolean]("failing") && batch4.head.getAs[Long]("nRows") == 5)
+    assert(!batch4.last.getAs[Boolean]("failing") && batch4.last.getAs[Long]("nRows") == 6)
   }
 
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
     val media = Multimodal.syntheticMedia(spark, 300, 4)
+    // the published schema IS the MediaRow contract
+    assert(media.toDF().schema.fields.map(f => (f.name, f.dataType)).toSeq ==
+      Multimodal.mediaSchema.fields.map(f => (f.name, f.dataType)).toSeq)
     val feats = Multimodal.extractFeatures(media, dims = 16)
     val rows = feats.collect()
     assert(rows.length == 300)

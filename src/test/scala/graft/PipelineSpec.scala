@@ -18,6 +18,28 @@ class PipelineSpec extends SparkSpec {
     (5L, "tést whitespace and case NORMALIZATION test") // fingerprint-equal to 4
   ).toDF("doc_id", "text")
 
+  test("subwordCount ignores empty split tokens; shingle windows include the tail") {
+    val r = Seq(("a  b", 1L), ("", 2L), ("abcd", 3L)).toDF("t", "i")
+      .select(col("i"), TextFunctions.subwordCount(col("t")).as("sw"),
+        size(TextFunctions.shingleHashes(col("t"), 3)).as("nsh"))
+      .orderBy("i").collect()
+    assert(r(0).getAs[Int]("sw") == 2) // "a  b": the empty middle token is not a word
+    assert(r(1).getAs[Int]("sw") == 0) // empty text, like tokenCount
+    assert(r(2).getAs[Int]("nsh") == 2) // 'abc','bcd' — last window included
+  }
+
+  test("zero-norm vectors never become near-duplicates (NaN guard)") {
+    val withZero = Seq(
+      (0L, Array(1.0f, 0.0f)), (1L, Array(0.0f, 0.0f)), (2L, Array(1.0f, 0.01f))
+    ).toDF("vec_id", "embedding")
+    val cos = withZero.where(col("vec_id") === 1L)
+      .select(Ann.cosine(col("embedding"), col("embedding"))).head().getDouble(0)
+    assert(cos == 0.0 && !cos.isNaN)
+    val pairs = Ann.cosineNearDups(withZero, threshold = 0.9, bands = 8, bitsPerBand = 2)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(pairs == Set((0L, 2L))) // the zero vector pairs with nothing
+  }
+
   test("tokenCount / langId / qualityScore basics") {
     val r = docs.select(col("doc_id"), TextFunctions.tokenCount(col("text")).as("n"),
       TextFunctions.langId(col("text")).as("lang")).orderBy("doc_id").collect()
