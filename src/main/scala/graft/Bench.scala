@@ -27,9 +27,13 @@ object Bench {
     times(n / 2)
   }
 
-  /** Generate-once parquet path for the flagship table at this scale. */
+  /** Generate-once parquet path for the flagship table at this scale.
+    * Keyed by (sf, parts): callers ask for different file layouts (Bench
+    * cpus*2, ScaleOne 64) and a layout with too few files would cap scan
+    * parallelism for a later caller silently.
+    */
   def materialize(spark: SparkSession, sf: Double, parts: Int): String = {
-    val path = s"/root/repo/target/bench_seqs_sf$sf"
+    val path = s"/root/repo/target/bench_seqs_sf${sf}_p$parts"
     if (!new java.io.File(path + "/_SUCCESS").exists()) {
       SequenceGen.sequences(spark, seqRows(sf), parts)
         .write.mode("overwrite").parquet(path)
@@ -93,15 +97,22 @@ object Bench {
     val flagshipSec = medianSec(3)(job.run())
     val seqPerSec = rows / flagshipSec
 
+    var failed = List.empty[String]
     val results = SparkEntry.queries.map { case (name, fn) =>
       val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
+      try { fn(spark, sfDir).count() } catch {
+        case e: Throwable =>
+          // a broken query must be VISIBLE, not a flattering near-zero timing
+          System.err.println(s"[bench] $name FAILED: $e")
+          failed ::= name
+      }
       name -> (System.nanoTime() - q0) / 1e9
     }
     val qs = (results + ("flagship_validate" -> flagshipSec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     val total = results.values.sum + flagshipSec
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir","seq_rows":$rows,"validated_seq_per_sec":${seqPerSec.round}}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","seq_rows":$rows,"validated_seq_per_sec":${seqPerSec.round}}""")
     spark.stop()
   }
 }

@@ -57,6 +57,9 @@ object ScaleOne {
         val s = Bench.medianSec(iters)(job.run())
         (r, s)
     }
+    // drain queued task-end events from the timing runs BEFORE resetting,
+    // and again before reading — the listener bus is asynchronous
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
     cpuNs.reset(); runMs.reset()
     mode match { // one more measured pass purely for the CPU accounting
       case "scan" => seqs.select(sum(size(col("tokens")))).head()
@@ -66,6 +69,7 @@ object ScaleOne {
         seqs.select(sum(rule.validCol(rowCol, seqs.schema, graft.rules.Ctx()).cast("long"))).head()
       case _ => Bench.flagshipJob(spark, seqs).run()
     }
+    org.apache.spark.graftbridge.ListenerBridge.flush(spark.sparkContext)
     val cpuSec = cpuNs.sum() / 1e9
     val taskSec = runMs.sum() / 1e3
     println(s"""{"metric":"scale_one","mode":"$mode","sf":$sf,"cores":$cores,"rows":$rows,"sec":$sec,"seq_per_sec":${(rows / sec).round},"executor_cpu_sec":${math.round(cpuSec * 100) / 100.0},"task_run_sec":${math.round(taskSec * 100) / 100.0}}""")

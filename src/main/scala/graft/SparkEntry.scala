@@ -180,7 +180,10 @@ object SparkEntry {
       val nTok = TextFunctions.tokenCount(t)
       T(s, dir, "documents").select(col("doc_id"),
         nTok.as("n_tokens"),
-        round(col("n_chars").cast("double") / nTok.cast("double"), 4).as("avg_word_len"),
+        // zero-token guard: empty text would divide by zero (NULL vs the
+        // oracle's inf — the two engines cannot agree on that row otherwise)
+        when(nTok > 0,
+          round(col("n_chars").cast("double") / nTok.cast("double"), 4)).as("avg_word_len"),
         (nTok >= 20 && nTok <= 120).as("len_ok"))
     }),
 
@@ -421,9 +424,10 @@ object SparkEntry {
       """SELECT doc_id,
         |       CASE WHEN length(text) = 0 THEN 0
         |            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens,
-        |       round(CAST(n_chars AS DOUBLE) /
-        |             (CASE WHEN length(text) = 0 THEN 0
-        |                   ELSE length(text) - length(replace(text, ' ', '')) + 1 END), 4) AS avg_word_len,
+        |       CASE WHEN length(text) > 0 THEN
+        |         round(CAST(n_chars AS DOUBLE) /
+        |               (length(text) - length(replace(text, ' ', '')) + 1), 4)
+        |       END AS avg_word_len,
         |       (CASE WHEN length(text) = 0 THEN 0
         |             ELSE length(text) - length(replace(text, ' ', '')) + 1 END) BETWEEN 20 AND 120 AS len_ok
         |FROM documents""".stripMargin,
@@ -449,7 +453,7 @@ object SparkEntry {
     "q_histogram_nchars" ->
       """SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
         |       count(*) AS cnt
-        |FROM documents GROUP BY 1""".stripMargin,
+        |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1""".stripMargin,
 
     // same bucketing split by doc_id parity; expected counts scaled by the
     // total ratio, e>=5 validity guard → null term (mirrors Drift.chi2Terms)

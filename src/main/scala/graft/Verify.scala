@@ -20,6 +20,16 @@ object Verify {
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
         System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        // remove any STALE output from a previous run: the driver must see a
+        // missing result (error), not last run's parquet as a false pass
+        def rm(p: java.nio.file.Path): Unit = {
+          if (Files.isDirectory(p)) {
+            val s = Files.list(p)
+            try s.forEach(c => rm(c)) finally s.close()
+          }
+          Files.deleteIfExists(p)
+        }
+        rm(Paths.get(s"$outDir/$name"))
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

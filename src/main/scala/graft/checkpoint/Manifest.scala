@@ -49,7 +49,10 @@ class Manifest(path: String) {
     }
 
   def append(r: SplitResult): Unit = synchronized {
-    val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"${r.lineage}"}"""
+    // lineage is caller-supplied free text on a JSON line: a quote/backslash
+    // would corrupt the manifest and silently disable resume
+    val safeLineage = r.lineage.replaceAll("[\"\\\\\\p{Cntrl}]", "_")
+    val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"$safeLineage"}"""
     Files.writeString(file, line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }

@@ -56,11 +56,16 @@ object JsonSchemaExport {
     case JNull => "null"
   }
 
+  // full control-char escaping — a tab/CR in a title, description, or regex
+  // pattern must not produce invalid JSON (same fix as Verify.q)
   private def q(s: String): String =
     "\"" + s.flatMap {
       case '"' => "\\\""
       case '\\' => "\\\\"
       case '\n' => "\\n"
+      case '\r' => "\\r"
+      case '\t' => "\\t"
+      case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
 

@@ -1,0 +1,12 @@
+package org.apache.spark.graftbridge
+
+import org.apache.spark.SparkContext
+
+/** `LiveListenerBus.waitUntilEmpty` is private[spark]; ScaleOne's CPU-time
+  * accounting needs it — task-end events are delivered asynchronously, so
+  * resetting/reading the counters without draining the bus races queued
+  * metrics from the previous run into the measured window.
+  */
+object ListenerBridge {
+  def flush(sc: SparkContext): Unit = sc.listenerBus.waitUntilEmpty()
+}
