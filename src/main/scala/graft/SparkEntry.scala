@@ -98,6 +98,26 @@ object SparkEntry {
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
     }),
 
+    // --- rule engine over VECTOR data: dims / norm-bounds / label checks
+    //     (the validation vocabulary composed with the native vector exprs) ---
+    "q_validate_embeddings" -> ((s, dir) => {
+      import rules.dsl._
+      val df = T(s, dir, "embeddings")
+      val rule = rules.StructRule(fields = Seq(
+        req("vec_id", int),
+        req("embedding", and(list,
+          pred("dims_64")(v => size(v) === 64),
+          // L2 norm within a sane band; exact same double math as the oracle
+          pred("norm_ok")(v => {
+            val n = graft.functions.VectorExprs.dotProduct(v, v)
+            n > 0.0 && n < 1.0e6
+          }))),
+        req("label", int)))
+      val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+      df.select(col("vec_id"),
+        rule.validCol(rowCol, df.schema, rules.Ctx()).as("valid"))
+    }),
+
     // --- rule engine over a real table: per-row verdict flags ---
     "q_validate_documents" -> ((s, dir) => {
       val df = T(s, dir, "documents")
@@ -368,6 +388,14 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
         |       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+
+    "q_validate_embeddings" ->
+      """SELECT vec_id,
+        |       (vec_id IS NOT NULL AND embedding IS NOT NULL AND label IS NOT NULL
+        |        AND len(embedding) = 64
+        |        AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0.0
+        |        AND list_dot_product(CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) < 1.0e6) AS valid
+        |FROM embeddings""".stripMargin,
 
     "q_validate_documents" ->
       """SELECT doc_id,
