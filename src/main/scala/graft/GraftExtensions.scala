@@ -23,19 +23,25 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 
   override def apply(ext: SparkSessionExtensions): Unit =
     all.foreach { case (name, usage, builder) =>
-      ext.injectFunction((FunctionIdentifier(name),
-        new ExpressionInfo(classOf[GraftExtensions].getName, name, usage),
-        builder))
+      ext.injectFunction((FunctionIdentifier(name), info(name, usage), builder))
     }
 }
 
 object GraftExtensions {
 
+  /** ExpressionInfo's 3-arg constructor is (className, DB, name) — passing
+    * usage positionally garbles DESCRIBE FUNCTION output; the usage-bearing
+    * constructor needs the full argument list.
+    */
+  private[graft] def info(name: String, usage: String): ExpressionInfo =
+    new ExpressionInfo(classOf[GraftExtensions].getName, null, name, usage,
+      "", "", "", "misc_funcs", "", "", "built-in")
+
   /** Same registrations on an already-constructed session. */
   def registerAll(spark: org.apache.spark.sql.SparkSession): Unit =
     all.foreach { case (name, usage, builder) =>
       org.apache.spark.sql.graftbridge.Bridge.registerFunction(
-        spark, name, usage, classOf[GraftExtensions].getName, builder)
+        spark, info(name, usage), builder)
     }
 
   private def intLit(e: Expression, fn: String, pos: Int): Int = e match {

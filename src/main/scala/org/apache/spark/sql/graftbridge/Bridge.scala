@@ -18,13 +18,11 @@ object Bridge {
     * only applies at session construction; `sessionState` is private[sql],
     * hence this bridge method.
     */
-  def registerFunction(spark: org.apache.spark.sql.SparkSession, name: String,
-                       usage: String, clazz: String,
+  def registerFunction(spark: org.apache.spark.sql.SparkSession,
+                       info: org.apache.spark.sql.catalyst.expressions.ExpressionInfo,
                        builder: Seq[Expression] => Expression): Unit = {
     val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
     cs.sessionState.functionRegistry.registerFunction(
-      org.apache.spark.sql.catalyst.FunctionIdentifier(name),
-      new org.apache.spark.sql.catalyst.expressions.ExpressionInfo(clazz, name, usage),
-      builder)
+      org.apache.spark.sql.catalyst.FunctionIdentifier(info.getName), info, builder)
   }
 }
