@@ -167,13 +167,19 @@ case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
 }
 
 object LshSign {
-  /** splitmix64 finalizer → pseudo-random unit in [-1, 1). */
+  /** splitmix64 finalizer → pseudo-random unit in [-1, 1).
+    * (z >>> 11) is a 53-bit value, so the divisor must be 2^53: the round-1
+    * 2^52 divisor mapped onto [-1, 3) — mean ~+1, every hyperplane
+    * component biased positive, dots almost always positive, and ~95% of
+    * vectors collapsing into the all-ones signature bucket. The banded-LSH
+    * linear-growth test exposed it.
+    */
   def unit(seed: Long): Double = {
     var z = seed + 0x9E3779B97F4A7C15L
     z = (z ^ (z >>> 30)) * 0xBF58476D1CE4E5B9L
     z = (z ^ (z >>> 27)) * 0x94D049BB133111EBL
     z = z ^ (z >>> 31)
-    (z >>> 11).toDouble / (1L << 52).toDouble * 2.0 - 1.0
+    (z >>> 11).toDouble / (1L << 53).toDouble * 2.0 - 1.0
   }
 
   /** Hyperplane values depend only on (seedOffset, bits, dims) — computed

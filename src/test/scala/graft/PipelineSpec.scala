@@ -176,6 +176,29 @@ class PipelineSpec extends SparkSpec {
     assert(pairs.subsetOf(Set((0L, 1L), (2L, 3L))))
   }
 
+  test("banded LSH candidates grow ~linearly with N when bits scale with log2 N") {
+    // pseudo-random unit-ish vectors (hash-derived): candidate pairs within
+    // a band bucket are O(N²/2^bits) per band, so bits = log2(N) + c keeps
+    // candidates/N bounded — the scale dial the round-1 fixed 2^6 buckets
+    // lacked. Doubling N with one more bit must not super-linearly blow up.
+    def vecs(n: Int) = (0 until n).map { i =>
+      (i.toLong, Array.tabulate(16)(d =>
+        graft.functions.LshSign.unit(i * 16L + d + 7777).toFloat))
+    }.toDF("vec_id", "embedding")
+    def candidates(df: org.apache.spark.sql.DataFrame, bits: Int): Long = {
+      val s = df.select(col("vec_id").as("id"),
+        explode(Ann.bandedBuckets(col("embedding"), 4, bits)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      s.as("a").join(s.as("b"), Seq("band", "bucket"))
+        .where(col("a.id") < col("b.id"))
+        .select(col("a.id"), col("b.id")).distinct().count()
+    }
+    val cN = candidates(vecs(400), bits = 6)
+    val c2N = candidates(vecs(800), bits = 7)
+    assert(cN > 0)
+    assert(c2N <= 3 * cN, s"candidates must scale ~linearly: N→$cN, 2N→$c2N")
+  }
+
   test("banded LSH recall = 1 vs brute force on clustered vectors") {
     // 6 clusters of 10 vectors: center[c] one-hot-ish in 16 dims + tiny
     // deterministic noise → intra-cluster cos ≈ 0.999, cross-cluster ≈ 0.
