@@ -108,6 +108,17 @@ object Validator {
   def run(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): ValidationResult =
     new ValidationResult(df, rule, ctx)
 
+  /** Typed face: validate a `Dataset[T]` and read the passing rows back as
+    * `T` — compile-time field access on both ends, the rule engine between.
+    */
+  def runTyped[T](ds: org.apache.spark.sql.Dataset[T], rule: StructRule,
+                  ctx: Ctx = Ctx()): ValidationResult =
+    run(ds.toDF(), rule, ctx)
+
+  def validatedAs[T: org.apache.spark.sql.Encoder](res: ValidationResult):
+      org.apache.spark.sql.Dataset[T] =
+    res.validated.as[T]
+
   /** Stream-friendly variant: same single-pass annotation, no verdict agg
     * (callers add watermark + windowed aggregation; rules compile to plain
     * Columns so they apply to streaming DataFrames unchanged).

@@ -9,6 +9,8 @@ import graft.rules.dsl._
   * test_schema.py:250-477): missing/wrong keys with exact messages,
   * forbidden, optionals + defaults, nested key-error text, xor keys, hooks.
   */
+case class Person(name: String, age: Int)
+
 class StructSpec extends SparkSpec {
   import spark.implicits._
 
@@ -224,6 +226,16 @@ class StructSpec extends SparkSpec {
     val rule = schema(req("k", str), optDefault("score", float, 1.5))
     val sc = rule.compileStruct(struct(col("k")), df.schema, Ctx())
     assert(sc.dtype("score").dataType == org.apache.spark.sql.types.DoubleType)
+  }
+
+  test("typed Dataset face: runTyped + validatedAs round-trip case classes") {
+    val ds = Seq(Person("Sue", 28), Person("Kid", 7)).toDS()
+    val rule = schema(req("name", str),
+      req("age", and(int, pred("adult")(_ >= 18))))
+    val res = Validator.runTyped(ds, rule)
+    val adults = Validator.validatedAs[Person](res).collect().toSeq
+    assert(adults == Seq(Person("Sue", 28)))
+    assert(res.violations.count() == 1)
   }
 
   test("verdicts aggregate per partition") {
