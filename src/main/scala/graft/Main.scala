@@ -55,10 +55,8 @@ object Main {
       "csv cannot represent tokens array<int> — use parquet or json input")
     val df = sources.Tables.read(spark, input, seqSchema, fmt)
     val rule = SeqValidation.rule(vocab)
-    // manifest lines are JSON: strip characters that would corrupt the line
-    // or defeat the resume parser
-    val safeInput = input.replaceAll("[\"\\\\\\p{Cntrl}]", "_")
-    val lineage = s"input=$safeInput rule=seq-v1 vocab=$vocab app=${spark.sparkContext.applicationId}"
+    // (Manifest.append sanitizes lineage for the JSON line)
+    val lineage = s"input=$input rule=seq-v1 vocab=$vocab app=${spark.sparkContext.applicationId}"
 
     // resumable validation, ONE scan of the input: writes output/rows/
     // partitioned by (__split, __valid) — validated rows = __valid=true via

@@ -484,7 +484,8 @@ object SparkEntry {
         |FROM documents WHERE n_chars IS NOT NULL GROUP BY 1""".stripMargin,
 
     // same bucketing split by doc_id parity; expected counts scaled by the
-    // total ratio, e>=5 validity guard → null term (mirrors Drift.chi2Terms)
+    // total ratio, e>=5 validity guard → null term, sub-threshold buckets
+    // pooled into a synthetic bucket=-1 row (mirrors Drift.chi2Terms)
     "q_drift_nchars" ->
       """WITH h AS (
         |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
@@ -500,7 +501,15 @@ object SparkEntry {
         |       CASE WHEN e >= 5 THEN
         |         round((CAST(n_obs AS DOUBLE) - e) * (CAST(n_obs AS DOUBLE) - e) / e, 6)
         |       END AS chi2_term
-        |FROM t""".stripMargin,
+        |FROM t
+        |UNION ALL
+        |SELECT -1 AS bucket, CAST(sum(n_obs) AS BIGINT) AS n_obs,
+        |       CAST(sum(n_base) AS BIGINT) AS n_base,
+        |       round((CAST(sum(n_obs) AS DOUBLE) - sum(e)) *
+        |             (CAST(sum(n_obs) AS DOUBLE) - sum(e)) /
+        |             greatest(sum(e), 1.0), 6) AS chi2_term
+        |FROM t WHERE e < 5
+        |HAVING sum(e) >= 5 OR (sum(e) > 0 AND sum(n_obs) > 0)""".stripMargin,
 
     "q_events_hourly" ->
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,

@@ -88,8 +88,11 @@ object Drift {
     * histogram (both `(bucket, cnt)` as `TableChecks.histogram` emits) — the
     * no-driver-collect form for baselines too wide to snapshot: full-outer
     * align, expected counts scaled by the total ratio, standard e≥5 validity
-    * guard (null term below it). At most `buckets` rows flow through the
-    * final single-partition window, so the unpartitioned totals are free.
+    * guard (null term below it), and — mirroring `compare` exactly — the
+    * sub-threshold buckets POOLED into one synthetic `bucket = -1` row so
+    * thin/new-bucket mass still contributes; `sum(chi2_term)` equals the
+    * driver-side statistic. At most `buckets` rows flow through the final
+    * single-partition window, so the unpartitioned totals are free.
     */
   def chi2Terms(observed: DataFrame, baseline: DataFrame): DataFrame = {
     import org.apache.spark.sql.expressions.Window
@@ -102,8 +105,20 @@ object Drift {
     val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
     val e = col("n_base").cast("double") *
       (sum(col("n_obs")).over(w).cast("double") / sum(col("n_base")).over(w).cast("double"))
-    val diff = col("n_obs").cast("double") - e
-    j.select(col("bucket"), col("n_obs"), col("n_base"),
-      when(e >= 5.0, round(diff * diff / e, 6)).as("chi2_term"))
+    val withE = j.select(col("bucket"), col("n_obs"), col("n_base"), e.as("e"))
+    val perBucket = withE.select(col("bucket"), col("n_obs"), col("n_base"),
+      when(col("e") >= 5.0, round(
+        (col("n_obs").cast("double") - col("e")) * (col("n_obs").cast("double") - col("e"))
+          / col("e"), 6)).as("chi2_term"))
+    val pooled = withE.where(col("e") < 5.0)
+      .agg(sum(col("n_obs")).as("n_obs"), sum(col("n_base")).as("n_base"),
+        sum(col("e")).as("pe"))
+      .where(col("pe") >= 5.0 ||
+        (col("pe") > 0.0 && col("n_obs") > 0L))
+      .select(lit(-1).as("bucket"), col("n_obs"), col("n_base"),
+        round((col("n_obs").cast("double") - col("pe")) *
+          (col("n_obs").cast("double") - col("pe")) /
+          greatest(col("pe"), lit(1.0)), 6).as("chi2_term"))
+    perBucket.unionAll(pooled)
   }
 }

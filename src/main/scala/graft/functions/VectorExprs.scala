@@ -187,11 +187,18 @@ object LshSign {
     * splitmix64 finalizations each; at 8×12 bands over 1k dims that doubled
     * the signature projection's cost). Layout: plane j at [j*n, (j+1)*n).
     */
+  /** Only plausible embedding dims are CACHED — the cache is keyed by the
+    * per-row array length, and a single malformed million-element row must
+    * not pin bits×n doubles on every executor forever. Oversize rows get a
+    * transient (uncached) array: correct, just not amortized.
+    */
+  private val MaxCachedDims = 8192
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
+  private def build(so: Int, b: Int, dims: Int): Array[Double] =
+    Array.tabulate(b * dims)(idx => unit((so + idx / dims) * 1000003L + idx % dims))
   def planesFor(seedOffset: Int, bits: Int, n: Int): Array[Double] =
-    planeCache.computeIfAbsent((seedOffset, bits, n), { key =>
-      val (so, b, dims) = key
-      Array.tabulate(b * dims)(idx => unit((so + idx / dims) * 1000003L + idx % dims))
-    })
+    if (n > MaxCachedDims) build(seedOffset, bits, n)
+    else planeCache.computeIfAbsent((seedOffset, bits, n),
+      key => build(key._1, key._2, key._3))
 }

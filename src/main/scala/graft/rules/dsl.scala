@@ -58,6 +58,11 @@ object dsl {
   // reference's Use(json.loads)/Use(strptime). from_json never nulls on
   // malformed input (it yields an all-null struct), so failure is detected
   // through a corrupt-record field spliced into the parse schema.
+  // Cost note: the two-path design evaluates the parse once on the validity
+  // filter and once on the value projection (JsonToStructs is
+  // CodegenFallback, so CSE does not merge them) — inherent to partial
+  // transforms here; callers with parse-dominated rows can pre-project the
+  // corrupt-bearing struct once and validate THAT column instead.
   def useJson(schema: DataType): Rule = schema match {
     case st: StructType =>
       val corrupt = "__graft_corrupt"

@@ -129,6 +129,23 @@ class SeqValidationSpec extends SparkSpec {
       s"distributed=$distributedChi2 driver=${report.chi2}")
   }
 
+  test("drift: chi2Terms pools thin buckets like compare (e<5 not dropped)") {
+    // bucket 31: baseline 3 (e < 5), observed 5000 — without pooling the
+    // distributed path would silently ignore the mass shift
+    val obsH = Seq((0, 5000L), (1, 5000L), (31, 5000L)).toDF("bucket", "cnt")
+    val baseH = Seq((0, 5000L), (1, 5000L), (31, 3L)).toDF("bucket", "cnt")
+    val rows = Drift.chi2Terms(obsH, baseH).collect()
+    val pooled = rows.find(_.getInt(0) == -1)
+    assert(pooled.isDefined && pooled.get.getAs[Double]("chi2_term") > 1000)
+    val distributedChi2 = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double])).sum
+    val report = Drift.compare(
+      Map(0 -> 5000L, 1 -> 5000L, 31 -> 5000L),
+      Map(0 -> 5000L, 1 -> 5000L, 31 -> 3L), 32)
+    assert(math.abs(distributedChi2 - report.chi2) < 1e-2,
+      s"distributed=$distributedChi2 driver=${report.chi2}")
+    assert(!report.chi2Pass)
+  }
+
   test("per-partition verdicts: failing partitions flagged") {
     val res = SeqValidation.validate(seqs)
     val verd = res.verdicts.collect()
