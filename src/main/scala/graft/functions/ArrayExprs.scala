@@ -1,0 +1,48 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{BooleanType, DataType}
+
+object ArrayExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def arrayHasNull(a: Column): Column = column(ArrayHasNull(expression(a)))
+}
+
+/** True iff the array contains a NULL element — the codegen'd null detector
+  * Spark's builtins lack (array_min/array_max SKIP nulls; array_compact and
+  * exists are HOFs, i.e. CodegenFallback). Exists so the HOF-free `fastAll`
+  * validity bound stays usable on parquet-read arrays: Spark's parquet
+  * reader marks element nullability true regardless of what was written, and
+  * without this the hot path silently degraded to interpreted `forall`.
+  */
+case class ArrayHasNull(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    var i = 0
+    val n = arr.numElements()
+    while (i < n) {
+      if (arr.isNullAt(i)) return true
+      i += 1
+    }
+    false
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      s"""
+         |boolean found = false;
+         |int n = $a.numElements();
+         |for (int i = 0; i < n && !found; i++) {
+         |  if ($a.isNullAt(i)) found = true;
+         |}
+         |${ev.value} = found;
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

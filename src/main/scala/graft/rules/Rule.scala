@@ -521,15 +521,21 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
       // coalesce: a fastAll built from array_min/array_max returns NULL on an
       // empty array — forall-on-empty is TRUE (README.rst:320), and a null
       // validity flag would drop the row from validated AND violations.
-      // fastAll is only sound when the schema rules out null elements:
-      // array_min/array_max SKIP nulls (an all-null array even yields null →
-      // "valid"), while the forall/message path rejects them, so with
-      // containsNull=true the two paths would disagree — use forall there.
-      val all =
-        if (containsNull)
-          forall(in, x => elemOrRule.validCol(x, et, ctx.clearName))
-        else fastAll.map(f => coalesce(f(in), lit(true)))
-          .getOrElse(forall(in, x => elemOrRule.validCol(x, et, ctx.clearName)))
+      // fastAll bounds are blind to null ELEMENTS (array_min/array_max skip
+      // them; an all-null array even yields null → "valid") while the
+      // forall/message path rejects them. With containsNull=true — which
+      // Spark's parquet reader reports regardless of what was written — the
+      // fast path stays sound by pairing fastAll with the codegen'd
+      // ArrayHasNull detector, PROVIDED the element rule rejects nulls
+      // (the standard case); null-accepting element rules fall back to
+      // forall.
+      val all = fastAll match {
+        case Some(f) if !containsNull => coalesce(f(in), lit(true))
+        case Some(f) if !elem.acceptsNull =>
+          coalesce(f(in), lit(true)) &&
+            !graft.functions.ArrayExprs.arrayHasNull(in)
+        case _ => forall(in, x => elemOrRule.validCol(x, et, ctx.clearName))
+      }
       in.isNotNull && all
     case _ => lit(false)
   }

@@ -146,6 +146,27 @@ class SeqValidationSpec extends SparkSpec {
     assert(!report.chi2Pass)
   }
 
+  test("plan shape: validated path stays whole-stage-codegen with pushed filters") {
+    // parquet round-trip (the production read path) must preserve
+    // containsNull=false so the HOF-free fastAll bound stays active
+    val dir = java.nio.file.Files.createTempDirectory("graft-plan").toString
+    SequenceGen.sequences(spark, 500, 2).write.parquet(s"$dir/seqs")
+    val fromDisk = spark.read.parquet(s"$dir/seqs")
+    // NOTE: Spark's parquet reader reports containsNull=true regardless of
+    // what was written — the fast path must survive that (ArrayHasNull
+    // pairing), not depend on the declared schema
+    val plan = SeqValidation.validate(fromDisk).validated
+      .queryExecution.executedPlan.toString
+    // WSCG span covers the filter (tree string shows '*(n)' prefixes)
+    assert(plan.contains("*(1)"), s"no whole-stage codegen span:\n$plan")
+    // the HOF-free bounds reached the scan as data filters; no interpreted
+    // forall/exists in the hot path
+    assert(plan.contains("array_min"), s"fastAll bound missing from plan:\n$plan")
+    assert(!plan.contains("forall"), s"HOF leaked into the validated path:\n$plan")
+    assert(plan.contains("DataFilters") || plan.contains("PushedFilters"),
+      s"no pushdown section in scan:\n$plan")
+  }
+
   test("per-partition verdicts: failing partitions flagged") {
     val res = SeqValidation.validate(seqs)
     val verd = res.verdicts.collect()
