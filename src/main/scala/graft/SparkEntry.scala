@@ -485,7 +485,7 @@ object SparkEntry {
 
     // same bucketing split by doc_id parity; expected counts scaled by the
     // total ratio, e>=5 validity guard → null term, sub-threshold buckets
-    // pooled into a synthetic bucket=-1 row (mirrors Drift.chi2Terms)
+    // pooled into a synthetic bucket=NULL row (mirrors Drift.chi2Terms)
     "q_drift_nchars" ->
       """WITH h AS (
         |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
@@ -503,7 +503,7 @@ object SparkEntry {
         |       END AS chi2_term
         |FROM t
         |UNION ALL
-        |SELECT -1 AS bucket, CAST(sum(n_obs) AS BIGINT) AS n_obs,
+        |SELECT CAST(NULL AS INT) AS bucket, CAST(sum(n_obs) AS BIGINT) AS n_obs,
         |       CAST(sum(n_base) AS BIGINT) AS n_base,
         |       round((CAST(sum(n_obs) AS DOUBLE) - sum(e)) *
         |             (CAST(sum(n_obs) AS DOUBLE) - sum(e)) /

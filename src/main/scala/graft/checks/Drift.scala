@@ -89,7 +89,7 @@ object Drift {
     * no-driver-collect form for baselines too wide to snapshot: full-outer
     * align, expected counts scaled by the total ratio, standard e≥5 validity
     * guard (null term below it), and — mirroring `compare` exactly — the
-    * sub-threshold buckets POOLED into one synthetic `bucket = -1` row so
+    * sub-threshold buckets POOLED into one synthetic `bucket = NULL` row so
     * thin/new-bucket mass still contributes; `sum(chi2_term)` equals the
     * driver-side statistic. At most `buckets` rows flow through the final
     * single-partition window, so the unpartitioned totals are free.
@@ -110,12 +110,17 @@ object Drift {
       when(col("e") >= 5.0, round(
         (col("n_obs").cast("double") - col("e")) * (col("n_obs").cast("double") - col("e"))
           / col("e"), 6)).as("chi2_term"))
+    // pooled marker = NULL bucket: a caller-supplied bucketing scheme may
+    // legitimately contain -1, but histogram buckets are never null.
+    // The union's two branches share the join+window subtree — exchange
+    // reuse (on by default) collapses the duplicate upstream scans, and the
+    // post-aggregation row count is ≤ buckets either way.
     val pooled = withE.where(col("e") < 5.0)
       .agg(sum(col("n_obs")).as("n_obs"), sum(col("n_base")).as("n_base"),
         sum(col("e")).as("pe"))
       .where(col("pe") >= 5.0 ||
         (col("pe") > 0.0 && col("n_obs") > 0L))
-      .select(lit(-1).as("bucket"), col("n_obs"), col("n_base"),
+      .select(lit(null).cast("int").as("bucket"), col("n_obs"), col("n_base"),
         round((col("n_obs").cast("double") - col("pe")) *
           (col("n_obs").cast("double") - col("pe")) /
           greatest(col("pe"), lit(1.0)), 6).as("chi2_term"))

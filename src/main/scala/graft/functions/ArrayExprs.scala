@@ -34,13 +34,20 @@ case class ArrayHasNull(child: Expression) extends UnaryExpression {
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
+      // fresh names: with a non-nullable child nullSafeCodeGen inlines this
+      // body unscoped, and two instances in one generated function would
+      // collide on fixed identifiers (Janino error → silent interpreted
+      // fallback — exactly the degradation this expression prevents)
+      val found = ctx.freshName("found")
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
       s"""
-         |boolean found = false;
-         |int n = $a.numElements();
-         |for (int i = 0; i < n && !found; i++) {
-         |  if ($a.isNullAt(i)) found = true;
+         |boolean $found = false;
+         |int $n = $a.numElements();
+         |for (int $i = 0; $i < $n && !$found; $i++) {
+         |  if ($a.isNullAt($i)) $found = true;
          |}
-         |${ev.value} = found;
+         |${ev.value} = $found;
        """.stripMargin
     })
 

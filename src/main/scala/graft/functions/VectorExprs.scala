@@ -56,13 +56,15 @@ case class DotProduct(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val ga = VectorExprs.elemGetter(left.dataType, a, "i")
-      val gb = VectorExprs.elemGetter(right.dataType, b, "i")
+      // fresh names: two instances can inline unscoped into one function
+      val n = ctx.freshName("n"); val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val ga = VectorExprs.elemGetter(left.dataType, a, i)
+      val gb = VectorExprs.elemGetter(right.dataType, b, i)
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double s = 0.0;
-         |for (int i = 0; i < n; i++) { s += $ga * $gb; }
-         |${ev.value} = s;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) { $s += $ga * $gb; }
+         |${ev.value} = $s;
        """.stripMargin
     })
 
@@ -94,17 +96,21 @@ case class CosineSim(left: Expression, right: Expression)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, (a, b) => {
-      val ga = VectorExprs.elemGetter(left.dataType, a, "i")
-      val gb = VectorExprs.elemGetter(right.dataType, b, "i")
+      val n = ctx.freshName("n"); val i = ctx.freshName("i")
+      val dot = ctx.freshName("dot"); val na = ctx.freshName("na")
+      val nb2 = ctx.freshName("nb"); val xv = ctx.freshName("xv")
+      val yv = ctx.freshName("yv"); val denom = ctx.freshName("denom")
+      val ga = VectorExprs.elemGetter(left.dataType, a, i)
+      val gb = VectorExprs.elemGetter(right.dataType, b, i)
       s"""
-         |int n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double dot = 0.0, na = 0.0, nb = 0.0;
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $ga; double yv = $gb;
-         |  dot += xv * yv; na += xv * xv; nb += yv * yv;
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $dot = 0.0, $na = 0.0, $nb2 = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $ga; double $yv = $gb;
+         |  $dot += $xv * $yv; $na += $xv * $xv; $nb2 += $yv * $yv;
          |}
-         |double denom = java.lang.Math.sqrt(na) * java.lang.Math.sqrt(nb);
-         |${ev.value} = denom == 0.0 ? 0.0 : dot / denom;
+         |double $denom = java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb2);
+         |${ev.value} = $denom == 0.0 ? 0.0 : $dot / $denom;
        """.stripMargin
     })
 
@@ -147,19 +153,23 @@ case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
     nullSafeCodeGen(ctx, ev, a => {
-      val g = VectorExprs.elemGetter(child.dataType, a, "i")
+      val n = ctx.freshName("n"); val pl = ctx.freshName("pl")
+      val acc = ctx.freshName("acc"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j"); val xv = ctx.freshName("xv")
+      val sig = ctx.freshName("sig")
+      val g = VectorExprs.elemGetter(child.dataType, a, i)
       val cls = LshSign.getClass.getName.stripSuffix("$") + "$.MODULE$"
       s"""
-         |int n = $a.numElements();
-         |double[] pl = $cls.planesFor($seedOffset, $bits, n);
-         |double[] acc = new double[$bits];
-         |for (int i = 0; i < n; i++) {
-         |  double xv = $g;
-         |  for (int j = 0; j < $bits; j++) acc[j] += xv * pl[j * n + i];
+         |int $n = $a.numElements();
+         |double[] $pl = $cls.planesFor($seedOffset, $bits, $n);
+         |double[] $acc = new double[$bits];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  double $xv = $g;
+         |  for (int $j = 0; $j < $bits; $j++) $acc[$j] += $xv * $pl[$j * $n + $i];
          |}
-         |int sig = 0;
-         |for (int j = 0; j < $bits; j++) if (acc[j] > 0) sig |= (1 << j);
-         |${ev.value} = sig;
+         |int $sig = 0;
+         |for (int $j = 0; $j < $bits; $j++) if ($acc[$j] > 0) $sig |= (1 << $j);
+         |${ev.value} = $sig;
        """.stripMargin
     })
 
@@ -187,18 +197,25 @@ object LshSign {
     * splitmix64 finalizations each; at 8×12 bands over 1k dims that doubled
     * the signature projection's cost). Layout: plane j at [j*n, (j+1)*n).
     */
-  /** Only plausible embedding dims are CACHED — the cache is keyed by the
-    * per-row array length, and a single malformed million-element row must
-    * not pin bits×n doubles on every executor forever. Oversize rows get a
-    * transient (uncached) array: correct, just not amortized.
+  /** Bounded plane cache: both per-entry size (dims ≤ 8192) AND entry count
+    * are capped — the key includes the per-row array length, so ragged or
+    * malformed inputs could otherwise mint unbounded distinct entries and
+    * pin them on every executor forever. Beyond either bound the planes are
+    * built transiently (correct, just not amortized); a real corpus has one
+    * or two (bands, dims) configurations, far under the cap.
     */
   private val MaxCachedDims = 8192
+  private val MaxCacheEntries = 64
   private val planeCache =
     new java.util.concurrent.ConcurrentHashMap[(Int, Int, Int), Array[Double]]()
   private def build(so: Int, b: Int, dims: Int): Array[Double] =
     Array.tabulate(b * dims)(idx => unit((so + idx / dims) * 1000003L + idx % dims))
-  def planesFor(seedOffset: Int, bits: Int, n: Int): Array[Double] =
-    if (n > MaxCachedDims) build(seedOffset, bits, n)
-    else planeCache.computeIfAbsent((seedOffset, bits, n),
-      key => build(key._1, key._2, key._3))
+  def planesFor(seedOffset: Int, bits: Int, n: Int): Array[Double] = {
+    if (n > MaxCachedDims) return build(seedOffset, bits, n)
+    val key = (seedOffset, bits, n)
+    val hit = planeCache.get(key)
+    if (hit != null) hit
+    else if (planeCache.size >= MaxCacheEntries) build(seedOffset, bits, n)
+    else planeCache.computeIfAbsent(key, k => build(k._1, k._2, k._3))
+  }
 }

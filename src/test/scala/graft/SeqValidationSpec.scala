@@ -135,7 +135,7 @@ class SeqValidationSpec extends SparkSpec {
     val obsH = Seq((0, 5000L), (1, 5000L), (31, 5000L)).toDF("bucket", "cnt")
     val baseH = Seq((0, 5000L), (1, 5000L), (31, 3L)).toDF("bucket", "cnt")
     val rows = Drift.chi2Terms(obsH, baseH).collect()
-    val pooled = rows.find(_.getInt(0) == -1)
+    val pooled = rows.find(_.isNullAt(0)) // pooled marker = null bucket
     assert(pooled.isDefined && pooled.get.getAs[Double]("chi2_term") > 1000)
     val distributedChi2 = rows.flatMap(r => Option(r.get(3)).map(_.asInstanceOf[Double])).sum
     val report = Drift.compare(
