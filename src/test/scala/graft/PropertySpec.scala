@@ -102,6 +102,51 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("acceptsNull law: static flag == evaluating validCol on a null value") {
+    // StructRule's Required-None semantics hinge on this flag agreeing with
+    // the real evaluation (Pred leaves are excluded: they cannot be decided
+    // statically, and acceptsNull=false is the declared conservative answer)
+    val leafGen: Gen[Rule] = Gen.oneOf(
+      Gen.const(int), Gen.const(anything), Gen.const(isNone),
+      Gen.chooseNum(-20, 20).map(n => is(n)))
+    def treeGen(depth: Int): Gen[Rule] =
+      if (depth == 0) leafGen
+      else Gen.oneOf(leafGen,
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => AndRule(rs)),
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => OrRule(rs)),
+        treeGen(depth - 1).map(ConstRule(_)),
+        treeGen(depth - 1).map(r => NamedRule("n", r)))
+    forAll(treeGen(2)) { rule =>
+      val df = Seq[Option[Int]](None).toDF("v")
+      val got = df.select(coalesce(
+        rule.validCol(col("v"), org.apache.spark.sql.types.IntegerType, Ctx()),
+        lit(false))).head().getBoolean(0)
+      assert(got == rule.acceptsNull,
+        s"${rule.reprStr}: acceptsNull=${rule.acceptsNull} but validCol(null)=$got")
+    }
+  }
+
+  test("acceptsName law: static key binding == evaluating validCol on the name") {
+    val nameGen = Gen.oneOf("doc_id", "special_key", "n_tok", "x")
+    val keyRuleGen: Gen[Rule] = Gen.oneOf(
+      Gen.const(str), Gen.const(anything),
+      nameGen.map(n => is(n)),
+      Gen.oneOf("^doc", "^special", "tok$").map(p => regex(p)))
+    def treeGen(depth: Int): Gen[Rule] =
+      if (depth == 0) keyRuleGen
+      else Gen.oneOf(keyRuleGen,
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => AndRule(rs)),
+        Gen.listOfN(2, treeGen(depth - 1)).map(rs => OrRule(rs)))
+    forAll(Gen.zip(treeGen(2), nameGen), Gen.const(())) { case ((rule, name), _) =>
+      val df = Seq(name).toDF("v")
+      val got = df.select(coalesce(
+        rule.validCol(col("v"), org.apache.spark.sql.types.StringType, Ctx()),
+        lit(false))).head().getBoolean(0)
+      assert(got == rule.acceptsName(name),
+        s"${rule.reprStr} vs '$name': acceptsName=${rule.acceptsName(name)} but validCol=$got")
+    }
+  }
+
   test("TopKHeap law: arbitrary inserts + merges == sort-take-k with id dedup") {
     import graft.functions.TopKHeap
     val entries = Gen.listOf(Gen.zip(Gen.chooseNum(0.0, 1.0), Gen.chooseNum(0L, 30L)))
