@@ -30,6 +30,8 @@ object TextExprs {
     column(JaccardWordGrams(expression(a), expression(b), k))
   def wordGramSet(text: Column, k: Int): Column =
     column(WordGramSet(expression(text), k))
+  def shingleSet(text: Column, k: Int): Column =
+    column(ShingleSet(expression(text), k))
   def sortedArrayJaccard(a: Column, b: Column): Column =
     column(SortedArrayJaccard(expression(a), expression(b)))
 
@@ -193,6 +195,22 @@ case class JaccardShingles(left: Expression, right: Expression, k: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Sorted-distinct char k-shingle hash set — precomputed ONCE per document
+  * so candidate verification pays an O(n) merge instead of re-shingling and
+  * re-sorting both texts per PAIR (JaccardShingles). Same hashes as
+  * MinHashSig/JaccardShingles, so jaccard values are identical.
+  */
+case class ShingleSet(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    val sh = TextExprs.shingles(s.asInstanceOf[UTF8String].getBytes, k)
+    val n = TextExprs.sortDistinct(sh)
+    new GenericArrayData(java.util.Arrays.copyOf(sh, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
 /** Sorted-distinct word k-gram hash set of a text — precomputed ONCE per

@@ -58,12 +58,19 @@ object Dedup {
     * (id, band, bucket) rows ONLY — ~24 bytes/row, the text never rides the
     * B-way explode (round 1 shuffled every document's text B times through
     * the candidate join) → self-join on (band, bucket) (AQE handles skewed
-    * buckets) → distinct pairs (two 8-byte ids) → texts joined back by id →
-    * single-pass native Jaccard verify on just the candidate pairs.
+    * buckets) → distinct pairs (two 8-byte ids) → verification payload
+    * joined back by id → per-pair Jaccard on just the candidates.
+    *
+    * `verifyOnSets` picks the verification payload: precomputed
+    * sorted-distinct shingle-hash SETS (default; each pair pays an O(n)
+    * merge — with many candidates per doc this dominates) vs raw TEXT
+    * (re-shingle + sort per pair, ~8× smaller join payload — the choice
+    * when the id-join shuffle outweighs candidate CPU). Identical results.
     */
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 7, numHashes: Int = 32, bands: Int = 4,
-                      threshold: Double = 0.5): DataFrame = {
+                      threshold: Double = 0.5,
+                      verifyOnSets: Boolean = true): DataFrame = {
     // bands > numHashes would give 0-hash bands (every doc in ONE bucket —
     // silent all-pairs blowup); a non-divisor would silently discard the
     // trailing hashes and change recall vs the requested signature size
@@ -71,7 +78,6 @@ object Dedup {
       s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val norm = TextFunctions.normalize(col(textCol))
-    val base = df.select(col(idCol).as("id"), norm.as("txt"))
     val exploded = df.select(col(idCol).as("id"),
       explode(bandBuckets(
         graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes),
@@ -82,11 +88,24 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    pairs
-      .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
-      .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
-        col("txt_a"), col("txt_b"), shingleK))
+    val verified =
+      if (verifyOnSets) {
+        val base = df.select(col(idCol).as("id"),
+          graft.functions.TextExprs.shingleSet(norm, shingleK).as("sh"))
+        pairs
+          .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+          .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
+            col("sh_a"), col("sh_b")))
+      } else {
+        val base = df.select(col(idCol).as("id"), norm.as("txt"))
+        pairs
+          .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+          .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+          .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
+            col("txt_a"), col("txt_b"), shingleK))
+      }
+    verified
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
