@@ -75,11 +75,21 @@ class CheckpointStreamingSpec extends SparkSpec {
   }
 
   test("splits are stable across partitioning (lineage-safe resume)") {
-    val a = SequenceGen.sequences(spark, 1000, 2)
-      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))
-    val b = SequenceGen.sequences(spark, 1000, 16)
-      .select(col("doc_id"), pmod(xxhash64(col("doc_id")), lit(8)).as("s"))
-    assert(a.exceptAll(b).count() == 0)
+    // exercise the REAL resume path: complete a run on 2-partition input,
+    // then re-run the SAME manifest against a 16-partition layout of the
+    // same data — stable hash splits mean nothing is re-processed. (An
+    // inline re-derivation of the split formula would only prove xxhash64
+    // is deterministic, not that CheckpointedRun uses a stable key.)
+    val dir = Files.createTempDirectory("graft-stable").toString
+    val rule = SeqValidation.rule()
+    val first = CheckpointedRun.run(spark,
+      SequenceGen.sequences(spark, 1000, 2), rule, "doc_id", 8,
+      s"$dir/m.jsonl", "v1")
+    assert(first.size == 8 && first.map(_.nRows).sum == 1000)
+    val repartitioned = SequenceGen.sequences(spark, 1000, 16).repartition(5)
+    val second = CheckpointedRun.run(spark, repartitioned, rule, "doc_id", 8,
+      s"$dir/m.jsonl", "v1")
+    assert(second.isEmpty, "stable splits must fully resume across partitionings")
   }
 
   test("streaming: same rules on a MemoryStream with windowed verdicts") {
@@ -155,10 +165,11 @@ class CheckpointStreamingSpec extends SparkSpec {
     val rows = feats.collect()
     assert(rows.length == 300)
     assert(rows.forall(_.features.length == 16))
-    // determinism: same input → same checksum/features
+    // determinism: same input → same checksum AND same feature values
+    // (checksum alone only hashes input bytes, not the decode output)
     val again = Multimodal.extractFeatures(Multimodal.syntheticMedia(spark, 300, 8), 16)
-      .collect().map(r => r.media_id -> r.checksum).toMap
-    assert(rows.forall(r => again(r.media_id) == r.checksum))
+      .collect().map(r => r.media_id -> (r.checksum, r.features.toSeq)).toMap
+    assert(rows.forall(r => again(r.media_id) == ((r.checksum, r.features.toSeq))))
     // frame sampling explodes only video rows
     val frames = Multimodal.sampleFrames(media.toDF(), everyNth = 50)
     assert(frames.select("media_id").distinct().count() == media.filter(_.kind == "video").count())

@@ -105,7 +105,6 @@ class MapJsonSpec extends SparkSpec {
       .select(cTs.error.getField("kind"), Err.code(cTs.error)).head()
     assert(bad.getString(0) == Err.SchemaError)
     assert(bad.getString(1) == "datetime.strptime('nope') raised an exception")
-    assert(bad != null)
     // validCol agrees (no message machinery on the hot path)
     assert(!Seq("nope").toDF("v")
       .select(ts.validCol(col("v"), StringType, Ctx())).head().getBoolean(0))

@@ -14,17 +14,27 @@ import graft.rules.dsl._
 class PropertySpec extends SparkSpec {
 
   /** Manual ScalaCheck driver (no scalatestplus bridge in the offline
-    * cache): 20 deterministic seeds per property. */
-  private def forAll[A](g: Gen[A])(f: A => Unit): Unit =
+    * cache): 20 deterministic seeds per property. A Gen that filters too
+    * hard returns None per seed — guard that a meaningful number of cases
+    * actually evaluated, else the property passes VACUOUSLY.
+    */
+  private def forAll[A](g: Gen[A])(f: A => Unit): Unit = {
+    var ran = 0
     (1 to 20).foreach { i =>
-      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach(f)
+      g.apply(Gen.Parameters.default, Seed(i.toLong)).foreach { a => ran += 1; f(a) }
     }
-  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit =
+    assert(ran >= 10, s"property evaluated only $ran/20 cases — generator too sieved")
+  }
+  private def forAll[A, B](g1: Gen[A], g2: Gen[B])(f: (A, B) => Unit): Unit = {
+    var ran = 0
     (1 to 20).foreach { i =>
       for (a <- g1.apply(Gen.Parameters.default, Seed(i.toLong));
-           b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000)))
-        f(a, b)
+           b <- g2.apply(Gen.Parameters.default, Seed(i.toLong + 1000))) {
+        ran += 1; f(a, b)
+      }
     }
+    assert(ran >= 10, s"property evaluated only $ran/20 cases — generator too sieved")
+  }
 
   import spark.implicits._
 
@@ -137,7 +147,7 @@ class PropertySpec extends SparkSpec {
       else Gen.oneOf(keyRuleGen,
         Gen.listOfN(2, treeGen(depth - 1)).map(rs => AndRule(rs)),
         Gen.listOfN(2, treeGen(depth - 1)).map(rs => OrRule(rs)))
-    forAll(Gen.zip(treeGen(2), nameGen), Gen.const(())) { case ((rule, name), _) =>
+    forAll(Gen.zip(treeGen(2), nameGen)) { case (rule, name) =>
       val df = Seq(name).toDF("v")
       val got = df.select(coalesce(
         rule.validCol(col("v"), org.apache.spark.sql.types.StringType, Ctx()),

@@ -43,11 +43,13 @@ class SeqValidationSpec extends SparkSpec {
     val nTokBad = viols.where(col("code").contains("n_tok_eq_len")).count()
     val expectedNTok = (0L until N).count(i => i % 1201 == 0)
     assert(nTokBad >= expectedNTok - 1 && nTokBad <= expectedNTok)
-    // source violations: i%1301==0 (may overlap others)
-    val srcBad = viols.where(col("violation_kind") === "SchemaError" &&
-      col("code").contains("did not validate")).count()
+    // source violations: i%1301==0 (may overlap others). Filter must be
+    // SPECIFIC to the source rule — a generic "did not validate" grep also
+    // matches token-element Or errors — and bounded on both sides.
+    val srcBad = viols.where(col("code").contains("'bogus-src'")).count()
     val expectedSrc = (0L until N).count(i => i % 1301 == 0)
-    assert(srcBad >= expectedSrc - 2) // overlapping rows report first error only
+    assert(srcBad >= expectedSrc - 2 && srcBad <= expectedSrc,
+      s"srcBad=$srcBad expected≈$expectedSrc") // overlaps report first error only
     viols.unpersist()
   }
 

@@ -54,6 +54,7 @@ class SourcesSpec extends SparkSpec {
 
   test("bucketed tables join WITHOUT a shuffle (co-located equi-join)") {
     import org.apache.spark.sql.functions._
+    val savedThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try {
       val a = spark.range(0, 1000).select(col("id").as("doc_id"),
@@ -70,7 +71,7 @@ class SourcesSpec extends SparkSpec {
       val unbucketed = a.join(b, "doc_id")
       assert(unbucketed.queryExecution.executedPlan.toString.contains("Exchange"))
     } finally {
-      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "10485760")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", savedThreshold)
       spark.sql("DROP TABLE IF EXISTS bkt_a")
       spark.sql("DROP TABLE IF EXISTS bkt_b")
     }
