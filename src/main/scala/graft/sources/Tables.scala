@@ -22,6 +22,7 @@ object Tables {
     if (format != "auto") format
     else if (path.endsWith(".json") || path.endsWith(".jsonl")) "json"
     else if (path.endsWith(".csv")) "csv"
+    else if (path.endsWith(".orc")) "orc"
     else "parquet"
 
   /** Read `path` as `format` with the expected `schema`. Text formats get a
@@ -32,6 +33,7 @@ object Tables {
            format: String = "auto", csvHeader: Boolean = true): DataFrame =
     formatOf(path, format) match {
       case "parquet" => spark.read.parquet(path)
+      case "orc" => spark.read.orc(path) // columnar + self-describing, like parquet
       case f @ ("json" | "csv") =>
         val withCorrupt = StructType(schema.fields :+
           StructField(CorruptCol, StringType, nullable = true))

@@ -77,6 +77,16 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("orc reads validate like parquet (columnar self-describing path)") {
+    val dir = Files.createTempDirectory("graft-src").toString
+    val p = s"$dir/docs.orc"
+    Seq((1L, "hello", 5), (2L, "", 0)).toDF("doc_id", "text", "n_chars")
+      .write.orc(p)
+    val res = Tables.readValidated(spark, p, schema, rule)
+    assert(res.validated.count() == 1 && res.violations.count() == 1)
+    assert(Tables.formatOf(p) == "orc")
+  }
+
   test("parquet passthrough keeps the engine path identical") {
     val dir = Files.createTempDirectory("graft-src").toString
     val p = s"$dir/docs.parquet"
