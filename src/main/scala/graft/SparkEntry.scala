@@ -288,6 +288,8 @@ object SparkEntry {
         materialize(s, sh, "q_simhash_sketch"), maxHamming = 8)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
+      // default size-ratio blocking: recall 1 by construction, so the
+      // oracle is all-pairs ground truth (no blocking replication)
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
         k = 3, threshold = 0.2)
     }),
@@ -552,22 +554,21 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 8""".stripMargin,
 
-    // word-3-gram jaccard within token-count blocks — replicates the
-    // engine's blocking (blk = tokenCount/16) and gram-set semantics
+    // ALL-PAIRS word-3-gram jaccard — the engine's default size-ratio
+    // blocking has recall 1 by construction (every pair >= threshold shares
+    // a log-size bucket) and the verify step gives precision 1, so the
+    // blocked result must equal this quadratic ground truth exactly
     "q_ngram_jaccard" ->
-      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
-        |             CASE WHEN length(text) = 0 THEN 0
-        |                  ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS ntok
-        |           FROM documents),
-        |w AS (SELECT doc_id, CAST(floor(ntok / 16.0) AS INT) AS blk, string_split(t, ' ') AS ws, t FROM n),
-        |g AS (SELECT doc_id, blk,
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM n),
+        |g AS (SELECT doc_id,
         |        CASE WHEN len(ws) <= 3 THEN [t]
         |             ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) END AS gs
         |      FROM w),
         |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
         |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
         |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
-        |      FROM g a JOIN g b ON a.blk = b.blk AND a.doc_id < b.doc_id)
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.2""".stripMargin,
 
     // pairs colliding in >=1 band of the materialized bucket table, scored

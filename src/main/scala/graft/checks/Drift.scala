@@ -91,21 +91,24 @@ object Drift {
     * guard (null term below it), and — mirroring `compare` exactly — the
     * sub-threshold buckets POOLED into one synthetic `bucket = NULL` row so
     * thin/new-bucket mass still contributes; `sum(chi2_term)` equals the
-    * driver-side statistic. At most `buckets` rows flow through the final
-    * single-partition window, so the unpartitioned totals are free.
+    * driver-side statistic. Totals come from a broadcast one-row aggregate
+    * (not an unpartitioned window), so the plan stays safe — and warning-free
+    * — even if a caller passes an unaggregated frame: the aggregate combines
+    * map-side instead of funnelling every row through one partition.
     */
   def chi2Terms(observed: DataFrame, baseline: DataFrame): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
     val b = baseline.select(col("bucket"), col("cnt").as("n_base"))
     val j = o.join(b, Seq("bucket"), "full_outer")
       .select(col("bucket"),
         coalesce(col("n_obs"), lit(0L)).as("n_obs"),
         coalesce(col("n_base"), lit(0L)).as("n_base"))
-    val w = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    val totals = j.agg(sum(col("n_obs")).as("tot_obs"),
+      sum(col("n_base")).as("tot_base"))
     val e = col("n_base").cast("double") *
-      (sum(col("n_obs")).over(w).cast("double") / sum(col("n_base")).over(w).cast("double"))
-    val withE = j.select(col("bucket"), col("n_obs"), col("n_base"), e.as("e"))
+      (col("tot_obs").cast("double") / col("tot_base").cast("double"))
+    val withE = j.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_obs"), col("n_base"), e.as("e"))
     val perBucket = withE.select(col("bucket"), col("n_obs"), col("n_base"),
       when(col("e") >= 5.0, round(
         (col("n_obs").cast("double") - col("e")) * (col("n_obs").cast("double") - col("e"))

@@ -166,20 +166,22 @@ object Dedup {
     * bounds the cost.
     *
     * Two blocking modes:
-    *  - default (token-count/16 buckets): cheap and SQL-replicable, but
-    *    pairs straddling a bucket boundary are silently missed — acceptable
-    *    only as the naive baseline (minhash is the scale path);
-    *  - `sizeRatioBlocking = true`: buckets by `floor(log_{1/t} |gramset|)`
-    *    with each doc emitted to buckets (b-1, b, b+1). J(A,B) ≥ t forces
-    *    |A|,|B| within a factor 1/t, i.e. true log-bucket distance ≤ 1; the
-    *    ±1 window absorbs that PLUS a ulp of floating-point floor jitter at
-    *    exact power-of-(1/t) set sizes, so every pair above threshold
-    *    shares ≥1 bucket — RECALL 1 by construction. Cost grows as the
-    *    threshold drops (wider ratio ⇒ bigger buckets).
+    *  - DEFAULT `sizeRatioBlocking = true`: buckets by
+    *    `floor(log_{1/t} |gramset|)` with each doc emitted to buckets
+    *    (b-1, b, b+1). J(A,B) ≥ t forces |A|,|B| within a factor 1/t, i.e.
+    *    true log-bucket distance ≤ 1; the ±1 window absorbs that PLUS a ulp
+    *    of floating-point floor jitter at exact power-of-(1/t) set sizes, so
+    *    every pair above threshold shares ≥1 bucket — RECALL 1 by
+    *    construction. Cost grows as the threshold drops (wider ratio ⇒
+    *    bigger buckets).
+    *  - `sizeRatioBlocking = false` (explicit opt-in only): token-count/16
+    *    buckets — cheaper and SQL-replicable, but pairs straddling a bucket
+    *    boundary are SILENTLY MISSED (the test suite pins the miss). Never
+    *    the default: a dedup operator that silently loses recall is a trap.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3,
-                        sizeRatioBlocking: Boolean = false): DataFrame = {
+                        sizeRatioBlocking: Boolean = true): DataFrame = {
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k).as("g"),

@@ -23,17 +23,21 @@ import graft.functions.CentroidExprs
 object Ivf {
 
   /** Deterministic spherical k-means on a driver-side sample.
-    * Sample = first `maxSample` rows by `idCol` (stable across partitioning);
-    * init = k sample vectors at evenly-spread indices; `iters` Lloyd rounds
-    * with cosine assignment (normalize → mean → renormalize). Empty cells
-    * keep their previous centroid.
+    * Sample = `maxSample` rows ordered by `xxhash64(idCol)` — a deterministic
+    * HASH sample (TakeOrderedAndProject, no full sort), not head-of-table:
+    * on a corpus clustered by source/time the first N ids all come from one
+    * stratum and the centroids would collapse onto it. Hash order is uniform
+    * over the whole table regardless of physical layout, stable across
+    * partitioning/runs. Init = farthest-point; `iters` Lloyd rounds with
+    * cosine assignment (normalize → mean → renormalize). Empty cells keep
+    * their previous centroid.
     */
   def trainCentroids(df: DataFrame, k: Int, iters: Int = 8,
                      maxSample: Int = 4096,
                      idCol: String = "vec_id",
                      vecCol: String = "embedding"): Array[Array[Double]] = {
     val sample: Array[Array[Double]] = df
-      .orderBy(col(idCol)).limit(maxSample)
+      .orderBy(xxhash64(col(idCol)), col(idCol)).limit(maxSample)
       .select(col(vecCol).cast("array<double>")).collect()
       .map(_.getSeq[Double](0).toArray)
       .map(normalize)

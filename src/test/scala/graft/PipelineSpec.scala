@@ -107,16 +107,17 @@ class PipelineSpec extends SparkSpec {
   }
 
   test("ngram jaccard size-ratio blocking finds cross-bucket pairs the naive mode misses") {
-    // 15 vs 17 whitespace tokens: token-count buckets 0 vs 1 (naive blocking
-    // misses), word-3-gram jaccard = 13/15 ≈ 0.867
+    // 15 vs 17 whitespace tokens: token-count buckets 0 vs 1 (the opt-in
+    // naive blocking misses), word-3-gram jaccard = 13/15 ≈ 0.867. The
+    // DEFAULT (size-ratio) mode must find it — recall 1 by construction.
     val base = (1 to 15).map(i => s"w$i").mkString(" ")
     val longer = base + " extra tokens"
     val docs2 = Seq((0L, base), (1L, longer)).toDF("doc_id", "text")
-    val naive = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3, threshold = 0.5)
-      .count()
-    assert(naive == 0) // documented miss
+    val naive = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3, threshold = 0.5,
+      sizeRatioBlocking = false).count()
+    assert(naive == 0) // documented miss of the explicit opt-in mode
     val guaranteed = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3,
-      threshold = 0.5, sizeRatioBlocking = true).collect()
+      threshold = 0.5).collect()
     assert(guaranteed.length == 1)
     assert(math.abs(guaranteed.head.getAs[Double]("jaccard") - 13.0 / 15) < 1e-3)
   }
@@ -231,5 +232,24 @@ class PipelineSpec extends SparkSpec {
     val ivf = pipeline.Ivf.ivfTopK(df, df, k = 1, cents, nProbe = 1)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toMap
     assert(ivf == bf)
+  }
+
+  test("IVF centroid sample is unbiased on cluster-sorted input (head sampling's worst case)") {
+    // 6 clusters of 20 with ids SORTED by cluster — the layout of a 100 TB
+    // corpus clustered by source/time. A head-of-table sample of 40 would see
+    // only clusters 0-1 and collapse the centroids onto one stratum; the
+    // hash-ordered sample is uniform over the table regardless of layout and
+    // must still recover every cluster as its own cell.
+    val data = (0 until 120).map { i =>
+      val c = i / 20
+      val v = Array.tabulate(16)(d =>
+        (if (d == c) 1.0f else 0.0f) + 0.01f * (((i * 16 + d) * 2654435761L % 7).toInt - 3))
+      (i.toLong, v)
+    }
+    val df = data.toDF("vec_id", "embedding")
+    val cents = pipeline.Ivf.trainCentroids(df, k = 6, iters = 8, maxSample = 40)
+    val cellCount = df.select(pipeline.Ivf.cellOf(col("embedding"), cents).as("c"))
+      .distinct().count()
+    assert(cellCount == 6, "hash sample must cover all strata of a cluster-sorted table")
   }
 }
