@@ -49,7 +49,7 @@ object SparkEntry {
     * q_verdict_by_source — rule-engine path, oracle-checkable because every
     * predicate is SQL-expressible.
     */
-  private def docRule: rules.StructRule = {
+  private[graft] def docRule: rules.StructRule = {
     import rules.dsl._
     rules.StructRule(
       fields = Seq(
@@ -124,6 +124,17 @@ object SparkEntry {
       val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
       df.select(col("doc_id"),
         docRule.validCol(rowCol, df.schema, rules.Ctx()).as("valid"))
+    }),
+
+    // --- the SQL face: the SAME rule registered as a session function and
+    //     invoked from pure spark.sql — the compiled Column tree splices into
+    //     the SQL plan (no UDF boundary), so this must hash-match the
+    //     DataFrame-API q_validate_documents oracle predicate exactly ---
+    "q_sql_validate" -> ((s, dir) => {
+      val df = T(s, dir, "documents")
+      df.createOrReplaceTempView("graft_docs")
+      rules.RuleSql.registerValid(s, "doc", docRule, df.schema)
+      s.sql("SELECT doc_id, graft_valid_doc(struct(*)) AS valid FROM graft_docs")
     }),
 
     // --- verdicts grouped by a data key (partition-verdict analog) ---
@@ -400,6 +411,17 @@ object SparkEntry {
         |FROM embeddings""".stripMargin,
 
     "q_validate_documents" ->
+      """SELECT doc_id,
+        |       (doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
+        |        AND lang IN ('en','zh','fr','es','de')
+        |        AND source LIKE 'src%'
+        |        AND n_chars IS NOT NULL AND n_chars <= 420
+        |        AND n_chars = length(text)) AS valid
+        |FROM documents""".stripMargin,
+
+    // identical predicate to q_validate_documents — the SQL face must agree
+    // with the DataFrame face bit-for-bit
+    "q_sql_validate" ->
       """SELECT doc_id,
         |       (doc_id IS NOT NULL AND text IS NOT NULL AND length(text) > 0
         |        AND lang IN ('en','zh','fr','es','de')

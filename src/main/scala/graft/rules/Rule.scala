@@ -209,6 +209,43 @@ final case class PredP(name: String, f: (Column, Map[String, Any]) => Column) ex
     coalesce(f(in, ctx.params), lit(false))
 }
 
+/** ESCAPE HATCH: an arbitrary black-box predicate (UDF-backed via
+  * `dsl.udfPred`) — the analog of the reference accepting ANY Python
+  * callable, including ones that raise
+  * (/root/reference/schema/__init__.py:579-594: truthy ⇒ pass, exception ⇒
+  * `"f(x) raised e"`, falsy ⇒ `"f(x) should evaluate to True"`).
+  *
+  * COST (why this is never the default and `pred` exists): a UDF is opaque
+  * to Catalyst — no predicate pushdown into the scan, no whole-stage codegen
+  * for the projection it appears in, and per-row (de)serialization to JVM
+  * objects. Reach for it only when the logic genuinely cannot be a Column
+  * expression.
+  *
+  * Contract for `u`: NULL ⇒ pass, empty string ⇒ falsy, anything else ⇒ the
+  * exception text (the three reference outcomes as one nullable string).
+  * NULL input takes the falsy path without invoking the function — uniform
+  * across primitive and reference argument types (Spark skips UDFs on null
+  * primitive args, so letting `f` see null would make null-handling depend
+  * on the Scala type). Wrap with `or(isNone, ...)` if null should pass.
+  */
+final case class UdfPred(name: String, u: Column => Column) extends Rule {
+  def reprStr: String = name
+  private def outcome(in: Column): Column =
+    when(in.isNull, lit("")).otherwise(u(in))
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
+    val r = outcome(in)
+    val msg = ctx.prefixed(
+      when(r === "", concat(lit(name + "("), PyRepr.repr(in, dtype),
+        lit(") should evaluate to True")))
+        .otherwise(concat(lit(name + "("), PyRepr.repr(in, dtype),
+          lit(") raised "), r)))
+    Compiled(in, dtype,
+      when(r.isNull, Err.none).otherwise(Err.one(Err.SchemaError, msg)))
+  }
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    outcome(in).isNull
+}
+
 /** `Use` whose transform reads `Ctx.params` — kwargs-parameterized value
   * transformation (the `convert(data, increment)` pattern of
   * test_schema.py:796-815).

@@ -1,0 +1,61 @@
+package graft.rules
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.graftbridge.Bridge
+import org.apache.spark.sql.types.DataType
+
+/** SQL face for compiled rules — the analog of handing a `Schema` object to
+  * a caller who only speaks SQL. A named, compiled rule registers as
+  * ordinary session functions:
+  *
+  *   RuleSql.registerValid(spark, "doc", docRule, docsSchema)
+  *   spark.sql("SELECT doc_id, graft_valid_doc(struct(*)) FROM docs")
+  *
+  * The function body IS the rule's compiled Column tree (the same
+  * `validCol` / error expressions the DataFrame API uses), spliced into the
+  * caller's plan at analysis time — so SQL callers get identical semantics,
+  * identical codegen, and predicate pushdown for free; there is no UDF or
+  * serialization boundary anywhere.
+  *
+  * The input type is fixed at registration (column names are analysis-time
+  * constants in the rule compiler, mirroring how the reference binds dict
+  * keys at validate() time — /root/reference/schema/__init__.py:451-474).
+  * The struct passed at the call site must match `dtype`'s fields in order;
+  * `struct(*)` over the table the schema came from always does.
+  */
+object RuleSql {
+
+  /** Register `graft_valid_<name>(value)` — boolean row-passes predicate
+    * (the `is_valid` face, /root/reference/schema/__init__.py:417-426).
+    * Message-free: safe in filters and aggregates on the hot path.
+    */
+  def registerValid(spark: SparkSession, name: String, rule: Rule,
+                    dtype: DataType, ctx: Ctx = Ctx()): String =
+    register(spark, s"graft_valid_$name",
+      s"graft_valid_$name(value) - true iff value passes rule ${rule.reprStr}",
+      es => Bridge.expressionEager(
+        rule.validCol(Bridge.column(es.head), dtype, ctx)))
+
+  /** Register `graft_code_<name>(value)` — the `SchemaError.code` message
+    * text for a failing value, NULL when it passes (the exception channel as
+    * a SQL scalar). Carries message-building expressions; point it at rows
+    * that already failed `graft_valid_<name>` when volume matters.
+    */
+  def registerCode(spark: SparkSession, name: String, rule: Rule,
+                   dtype: DataType, ctx: Ctx = Ctx()): String =
+    register(spark, s"graft_code_$name",
+      s"graft_code_$name(value) - SchemaError code for value under rule ${rule.reprStr}, NULL if valid",
+      es => Bridge.expressionEager(
+        Err.code(rule.compile(Bridge.column(es.head), dtype, ctx).error)))
+
+  private def register(spark: SparkSession, fname: String, usage: String,
+                       build: Seq[Expression] => Expression): String = {
+    val builder: Seq[Expression] => Expression = es => {
+      require(es.size == 1, s"$fname expects exactly one argument, got ${es.size}")
+      build(es)
+    }
+    Bridge.registerFunction(spark, graft.GraftExtensions.info(fname, usage), builder)
+    fname
+  }
+}

@@ -35,6 +35,25 @@ object dsl {
   def isin(vs: Any*): Rule = OrRule(vs.map(EqLit))
 
   def pred(name: String)(f: Column => Column): Rule = Pred(name, f)
+  /** ESCAPE HATCH — arbitrary Scala logic as a UDF-backed predicate, the
+    * reference's "any callable" CALLABLE flavor
+    * (/root/reference/schema/__init__.py:579-594). Exceptions thrown by `f`
+    * are caught PER ROW and become the reference's `"f(x) raised e"` error
+    * path instead of failing the job.
+    *
+    * COST WARNING: a UDF breaks predicate pushdown and whole-stage codegen
+    * for its stage and pays per-row (de)serialization — always prefer
+    * `pred(...)` with Column expressions; this exists only for logic that
+    * cannot be one. NULL input fails the rule without invoking `f` (wrap
+    * with `or(isNone, ...)` if null should pass).
+    */
+  def udfPred[T](name: String)(f: T => Boolean)(
+      implicit tt: scala.reflect.runtime.universe.TypeTag[T]): Rule = {
+    val u = udf((t: T) =>
+      try { if (f(t)) null else "" }
+      catch { case scala.util.control.NonFatal(e) => e.toString })
+    UdfPred(name, c => u(c))
+  }
   /** Predicate that reads the validate-kwargs (`Ctx.params`) — the
     * `validate(data, **kwargs)` consumption path (test_schema.py:796-838). */
   def predP(name: String)(f: (Column, Map[String, Any]) => Column): Rule = PredP(name, f)

@@ -13,6 +13,16 @@ object Bridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
 
+  /** EAGER Column→Expression conversion. `expression` wraps the column node
+    * lazily (`ColumnNodeExpression`), which only Dataset analysis unwraps —
+    * returned from a FunctionRegistry builder it survives to codegen as an
+    * Unevaluable and blows up. This converts the node tree to plain catalyst
+    * (Unresolved*) expressions up front, which the analyzer then resolves
+    * like any parsed SQL.
+    */
+  def expressionEager(c: Column): Expression =
+    org.apache.spark.sql.classic.ColumnNodeToExpressionConverter.apply(c.node)
+
   /** Register a SQL function on an EXISTING session (tests, notebooks) —
     * the extensions path (`spark.sql.extensions=graft.GraftExtensions`)
     * only applies at session construction; `sessionState` is private[sql],

@@ -58,6 +58,29 @@ class RuleSpec extends SparkSpec {
     assert(code(r, Seq(7).toDF("v")) == "<lambda>(7) should evaluate to True")
   }
 
+  // --- CALLABLE escape hatch: any Scala function, incl. the raise path
+  //     (schema/__init__.py:579-594: truthy / falsy / exception) ---
+  test("udfPred: arbitrary Scala predicate — pass, falsy, raised, null input") {
+    val r = udfPred[String]("parsable") { s =>
+      if (s.startsWith("boom")) throw new IllegalStateException("kaput")
+      s.length % 2 == 0
+    }
+    assert(one(r, Seq("ab").toDF("v")) == ("ab", null, null))
+    assert(code(r, Seq("abc").toDF("v")) == "parsable('abc') should evaluate to True")
+    // exception caught PER ROW → the reference's "f(x) raised e" channel
+    val raised = code(r, Seq("boomx").toDF("v"))
+    assert(raised.startsWith("parsable('boomx') raised "))
+    assert(raised.contains("kaput"))
+    // null input fails without invoking f (uniform across arg types)
+    assert(code(r, Seq[Option[String]](None).toDF("v"))
+      == "parsable(None) should evaluate to True")
+    // validCol face agrees with the compile face
+    val vc = Seq("ab", "abc", "boomx").toDF("v")
+      .select(r.validCol(col("v"), org.apache.spark.sql.types.StringType, Ctx()))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(vc == Seq(true, false, false))
+  }
+
   // --- And value threading (:160-162; test_schema.py:111-117) ---
   test("And threads Use-transformed value and short-circuits") {
     val r = and(useInt, pred("<lambda>")(c => c > 0 && c < 5))

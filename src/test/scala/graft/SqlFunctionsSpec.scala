@@ -50,4 +50,36 @@ class SqlFunctionsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("must be an INT literal"))
   }
+
+  test("rules registered as SQL functions: graft_valid_* == rule.validCol, graft_code_* == code") {
+    val docs = Seq(
+      (1L, "hello world", "en", "src-a", 11), // valid
+      (2L, "", "en", "src-a", 0),             // empty text
+      (3L, "salut", "it", "src-a", 5),        // bad lang
+      (4L, "hola", "es", "web-a", 4),         // bad source prefix
+      (5L, "abc", "de", "src-b", 99)          // n_chars mismatch
+    ).toDF("doc_id", "text", "lang", "source", "n_chars")
+    docs.createOrReplaceTempView("docs_sql_face")
+    val rule = SparkEntry.docRule
+    rules.RuleSql.registerValid(spark, "t_doc", rule, docs.schema)
+    rules.RuleSql.registerCode(spark, "t_doc", rule, docs.schema)
+    val viaSql = spark.sql(
+      """SELECT doc_id, graft_valid_t_doc(struct(*)) AS valid,
+        |       graft_code_t_doc(struct(*)) AS code
+        |FROM docs_sql_face ORDER BY doc_id""".stripMargin).collect()
+    val rowCol = struct(docs.columns.map(col).toIndexedSeq: _*)
+    val viaApi = docs.select(col("doc_id"),
+      rule.validCol(rowCol, docs.schema, rules.Ctx()).as("valid"),
+      graft.rules.Err.code(
+        rule.compileStruct(rowCol, docs.schema, rules.Ctx()).error).as("code"))
+      .orderBy("doc_id").collect()
+    assert(viaSql.length == 5)
+    assert(viaSql.map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq ==
+      viaApi.map(r => (r.getLong(0), r.getBoolean(1), r.getString(2))).toSeq)
+    assert(viaSql.count(_.getBoolean(1)) == 1)
+    // SQL callers can filter on it — the valid predicate works in WHERE
+    assert(spark.sql(
+      "SELECT count(*) FROM docs_sql_face WHERE graft_valid_t_doc(struct(*))")
+      .head().getLong(0) == 1)
+  }
 }
