@@ -189,7 +189,7 @@ object JsonSchemaExport {
       if (items.fields.isEmpty) JObj(Vector("type" -> JStr("array")))
       else JObj(Vector("type" -> JStr("array"), "items" -> items))
 
-    case MapRule(_) =>
+    case MapRule(_, _) =>
       // pattern keys: broad key schema ⇒ additionalProperties allowed (:793-798)
       JObj(Vector("type" -> JStr("object"),
         "properties" -> JObj(Vector.empty),

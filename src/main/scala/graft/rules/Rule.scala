@@ -625,12 +625,24 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
   * sorted-key order for deterministic first-error selection (documented
   * deviation: Python iterates insertion order).
   */
-final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
+final case class MapRule(entries: Seq[(Rule, Rule)],
+                         xorKeys: Seq[Rule] = Nil) extends Rule {
   require(entries.nonEmpty, "MapRule needs at least one (key, value) entry")
   def reprStr: String =
     entries.map { case (k, v) => s"${k.reprStr}: ${v.reprStr}" }.mkString("{", ", ", "}")
   override def transformFree: Boolean =
     entries.forall { case (k, v) => k.transformFree && v.transformFree }
+
+  /** `Or(..., only_one=True)` as a key over DYNAMIC map entries
+    * (/root/reference/schema/__init__.py:183-199, test_schema.py:130-151):
+    * each rule in `xorKeys` asserts at most ONE present map key satisfies it.
+    * Stateless per-row arithmetic (`size(map_filter(...)) <= 1`) replaces the
+    * reference's mutable match_count/reset() — SURVEY.md §7.4.4.
+    */
+  def withOnlyOne(keyRules: Rule*): MapRule = copy(xorKeys = xorKeys ++ keyRules)
+
+  private def xorCounts(in: Column, kt: DataType, cctx: Ctx): Seq[(Rule, Column)] =
+    xorKeys.map(xr => xr -> size(map_filter(in, (k, _) => xr.validCol(k, kt, cctx))))
 
   /** value-rule dispatch: first entry whose key rule accepts `k` wins. */
   private def dispatch(k: Column, kt: DataType, v: Column, vt: DataType, cctx: Ctx)
@@ -644,9 +656,11 @@ final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
   override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column = dtype match {
     case MapType(kt, vt, _) =>
       val cctx = ctx.clearName
-      in.isNotNull && forall(map_entries(in), e =>
+      val base = in.isNotNull && forall(map_entries(in), e =>
         dispatch(e.getField("key"), kt, e.getField("value"), vt, cctx)(
           (vr, v, t) => vr.validCol(v, t, cctx), lit(false)))
+      xorCounts(in, kt, cctx).map(_._2 <= 1)
+        .foldLeft(base)(_ && _)
     case _ => lit(false)
   }
   def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled = {
@@ -681,9 +695,18 @@ final case class MapRule(entries: Seq[(Rule, Rule)]) extends Rule {
           firstBad.getField("key").cast(StringType), lit("' error:")))
         val typeMsg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
           lit(" should be instance of 'dict'")))
+        // XOR precedence mirrors StructRule: value errors, then only_one,
+        // then wrong keys (the reference's reset() raise supersedes the
+        // wrong-key path the second matching key would otherwise take)
+        val xorErr = xorCounts(in, kt, cctx).foldRight(Err.none) { case ((xr, cnt), acc) =>
+          when(cnt > 1, Err.one(Err.OnlyOneAllowed, ctx.prefixed(lit(
+            s"There are multiple keys present from the ${xr.reprStr} condition"))))
+            .otherwise(acc)
+        }
         val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))
           .when(size(badVals) > 0,
             Err.wrap(innerErr, Some(Err.SchemaError), Some(keyPrefix), None))
+          .when(xorErr.isNotNull, xorErr)
           .when(size(badKeys) > 0, Err.mk(Err.WrongKey, array(wrongMsg), keyCustomErrs))
           .otherwise(Err.none)
         val value =

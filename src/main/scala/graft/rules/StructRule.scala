@@ -47,9 +47,14 @@ final case class FieldRule(name: String, rule: Rule,
   * NAME statically satisfies `keyRule` validates against `valueRule` (null =
   * absent, as for Optional). `required = true` mirrors a bare (non-Optional)
   * pattern key: at least one claimed column must be present, else
-  * `Missing key: <repr>`.
+  * `Missing key: <repr>`. `onlyOne = true` is `Or(..., only_one=True)` used
+  * as a key (/root/reference/schema/__init__.py:183-199, tested
+  * test_schema.py:130-151): AT MOST one claimed column may be present, else
+  * `SchemaOnlyOneAllowedError` — stateless per-row presence arithmetic
+  * instead of the reference's mutable match_count/reset() (SURVEY.md §7.4.4).
   */
-final case class PatternRule(keyRule: Rule, valueRule: Rule, required: Boolean = true)
+final case class PatternRule(keyRule: Rule, valueRule: Rule,
+                             required: Boolean = true, onlyOne: Boolean = false)
 
 /** Everything the DICT flavor produces, per row: the transformed output
   * struct, the FIRST error (exception-parity: the reference raises exactly
@@ -161,11 +166,11 @@ final case class StructRule(fields: Seq[FieldRule],
       }
     }
     val patternConds = requiredPatternPresence(in, st)
-    val xorConds = xorGroups.map { case (_, members) =>
+    val xorConds = (xorGroups.map(_._2) ++ xorPatternMembers(st)).map { members =>
       members.map { m =>
         if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0)
         else lit(0)
-      }.reduce(_ + _) <= 1
+      }.reduceOption(_ + _).getOrElse(lit(0)) <= 1
     }
     // coverage: Required/Opt fields (incl. pattern claims) and Hooks; a
     // column claimed ONLY by Forbidden is a wrong key when its value does
@@ -197,6 +202,22 @@ final case class StructRule(fields: Seq[FieldRule],
     (fieldConds ++ patternConds ++ xorConds ++ extraConds ++ rowConds)
       .reduceOption(_ && _).getOrElse(lit(true))
   }
+
+  /** XOR pattern groups: (repr, claimed column names) per onlyOne pattern —
+    * columns the pattern's key rule claims form one presence-counted group.
+    */
+  private def xorPatterns(st: StructType): Seq[(String, Seq[String])] = {
+    if (patterns.forall(!_.onlyOne)) Nil
+    else {
+      val claims = patternClaims(st)
+      patterns.zipWithIndex.collect {
+        case (p, i) if p.onlyOne =>
+          p.keyRule.reprStr -> claims.collect { case (`i`, n) => n }
+      }
+    }
+  }
+  private def xorPatternMembers(st: StructType): Seq[Seq[String]] =
+    xorPatterns(st).map(_._2)
 
   /** Required-pattern coverage: ≥1 claimed column present per required
     * pattern (statically unclaimed required pattern = always missing).
@@ -257,10 +278,10 @@ final case class StructRule(fields: Seq[FieldRule],
       }
     }
 
-    val xorErrs: Seq[Column] = xorGroups.map { case (repr, members) =>
+    val xorErrs: Seq[Column] = (xorGroups ++ xorPatterns(st)).map { case (repr, members) =>
       val cnt = members.map { m =>
         if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0) else lit(0)
-      }.reduce(_ + _)
+      }.reduceOption(_ + _).getOrElse(lit(0))
       val msg = ctx.prefixed(lit(s"There are multiple keys present from the $repr condition"))
       when(cnt > 1, Err.one(Err.OnlyOneAllowed, msg)).otherwise(Err.none)
     }

@@ -105,11 +105,11 @@ object dsl {
     * validity path (must equal `forall(arr, elem)` semantically). */
   def arrayOfFast(elem: Rule)(fastAll: Column => Column): Rule =
     ArrayRule(elem, Some(fastAll))
-  def mapOf(k: Rule, v: Rule): Rule = MapRule(k, v)
+  def mapOf(k: Rule, v: Rule): MapRule = MapRule(k, v)
   /** Mixed literal+pattern keys over MapType data, priority-sorted like the
     * reference (`_dict_key_priority`: COMPARABLE < CALLABLE < VALIDATOR <
     * TYPE — literal keys claim entries before catch-alls). */
-  def mapOfEntries(entries: (Rule, Rule)*): Rule =
+  def mapOfEntries(entries: (Rule, Rule)*): MapRule =
     MapRule(entries.sortBy { case (k, _) => keyPriority(k) })
   private def keyPriority(r: Rule): Int = r match {
     case _: EqLit => 0 // COMPARABLE
@@ -128,6 +128,15 @@ object dsl {
     * is required. */
   def optPattern(key: Rule, value: Rule): PatternRule =
     PatternRule(key, value, required = false)
+  /** `{Or('k1','k2', only_one=True): v}` — XOR key over static columns:
+    * ≥1 claimed column present (required) AND at most one
+    * (test_schema.py:130-151). */
+  def xorPattern(key: Rule, value: Rule): PatternRule =
+    PatternRule(key, value, required = true, onlyOne = true)
+  /** `{Optional(Or(..., only_one=True)): v}` — XOR without the presence
+    * requirement. */
+  def optXorPattern(key: Rule, value: Rule): PatternRule =
+    PatternRule(key, value, required = false, onlyOne = true)
 
   // dict/struct fields
   def req(name: String, r: Rule): FieldRule = FieldRule(name, r, FieldKind.Required)

@@ -32,6 +32,27 @@ class MapJsonSpec extends SparkSpec {
     assert(out == Map("a" -> 1, "b" -> 2))
   }
 
+  test("xor over DYNAMIC map keys: only_one (test_schema.py:130-151)") {
+    // {Or('test1','test2', only_one=True): str, str: str} over MapType data —
+    // the key set is per-row, so the XOR counts matching entries dynamically
+    val rule = mapOf(str, str).withOnlyOne(isin("test1", "test2"))
+    val dt = Seq(Map("a" -> "b")).toDF("v").schema("v").dataType
+    def check(m: Map[String, String]): (Boolean, String) = {
+      val df = Seq(m).toDF("v")
+      val c = rule.compile(col("v"), dt, Ctx())
+      val r = df.select(c.error.isNull, Err.code(c.error),
+        rule.validCol(col("v"), dt, Ctx())).head()
+      assert(r.getBoolean(0) == r.getBoolean(2)) // validCol agrees with compile
+      (r.getBoolean(0), r.getString(1))
+    }
+    assert(check(Map("test1" -> "value"))._1)
+    assert(check(Map("test2" -> "other_value", "extra" -> "x"))._1)
+    val (ok, code) = check(Map("test1" -> "value", "test2" -> "other_value"))
+    assert(!ok)
+    assert(code ==
+      "There are multiple keys present from the Or('test1', 'test2') condition")
+  }
+
   test("map key transforms: {Use(lower): int} (test_schema.py:319-326)") {
     val df = Seq(Map("KeY" -> 5)).toDF("v")
     val rule = mapOf(useLower, int)

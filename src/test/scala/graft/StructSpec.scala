@@ -93,6 +93,40 @@ class StructSpec extends SparkSpec {
       "There are multiple keys present from the Or('k1', 'k2') condition")
   }
 
+  test("xor over PATTERN keys: {Or('test1','test2',only_one=True): str} (test_schema.py:130-151)") {
+    // the reference's or_rule-as-key form: the key rule CLAIMS columns
+    // dynamically (here test1/test2 via isin), required presence ≥1, XOR ≤1
+    val rule = schemaWithPatterns(
+      Seq(xorPattern(isin("test1", "test2"), str)),
+      opt("other", str))
+    def run(t1: Option[String], t2: Option[String], other: Option[String] = None) =
+      Validator.run(Seq((t1, t2, other)).toDF("test1", "test2", "other"), rule)
+    assert(run(Some("value"), None).isValid)
+    assert(run(None, Some("other_value")).isValid)
+    // both present → SchemaOnlyOneAllowedError with the reference's message
+    val bad = run(Some("value"), Some("other_value"))
+    val v = bad.violations.select("violation_kind", "code").head()
+    assert(v.getString(0) == Err.OnlyOneAllowed)
+    assert(v.getString(1) ==
+      "There are multiple keys present from the Or('test1', 'test2') condition")
+    // neither present → the required pattern is missing
+    val miss = run(None, None, Some("x"))
+    assert(!miss.isValid)
+    assert(miss.violations.select("violation_kind").head().getString(0) == Err.MissingKey)
+    // ignore_extra_keys form keeps the XOR (test_schema.py:148-151)
+    val extra = StructRule(fields = Nil, ignoreExtra = true,
+      patterns = Seq(xorPattern(isin("test1", "test2"), str)))
+    val okExtra = Validator.run(
+      Seq((Some("value"), Option.empty[String], Some("v"))).toDF("test1", "test2", "other"),
+      extra)
+    assert(okExtra.isValid)
+    val badExtra = Validator.run(
+      Seq((Some("value"), Some("other_value"), Some("v"))).toDF("test1", "test2", "other"),
+      extra)
+    assert(badExtra.violations.select("violation_kind").head().getString(0)
+      == Err.OnlyOneAllowed)
+  }
+
   test("hook match counting (test_schema.py:371-386)") {
     val df = Seq((1, Some("x")), (2, None), (3, Some("y"))).toDF("a", "h")
     val rule = StructRule(Seq(req("a", int), hook("h", str, "seen_h"), opt("h", str)))
