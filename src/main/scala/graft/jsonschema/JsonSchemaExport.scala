@@ -22,14 +22,20 @@ import graft.rules._
   *  - named/described schemas → title/description metadata (:682-702)
   *  - `asReference` schemas → {"$ref": "#/definitions/<name>"} with the full
   *    definition collected once on the main schema (:689-699,882-885)
-  *  - `useRefs` → hash-consing of repeated sub-schemas: the first occurrence
-  *    gains an "$id", later ones become {"$ref": id} (:624-639). Deviations:
-  *    (a) ids are murmur3 of the canonical rendering, not CPython `hash()`
-  *    (unreproducible cross-language); (b) consing is guaranteed for
-  *    repeated LEAF-level sub-schemas — a repeated PARENT whose children
-  *    were themselves consed re-renders differently between the counting
-  *    and emitting passes and stays expanded (valid output, just larger;
-  *    the reference's single-pass mutation conses such parents too).
+  *  - `useRefs` → hash-consing of repeated sub-schemas by the reference's
+  *    own single-pass MUTATION algorithm (:624-639): the first occurrence is
+  *    remembered (a mutable box here, the shared dict object there); when a
+  *    later occurrence hashes the same, the remembered one gains an "$id" in
+  *    place and the later one becomes {"$ref": id}. Because hashing is
+  *    bottom-up over already-consed children, repeated PARENTS cons exactly
+  *    like the reference's: the first parent occurrence (hashed with raw
+  *    children) stays expanded, the second (hashed with $ref children)
+  *    starts a new cons group — verified against the reference's actual
+  *    output for {"a": sub, "b": sub, "c": sub}. Deviations: (a) ids are
+  *    murmur3 of the canonical rendering, not CPython `hash()`
+  *    (unreproducible cross-language); (b) an Optional default on a consed
+  *    property disables consing for that property instead of mutating the
+  *    shared dict the way :846-851 does.
   *  - main schema stamped with $id/$schema (:872-880)
   *
   * Key ORDER inside objects is ours (title, description, body); JSON object
@@ -45,6 +51,16 @@ object JsonSchemaExport {
   final case class JNum(v: Any) extends J
   final case class JBool(v: Boolean) extends J
   case object JNull extends J
+  /** Mutable first-occurrence box for use_refs consing — the analog of the
+    * reference mutating the shared dict object it stored in `seen`
+    * (`seen[hashed]["$id"] = id_str`, schema/__init__.py:636-638). Frozen to
+    * a plain JObj before exportJ returns.
+    */
+  final class JBox(var target: JObj) extends J {
+    private[jsonschema] def addId(id: String): Unit =
+      if (!target.fields.exists(_._1 == "$id"))
+        target = JObj(target.fields :+ ("$id" -> (JStr(id): J)))
+  }
 
   def render(j: J): String = j match {
     case JObj(fs) => fs.map { case (k, v) => s"${q(k)}: ${render(v)}" }
@@ -54,6 +70,15 @@ object JsonSchemaExport {
     case JNum(v) => v.toString
     case JBool(b) => b.toString
     case JNull => "null"
+    case b: JBox => render(b.target)
+  }
+
+  /** Resolve every box to its final (possibly $id-bearing) object. */
+  private def freeze(j: J): J = j match {
+    case b: JBox => freeze(b.target)
+    case JObj(fs) => JObj(fs.map { case (k, v) => k -> freeze(v) })
+    case JArr(is) => JArr(is.map(freeze))
+    case other => other
   }
 
   // full control-char escaping — a tab/CR in a title, description, or regex
@@ -69,34 +94,51 @@ object JsonSchemaExport {
       case c => c.toString
     } + "\""
 
-  /** Export state: collected definitions plus the two-pass use_refs
-    * hash-consing (pass 1 counts canonical sub-schema renderings, pass 2
-    * rewrites repeats into $id/$ref pairs — toJson is deterministic, so the
-    * passes see the same nodes).
+  /** Export state: collected definitions plus the single-pass use_refs
+    * consing map (canonical rendering → first-occurrence box, the analog of
+    * the reference's `seen`, :614).
     */
   private final class ExportCtx(val useRefs: Boolean) {
     val defs: mutable.LinkedHashMap[String, JObj] = mutable.LinkedHashMap.empty
-    val counts: mutable.Map[String, Int] = mutable.Map.empty
-    val emitted: mutable.Set[String] = mutable.Set.empty
-    var counting: Boolean = true
+    val seen: mutable.Map[String, JBox] = mutable.Map.empty
   }
 
+  /** Canonical content hash key: boxes render their CURRENT target, so a
+    * node is hashed over its already-consed children — the same bottom-up
+    * timing as the reference's `hash(repr(sorted(return_dict.items())))`.
+    */
   private def canonical(j: JObj): String = render(JObj(j.fields.sortBy(_._1)))
 
   /** Apply at every NON-MAIN schema node (the reference's
-    * `_create_or_use_ref`, :624-639).
+    * `_create_or_use_ref`, :624-639): first occurrence → remembered box,
+    * duplicate → $id retro-added to the box + a $ref here.
     */
-  private def cons(j: JObj, c: ExportCtx): JObj = {
+  private def cons(j: JObj, c: ExportCtx): J = {
     if (!c.useRefs || j.fields.isEmpty) return j
     val canon = canonical(j)
-    if (c.counting) {
-      c.counts(canon) = c.counts.getOrElse(canon, 0) + 1
-      j
-    } else if (c.counts.getOrElse(canon, 0) >= 2) {
-      val id = "#" + (scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
-      if (c.emitted.add(canon)) JObj(j.fields :+ ("$id" -> JStr(id): (String, J)))
-      else JObj(Vector("$ref" -> JStr(id)))
-    } else j
+    c.seen.get(canon) match {
+      case None =>
+        val box = new JBox(j)
+        c.seen(canon) = box
+        box
+      case Some(box) =>
+        val id = "#" + (scala.util.hashing.MurmurHash3.stringHash(canon).toLong & 0xffffffffL)
+        box.addId(id)
+        JObj(Vector("$ref" -> JStr(id)))
+    }
+  }
+
+  private def nonEmptyJ(j: J): Boolean = j match {
+    case o: JObj => o.fields.nonEmpty
+    case _ => true
+  }
+  /** Current field snapshot — the reference's `return_schema.update(sub)`
+    * copy semantics for singleton anyOf/allOf collapse.
+    */
+  private def snapshot(j: J): JObj = j match {
+    case b: JBox => b.target
+    case o: JObj => o
+    case _ => JObj(Vector.empty)
   }
 
   def export(rule: Rule, schemaId: String, useRefs: Boolean = false): String =
@@ -104,27 +146,22 @@ object JsonSchemaExport {
 
   def exportJ(rule: Rule, schemaId: String, useRefs: Boolean = false): JObj = {
     val ctx = new ExportCtx(useRefs)
-    def build(): JObj = {
-      ctx.defs.clear(); ctx.emitted.clear()
-      // main schema: name/description become title/description; asReference
-      // is ignored at the main level (is_main_schema, :689)
-      val (body, title, desc) = rule match {
-        case NamedRule(n, s, d, _) => (toJson(s, ctx), Some(n), d)
-        case r => (toJson(r, ctx), None, None)
-      }
-      val headed =
-        title.map(t => "title" -> (JStr(t): J)).toVector ++
-          desc.map(d => "description" -> (JStr(d): J)).toVector ++ body.fields
-      val withDefs =
-        if (ctx.defs.isEmpty) headed
-        else headed :+ ("definitions" -> (JObj(ctx.defs.toVector): J))
-      JObj(withDefs :+
-        ("$id" -> (JStr(schemaId): J)) :+
-        ("$schema" -> (JStr("http://json-schema.org/draft-07/schema#"): J)))
+    // main schema: name/description become title/description; asReference
+    // is ignored at the main level (is_main_schema, :689)
+    val (body, title, desc) = rule match {
+      case NamedRule(n, s, d, _) => (toJson(s, ctx), Some(n), d)
+      case r => (toJson(r, ctx), None, None)
     }
-    val first = build() // counting pass (also the result when !useRefs)
-    if (!useRefs) first
-    else { ctx.counting = false; build() }
+    val headed =
+      title.map(t => "title" -> (JStr(t): J)).toVector ++
+        desc.map(d => "description" -> (JStr(d): J)).toVector ++ body.fields
+    val withDefs =
+      if (ctx.defs.isEmpty) headed
+      else headed :+ ("definitions" -> (JObj(ctx.defs.toVector): J))
+    freeze(JObj(withDefs :+
+      ("$id" -> (JStr(schemaId): J)) :+
+      ("$schema" -> (JStr("http://json-schema.org/draft-07/schema#"): J))))
+      .asInstanceOf[JObj]
   }
 
   private def typeName(t: PyType): String = t match {
@@ -152,7 +189,7 @@ object JsonSchemaExport {
     * representable). Every recursive call routes through `sub` so use_refs
     * consing sees each non-main schema node.
     */
-  private def sub(rule: Rule, c: ExportCtx): JObj = cons(toJson(rule, c), c)
+  private def sub(rule: Rule, c: ExportCtx): J = cons(toJson(rule, c), c)
 
   private def toJson(rule: Rule, c: ExportCtx): JObj = rule match {
     case IsType(t) => JObj(Vector("type" -> JStr(typeName(t))))
@@ -173,20 +210,20 @@ object JsonSchemaExport {
           else JObj(Vector("const" -> toJsonValue(values.head)))
         } else JObj(Vector("enum" -> JArr(values.map(toJsonValue).toVector)))
       } else {
-        val subs = rules.map(sub(_, c)).filter(_.fields.nonEmpty).distinct
-        if (subs.size == 1) subs.head
+        val subs = rules.map(sub(_, c)).filter(nonEmptyJ).distinct
+        if (subs.size == 1) snapshot(subs.head)
         else JObj(Vector("anyOf" -> JArr(subs.toVector)))
       }
 
     case AndRule(rules) =>
-      val subs = rules.map(sub(_, c)).filter(_.fields.nonEmpty).distinct
+      val subs = rules.map(sub(_, c)).filter(nonEmptyJ).distinct
       if (subs.isEmpty) JObj(Vector.empty)
-      else if (subs.size == 1) subs.head
+      else if (subs.size == 1) snapshot(subs.head)
       else JObj(Vector("allOf" -> JArr(subs.toVector)))
 
     case ArrayRule(elem, _) =>
       val items = sub(elem, c)
-      if (items.fields.isEmpty) JObj(Vector("type" -> JStr("array")))
+      if (!nonEmptyJ(items)) JObj(Vector("type" -> JStr("array")))
       else JObj(Vector("type" -> JStr("array"), "items" -> items))
 
     case MapRule(_, _) =>
@@ -212,15 +249,20 @@ object JsonSchemaExport {
           case FieldKind.Hook(_) | FieldKind.Forbidden => // skipped (:790-791)
           case FieldKind.Required =>
             required :+= JStr(f.name)
-            props :+= (f.name -> withKeyMeta(sub(f.rule, c)))
+            // key metadata sits INSIDE the consed form, like the reference's
+            // title=/description= args landing in return_schema before
+            // _create_or_use_ref runs
+            props :+= (f.name -> cons(withKeyMeta(toJson(f.rule, c)), c))
           case FieldKind.Opt(default, defaultFn) =>
-            val base = withKeyMeta(sub(f.rule, c))
+            val base = withKeyMeta(toJson(f.rule, c))
             // callable defaults are invoked for the export, like
             // _invoke_with_optional_kwargs at :856-860 (no kwargs here)
             val dflt = defaultFn.map(fn => fn(Map.empty)).orElse(default)
-            val withDefault = dflt match {
+            val withDefault: J = dflt match {
+              // a default disables consing for this property (documented
+              // deviation: the reference mutates the shared dict, :846-851)
               case Some(d) => JObj(base.fields :+ ("default" -> toJsonValue(d): (String, J)))
-              case None => base
+              case None => cons(base, c)
             }
             props :+= (f.name -> withDefault)
         }

@@ -127,4 +127,25 @@ class JsonSchemaSpec extends AnyFunSuite {
     // without use_refs: three inline string schemas, no ids
     assert(!export(r, "my-id").contains("$ref"))
   }
+
+  test("use_refs: repeated PARENTS cons with the reference's mutation shape") {
+    // Reference-observed output for {"a": sub, "b": sub, "c": sub} with
+    // sub = {"x": int} (run against /root/reference/schema, 2026-08-16):
+    //  - a: expanded, its child x carries the child-$id (retro-mutated)
+    //  - b: expanded with $ref child, carries the PARENT-$id
+    //  - c: {"$ref": parent-id}
+    val subRule = schema(req("x", int))
+    val r = schema(req("a", subRule), req("b", subRule), req("c", subRule))
+    val out = export(r, "my-id", useRefs = true)
+    val ids = "\"\\$id\": \"#(\\d+)\"".r.findAllMatchIn(out).map(_.group(1)).toSeq
+    val refs = "\"\\$ref\": \"#(\\d+)\"".r.findAllMatchIn(out).map(_.group(1)).toSeq
+    assert(ids.size == 2, s"child $$id + parent $$id expected: $out")
+    assert(refs.size == 2, s"child $$ref + parent $$ref expected: $out")
+    assert(refs.toSet == ids.toSet)
+    // c is a bare parent-level ref — the parent DID cons
+    assert(out.contains("\"c\": {\"$ref\": \"#" + ids(1) + "\"}"))
+    // a stays expanded with the retro-added child $id; b carries the parent $id
+    assert(("\"a\": \\{\"type\": \"object\", \"properties\": \\{\"x\": \\{\"type\": " +
+      "\"integer\", \"\\$id\": \"#" + ids.head + "\"\\}\\}").r.findFirstIn(out).isDefined)
+  }
 }
