@@ -111,7 +111,12 @@ object Bench {
     val qs = (results + ("flagship_validate" -> flagshipSec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
-    val total = results.values.sum + flagshipSec
+    // failed queries are EXCLUDED from the headline total: a query that
+    // crashes in 0.1s must not deflate the cross-run comparison number (its
+    // per-query timing stays visible above, flagged by failed[])
+    val total = results.collect {
+      case (name, sec) if !failed.contains(name) => sec
+    }.sum + flagshipSec
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"failed":$failedJson,"sf":"$sfDir","seq_rows":$rows,"validated_seq_per_sec":${seqPerSec.round}}""")
     spark.stop()
   }

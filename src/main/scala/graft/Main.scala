@@ -55,8 +55,11 @@ object Main {
       "csv cannot represent tokens array<int> — use parquet or json input")
     val df = sources.Tables.read(spark, input, seqSchema, fmt)
     val rule = SeqValidation.rule(vocab)
-    // (Manifest.append sanitizes lineage for the JSON line)
-    val lineage = s"input=$input rule=seq-v1 vocab=$vocab app=${spark.sparkContext.applicationId}"
+    // lineage = the CONFIGURATION identity resume checks against (no app id:
+    // that changes every run and would disable resume). splits is part of it
+    // — resuming a manifest written with a different split count would leave
+    // stale rows/ partitions and skip wrong splits.
+    val lineage = s"input=$input rule=seq-v1 vocab=$vocab splits=$splits"
 
     // resumable validation, ONE scan of the input: writes output/rows/
     // partitioned by (__split, __valid) — validated rows = __valid=true via
@@ -69,9 +72,11 @@ object Main {
 
     // per-split verdicts from the FULL manifest (all completed splits, not
     // just this run's — a resume or no-op re-run must not shrink the
-    // verdicts record) — no extra scan
+    // verdicts record), restricted to THIS configuration's lineage so a
+    // reused manifest path never blends rows from older configs — no extra scan
     import spark.implicits._
     new checkpoint.Manifest(manifest).allResults()
+      .filter(_.lineage == checkpoint.Manifest.sanitize(lineage))
       .map(r => (r.split, r.nRows, r.nValid, r.nRows == r.nValid))
       .toDF("split", "n_rows", "n_valid", "pass")
       .coalesce(1).write.mode("overwrite").json(s"$output/verdicts")

@@ -9,11 +9,14 @@ import org.apache.spark.sql.functions._
   *
   * Unit of work = a stable SPLIT of the input keyed by
   * `pmod(xxhash64(key), numSplits)` — stable across re-runs and cluster
-  * sizes, unlike `spark_partition_id()`. A run validates only splits not
-  * already recorded as done; each completed split appends a manifest row
-  * `(split, status, n_rows, n_valid, wall_ms, lineage)` as JSON lines. The
-  * manifest doubles as the lineage record: input path, rule fingerprint,
-  * and app id per split.
+  * sizes, unlike `spark_partition_id()`. A run validates only splits
+  * recorded as done UNDER THE SAME LINEAGE (input path + rule fingerprint +
+  * config: a manifest from a different configuration must not skip work);
+  * each completed split appends a manifest row
+  * `(split, status, n_rows, n_valid, wall_ms, lineage)` as JSON lines.
+  * `wall_ms` is the split's SHARE of its pass's wall time (pass time divided
+  * by splits in the pass), so summing wall_ms over the manifest approximates
+  * total job runtime.
   *
   * Appends are O(1) (`O_APPEND` of one line). A crash mid-append can leave a
   * torn tail line; `completedSplits` tolerates malformed lines, so the worst
@@ -49,13 +52,19 @@ class Manifest(path: String) {
     }
 
   def append(r: SplitResult): Unit = synchronized {
-    // lineage is caller-supplied free text on a JSON line: a quote/backslash
-    // would corrupt the manifest and silently disable resume
-    val safeLineage = r.lineage.replaceAll("[\"\\\\\\p{Cntrl}]", "_")
-    val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"$safeLineage"}"""
+    val line = s"""{"split":${r.split},"status":"${r.status}","n_rows":${r.nRows},"n_valid":${r.nValid},"wall_ms":${r.wallMs},"lineage":"${Manifest.sanitize(r.lineage)}"}"""
     Files.writeString(file, line + "\n",
       StandardOpenOption.CREATE, StandardOpenOption.APPEND)
   }
+}
+
+object Manifest {
+  /** Lineage is caller-supplied free text on a JSON line: a quote/backslash
+    * would corrupt the manifest and silently disable resume. Public so
+    * callers can compare recorded lineage against a current one.
+    */
+  def sanitize(lineage: String): String =
+    lineage.replaceAll("[\"\\\\\\p{Cntrl}]", "_")
 }
 
 object CheckpointedRun {
@@ -88,7 +97,19 @@ object CheckpointedRun {
           lineage: String, outputDir: Option[String] = None,
           splitsPerPass: Int = 0): Seq[SplitResult] = {
     val manifest = new Manifest(manifestPath)
-    val done = manifest.completedSplits()
+    // resume ONLY splits validated under the SAME lineage: a manifest written
+    // by a different input/rule/vocab configuration must not silently skip
+    // work that was never done for THIS configuration. Latest record per
+    // split wins, so a split re-validated under the current lineage counts.
+    val safeLineage = Manifest.sanitize(lineage)
+    val (matching, mismatched) = manifest.allResults().partition(_.lineage == safeLineage)
+    if (mismatched.nonEmpty)
+      System.err.println(
+        s"graft checkpoint: ${mismatched.size} manifest split(s) recorded under a " +
+          s"DIFFERENT lineage (e.g. '${mismatched.head.lineage}' vs current " +
+          s"'$safeLineage') — they will be re-validated, and their rows/ " +
+          "partitions overwritten")
+    val done = matching.map(_.split).toSet
     val todo = (0 until numSplits).filterNot(done.contains)
     if (todo.isEmpty) return Nil
     val passes =
@@ -148,7 +169,11 @@ object CheckpointedRun {
             .agg(count(lit(1)).as("n"), sum(valid.cast("long")).as("v"))
             .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
       }
-      val wallMs = (System.nanoTime() - t0) / 1000000
+      // each split records its SHARE of the pass wall time, so summing
+      // wall_ms across the manifest approximates total job runtime even for
+      // multi-split passes (recording the whole pass time on every split
+      // overstated it by the pass width)
+      val wallMs = (System.nanoTime() - t0) / 1000000 / passSplits.size
       passSplits.map { split =>
         val (n, v) = counts.getOrElse(split, (0L, 0L))
         val r = SplitResult(split, "done", n, v, wallMs, lineage)

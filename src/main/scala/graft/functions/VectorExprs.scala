@@ -215,7 +215,18 @@ object LshSign {
     val key = (seedOffset, bits, n)
     val hit = planeCache.get(key)
     if (hit != null) hit
-    else if (planeCache.size >= MaxCacheEntries) build(seedOffset, bits, n)
-    else planeCache.computeIfAbsent(key, k => build(k._1, k._2, k._3))
+    else planeCache.computeIfAbsent(key, k =>
+      // size check INSIDE the mapping function: the check-then-act form let
+      // concurrent first-touch tasks each pass the outer check and overshoot
+      // the cap by up to the executor thread count. computeIfAbsent locks the
+      // bin, so re-checking here bounds the overshoot to the handful of keys
+      // racing DISTINCT bins at the same instant (≤ thread count, once) —
+      // and a mapping function returning a value always caches it, so an
+      // at-cap miss builds transiently via the orElse below.
+      if (planeCache.size >= MaxCacheEntries) null
+      else build(k._1, k._2, k._3)) match {
+      case null => build(seedOffset, bits, n) // at cap: transient, uncached
+      case planes => planes
+    }
   }
 }

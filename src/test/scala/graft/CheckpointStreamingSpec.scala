@@ -29,6 +29,28 @@ class CheckpointStreamingSpec extends SparkSpec {
     val third = CheckpointedRun.run(spark, seqs, rule, "doc_id", 8, mpath, "test-v1")
     assert(third.size == 3)
     assert(new Manifest(mpath).completedSplits().size == 8)
+    // wall_ms is the split's SHARE of the pass time: the sum over one full
+    // 8-split single-pass run must approximate the pass wall time, not 8× it
+    val wallSum = new Manifest(mpath).allResults().map(_.wallMs).sum
+    assert(wallSum < 120000, s"summed wall_ms $wallSum suggests per-pass time on every split")
+    seqs.unpersist()
+  }
+
+  test("resume checks lineage: a different configuration re-validates everything") {
+    val dir = Files.createTempDirectory("graft-lineage").toString
+    val mpath = s"$dir/manifest.jsonl"
+    val seqs = SequenceGen.sequences(spark, 1000, 4).cache()
+    val rule = SeqValidation.rule()
+    val first = CheckpointedRun.run(spark, seqs, rule, "doc_id", 4, mpath, "cfg-A")
+    assert(first.size == 4)
+    // same manifest, DIFFERENT lineage: nothing may be skipped — splits
+    // recorded under cfg-A were never validated under cfg-B
+    val other = CheckpointedRun.run(spark, seqs, rule, "doc_id", 4, mpath, "cfg-B")
+    assert(other.size == 4, "mismatched lineage must re-validate all splits")
+    // now cfg-B is recorded (latest wins per split) → cfg-B resume is a no-op
+    assert(CheckpointedRun.run(spark, seqs, rule, "doc_id", 4, mpath, "cfg-B").isEmpty)
+    // ... and cfg-A no longer is (its records were superseded)
+    assert(CheckpointedRun.run(spark, seqs, rule, "doc_id", 4, mpath, "cfg-A").size == 4)
     seqs.unpersist()
   }
 

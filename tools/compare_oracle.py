@@ -29,6 +29,17 @@ ok = fail = 0
 for name in sorted(oracle):
     try:
         def type_class(arrow_type):
+            # recurse into nested types so a Spark array<int> matches a DuckDB
+            # list(BIGINT): element/field widths normalize like scalars
+            import pyarrow.types as pat
+            if pat.is_list(arrow_type) or pat.is_large_list(arrow_type):
+                return f"list<{type_class(arrow_type.value_type)}>"
+            if pat.is_struct(arrow_type):
+                inner = ", ".join(f"{arrow_type.field(i).name}: {type_class(arrow_type.field(i).type)}"
+                                  for i in range(arrow_type.num_fields))
+                return f"struct<{inner}>"
+            if pat.is_map(arrow_type):
+                return f"map<{type_class(arrow_type.key_type)}, {type_class(arrow_type.item_type)}>"
             t = str(arrow_type)
             if t.startswith(("int", "uint")): return "int"
             if t.startswith(("float", "double", "halffloat", "decimal")): return "float_or_decimal"
