@@ -1,0 +1,136 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import graft.pipeline.{Dedup, TextFunctions}
+
+/** Ingest-time deduplication — the streaming face of `pipeline.Dedup`. A
+  * training-data pipeline dedupes AS IT INGESTS: the batch operators'
+  * fingerprints/sketches are plain Columns, so they apply to a streaming
+  * DataFrame unchanged; what streaming adds is bounded state with watermark
+  * eviction.
+  *
+  * Scale design: state per key is what bounds a 100 TB/day stream —
+  *  - exact dedup keeps ONE 8-byte fingerprint per distinct doc within the
+  *    watermark (Spark's dropDuplicatesWithinWatermark state store), nothing
+  *    per duplicate;
+  *  - MinHash candidate state holds ≤ `maxBucketIds` ids per (band, bucket)
+  *    with event-time timeout eviction, so hot template buckets cannot grow
+  *    unboundedly (the cap is a documented recall trade at the tail).
+  */
+object StreamingDedup {
+
+  /** Streaming EXACT dedup on the normalized-text fingerprint
+    * (`TextFunctions.fingerprint`, same column as `Dedup.exactDedup`):
+    * emits the FIRST arrival of each fingerprint, drops re-arrivals seen
+    * within the watermark. After the watermark passes a fingerprint's state
+    * it is evicted, so a duplicate arriving later than `watermarkDelay`
+    * re-emits — the documented bounded-state semantics of
+    * `dropDuplicatesWithinWatermark` (exactly-once dedup would need
+    * unbounded state; at ingest scale the watermark IS the contract).
+    *
+    * Batch equivalence: the survivor FINGERPRINT set over any prefix of the
+    * stream whose duplicates fall inside the watermark equals
+    * `Dedup.exactDedup`'s on the same rows (batch keeps min-id, streaming
+    * keeps first-arrival — same distinct set, CheckpointStreamingSpec).
+    */
+  def dedupExact(df: DataFrame, textCol: String, tsCol: String,
+                 watermarkDelay: String): DataFrame =
+    df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+      .withWatermark(tsCol, watermarkDelay)
+      .dropDuplicatesWithinWatermark("__fp")
+      .drop("__fp")
+
+  /** A near-dup candidate pair: two doc ids that shared a MinHash LSH band
+    * bucket. Pairs may repeat across bands/batches (stateless downstream
+    * `distinct` or the verify join absorbs it — storing emitted-pair history
+    * would be unbounded state for no correctness gain).
+    */
+  final case class Candidate(idA: Long, idB: Long, band: Int, bucket: Long)
+
+  /** Per-(band,bucket) LSH state. Public: the state encoder's generated code
+    * calls the accessors reflectively from another package — a private class
+    * fails Janino compilation at runtime.
+    */
+  final case class BucketState(storedIds: Array[Long], overflowed: Boolean)
+
+  /** Streaming MinHash NEAR-DUP candidate emission: each arriving document's
+    * banded signature buckets (same `TextExprs.minhashSig` +
+    * `Dedup.bandBuckets` as the batch path) are matched against the ids
+    * already seen in that (band, bucket); every match emits a `Candidate`
+    * pair the moment the second document arrives.
+    *
+    * State & eviction: per-bucket id lists, evicted by EVENT-TIME timeout
+    * once the watermark passes the bucket's last arrival + `watermarkDelay`
+    * — so two near-dups more than the watermark apart are NOT paired (same
+    * contract as `dedupExact`). `maxBucketIds` caps a hot bucket (template
+    * boilerplate): beyond it new arrivals still pair against the stored ids
+    * but are not added (bounded state; the miss is between two docs that
+    * BOTH overflow the same bucket in every shared band).
+    *
+    * Verification (exact Jaccard on shingle sets) is deliberately not done
+    * in-stream: it needs both documents' text, i.e. either unbounded text
+    * state or a stream-stream self-join. Run it downstream per micro-batch
+    * (`foreachBatch` joining candidate ids back to the corpus), as the batch
+    * `minhashNearDups` verify stage does.
+    */
+  def minhashCandidates(df: DataFrame, textCol: String, idCol: String,
+                        tsCol: String, watermarkDelayMs: Long,
+                        shingleK: Int = 7, numHashes: Int = 32, bands: Int = 16,
+                        maxBucketIds: Int = 64): Dataset[Candidate] = {
+    require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
+      s"bands=$bands must divide numHashes=$numHashes")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val rowsPerBand = numHashes / bands
+    val norm = TextFunctions.normalize(col(textCol))
+    // watermark applied AFTER the projection: casting/aliasing the event-time
+    // column mints a fresh attribute and silently drops the watermark tag,
+    // and EventTimeTimeout refuses to run without it in the child output
+    val exploded = df
+      .select(col(idCol).cast("long").as("id"),
+        col(tsCol).cast("timestamp").as("ts"),
+        explode(Dedup.bandBuckets(
+          graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes),
+          bands, rowsPerBand)).as("bk"))
+      .select(col("id"), col("ts"),
+        col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .as[(Long, java.sql.Timestamp, Int, Long)]
+
+    exploded.groupByKey { case (_, _, band, bucket) => (band, bucket) }
+      .flatMapGroupsWithState[BucketState, Candidate](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case ((band, bucket), rows, state: GroupState[BucketState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var s = state.getOption.getOrElse(BucketState(Array.empty, overflowed = false))
+            val out = Vector.newBuilder[Candidate]
+            var maxTs = Long.MinValue
+            // deterministic order: the group iterator has no ordering
+            // guarantee, so sort by (ts, id) before folding
+            rows.toSeq.sortBy(r => (r._2.getTime, r._1)).foreach { case (id, t, _, _) =>
+              val ts = t.getTime
+              if (ts > maxTs) maxTs = ts
+              if (!s.storedIds.contains(id)) {
+                s.storedIds.foreach { prev =>
+                  out += Candidate(math.min(prev, id), math.max(prev, id), band, bucket)
+                }
+                s =
+                  if (s.storedIds.length < maxBucketIds) BucketState(s.storedIds :+ id, s.overflowed)
+                  else BucketState(s.storedIds, overflowed = true) // cap: pair-only, not stored
+              }
+            }
+            state.update(s)
+            // evict once the watermark passes this bucket's last arrival +
+            // the dedup horizon (must stay above the current watermark)
+            state.setTimeoutTimestamp(
+              math.max(maxTs + watermarkDelayMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
+}

@@ -178,6 +178,87 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(!batch4.last.getAs[Boolean]("failing") && batch4.last.getAs[Long]("nRows") == 6)
   }
 
+  test("streaming exact dedup: duplicates dropped within the watermark, batch-equivalent; re-emitted beyond it") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val out = StreamingDedup.dedupExact(df, "text", "ts", "10 minutes")
+    val q = out.writeStream.outputMode("append")
+      .format("memory").queryName("dedup").start()
+    // batch 1: fp(1) == fp(3) (normalize: case + whitespace) → 3 dropped
+    mem.addData((1L, "Hello World", ts("10:00:00")),
+      (2L, "some other text", ts("10:00:00")),
+      (3L, "hello    world", ts("10:01:00")))
+    q.processAllAvailable()
+    // batch 2: 4 duplicates 1 WITHIN the watermark → dropped; 5 fresh; 6
+    // advances event time so the watermark moves to 10:50
+    mem.addData((4L, "HELLO WORLD", ts("10:02:00")),
+      (5L, "a genuinely fresh document", ts("10:02:00")),
+      (6L, "watermark advancer text", ts("11:00:00")))
+    q.processAllAvailable()
+    val survivors = spark.table("dedup").select("doc_id").as[Long].collect().toSet
+    assert(survivors == Set(1L, 2L, 5L, 6L))
+    // batch equivalence on the same rows: the streaming survivor FINGERPRINT
+    // set equals Dedup.exactDedup's (batch keeps min-id, streaming keeps
+    // first arrival — identical distinct sets)
+    val allRows = Seq(
+      (1L, "Hello World"), (2L, "some other text"), (3L, "hello    world"),
+      (4L, "HELLO WORLD"), (5L, "a genuinely fresh document"),
+      (6L, "watermark advancer text")).toDF("doc_id", "text")
+    def fps(d: org.apache.spark.sql.DataFrame) = d
+      .select(graft.pipeline.TextFunctions.fingerprint(col("text")))
+      .as[Long].collect().toSet
+    assert(fps(spark.table("dedup")) ==
+      fps(graft.pipeline.Dedup.exactDedup(allRows, "text", "doc_id")))
+    // batch 3: the duplicate's state (last seen 10:02) is now OUTSIDE the
+    // watermark (10:50) and evicted → the same text RE-EMITS
+    mem.addData((7L, "hello world", ts("10:55:00")))
+    q.processAllAvailable()
+    q.stop()
+    assert(spark.table("dedup").select("doc_id").as[Long].collect().toSet
+      == Set(1L, 2L, 5L, 6L, 7L))
+  }
+
+  test("streaming minhash candidates: pairs emitted on arrival, bucket state evicted by watermark") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val text = "the quick brown fox jumps over the lazy dog and runs far away"
+    val other = "completely unrelated content about spark structured streaming state"
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val cands = StreamingDedup.minhashCandidates(df, "text", "doc_id", "ts",
+      watermarkDelayMs = 600000L) // 10 min horizon
+    val q = cands.writeStream.outputMode("append")
+      .format("memory").queryName("cands").start()
+    mem.addData((1L, text, ts("10:00:00")))
+    q.processAllAvailable()
+    assert(spark.table("cands").count() == 0) // nothing to pair with yet
+    // near-dup (identical text → same signature) arrives a minute later:
+    // the pair emits THE MOMENT the second doc lands
+    mem.addData((2L, text, ts("10:01:00")))
+    q.processAllAvailable()
+    val pairs = spark.table("cands").select("idA", "idB")
+      .as[(Long, Long)].collect().toSet
+    assert(pairs == Set((1L, 2L)))
+    // advance the watermark far past the bucket's last arrival + horizon,
+    // then give the timed-out state a batch to evict
+    mem.addData((9L, other, ts("11:30:00")))
+    q.processAllAvailable()
+    mem.addData((10L, "numeric tables with entirely distinct vocabulary and shape", ts("11:31:00")))
+    q.processAllAvailable()
+    // the same text re-arrives AFTER eviction: no pair (ids 1/2 forgotten)
+    mem.addData((3L, text, ts("11:25:00")))
+    q.processAllAvailable()
+    q.stop()
+    val after = spark.table("cands").select("idA", "idB")
+      .as[(Long, Long)].collect().toSet
+    assert(after == Set((1L, 2L)),
+      s"expected no pairs with evicted ids, got $after")
+  }
+
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
     val media = Multimodal.syntheticMedia(spark, 300, 4)
     // the published schema IS the MediaRow contract
