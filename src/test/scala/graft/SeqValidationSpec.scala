@@ -148,6 +148,18 @@ class SeqValidationSpec extends SparkSpec {
     assert(!report.chi2Pass)
   }
 
+  test("plan shape: chi2Terms has no unpartitioned window (broadcast totals instead)") {
+    // an unbounded global window would funnel every row through ONE partition
+    // if a caller passed an unaggregated frame — totals must come from a
+    // broadcast one-row aggregate, never WindowExec with no partition spec
+    val obsH = Seq((0, 10L), (1, 20L)).toDF("bucket", "cnt")
+    val baseH = Seq((0, 12L), (1, 18L)).toDF("bucket", "cnt")
+    val plan = Drift.chi2Terms(obsH, baseH).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("BroadcastExchange"),
+      s"expected broadcast totals in:\n$plan")
+  }
+
   test("plan shape: validated path stays whole-stage-codegen with pushed filters") {
     // parquet round-trip (the production read path) must preserve
     // containsNull=false so the HOF-free fastAll bound stays active
