@@ -290,6 +290,16 @@ object SparkEntry {
       Dedup.minhashNearDups(T(s, dir, "documents"), "text", "doc_id",
         shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
     }),
+    "q_dedup_groups" -> ((s, dir) => {
+      // transitive dup-group resolution over the minhash near-dup pairs:
+      // the pair list is materialized so the oracle independently recomputes
+      // connected components with a recursive CTE — grouping logic (min-label
+      // propagation vs SQL transitive closure) is hash-checked end-to-end
+      val pairs = Dedup.minhashNearDups(T(s, dir, "documents"), "text",
+        "doc_id", shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupGroups(materialize(s, pairs, "q_dup_pairs"))
+    }),
     "q_simhash_neardups" -> ((s, dir) => {
       // sketch materialized; bands = maxHamming+1 ⇒ recall 1 by pigeonhole,
       // so all-pairs hamming over the sketch is an exact oracle
@@ -299,7 +309,7 @@ object SparkEntry {
         materialize(s, sh, "q_simhash_sketch"), maxHamming = 8)
     }),
     "q_ngram_jaccard" -> ((s, dir) => {
-      // default size-ratio blocking: recall 1 by construction, so the
+      // default prefix filtering: recall 1 by construction, so the
       // oracle is all-pairs ground truth (no blocking replication)
       Dedup.ngramJaccardPairs(T(s, dir, "documents"), "text", "doc_id",
         k = 3, threshold = 0.2)
@@ -565,6 +575,21 @@ object SparkEntry {
         |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
         |      FROM sh a JOIN sh b ON a.doc_id < b.doc_id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+
+    // connected components over the materialized pair list via a recursive
+    // transitive closure — independent of the engine's min-label propagation
+    "q_dedup_groups" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM read_parquet('/root/repo/target/graft_oracle/q_dup_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b, id_a FROM read_parquet('/root/repo/target/graft_oracle/q_dup_pairs/*.parquet')
+        |),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+        |)
+        |SELECT id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
 
     // all-pairs hamming over the materialized simhash sketch: the banding
     // guarantees recall 1 for hamming <= maxHamming (pigeonhole), so the

@@ -88,24 +88,38 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    val verified =
-      if (verifyOnSets) {
-        val base = df.select(col(idCol).as("id"),
-          graft.functions.TextExprs.shingleSet(norm, shingleK).as("sh"))
-        pairs
-          .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-          .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
-          .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
-            col("sh_a"), col("sh_b")))
-      } else {
-        val base = df.select(col(idCol).as("id"), norm.as("txt"))
-        pairs
-          .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-          .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
-          .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
-            col("txt_a"), col("txt_b"), shingleK))
-      }
-    verified
+    if (verifyOnSets) verifyJaccardPairs(pairs, df, textCol, idCol, shingleK, threshold)
+    else {
+      val base = df.select(col(idCol).as("id"), norm.as("txt"))
+      pairs
+        .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
+        .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+        .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
+          col("txt_a"), col("txt_b"), shingleK))
+        .where(col("jaccard") >= threshold)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+    }
+  }
+
+  /** Exact-Jaccard verification of candidate id pairs against the document
+    * table — the shared verify stage of `minhashNearDups` (batch) and
+    * `StreamingDedup.verifiedMinhashNearDups` (per micro-batch). Joins ONLY
+    * the candidate ids to precomputed sorted shingle sets, so its cost is
+    * O(candidates), never O(corpus²). `pairs` needs columns (id_a, id_b);
+    * duplicate candidate pairs (multi-band hits, re-emissions across
+    * micro-batches) are deduped here.
+    */
+  def verifyJaccardPairs(pairs: DataFrame, df: DataFrame, textCol: String,
+                         idCol: String, shingleK: Int,
+                         threshold: Double): DataFrame = {
+    val base = df.select(col(idCol).as("id"),
+      graft.functions.TextExprs.shingleSet(
+        TextFunctions.normalize(col(textCol)), shingleK).as("sh"))
+    pairs.select(col("id_a"), col("id_b")).distinct()
+      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
+        col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -161,44 +175,133 @@ object Dedup {
       .groupBy(col("id_a"), col("id_b")).agg(first(col("hamming")).as("hamming"))
   }
 
-  /** Word n-gram Jaccard similarity for candidate pairs blocked by a cheap
-    * key — the non-LSH baseline; quadratic within blocks, so block width
-    * bounds the cost.
+  /** Duplicate-GROUP resolution: connected components over a near-dup pair
+    * list (the output of `minhashNearDups` / `simhashNearDups` /
+    * `ngramJaccardPairs`). Near-dup pairs alone don't answer "which rows do I
+    * drop?" — transitive duplicates (a~b, b~c) must collapse into ONE group
+    * with ONE survivor, or the pipeline keeps a and c as "unique" while both
+    * survive a pairwise filter.
+    *
+    * Returns (id, group_id) for every vertex in the pair graph, where
+    * group_id = min id reachable — deterministic, and the natural survivor
+    * key. Rows never mentioned in `pairs` are implicitly their own group.
+    *
+    * Algorithm: min-label propagation (hash-to-min). Each iteration joins the
+    * edge list against current labels on the 8-byte dst key and takes
+    * min(label) per vertex — two short-key shuffles per iteration, converging
+    * in O(graph diameter) iterations. Scale shape: the pair graph is the
+    * CANDIDATE output (≪ corpus; LSH bounds it), labels carry 16 bytes/row,
+    * and dedup clusters are near-cliques (LSH emits most intra-cluster
+    * pairs), so the diameter — and iteration count — is small in practice.
+    * Each iteration materializes its labels with `localCheckpoint` — without
+    * lineage truncation the logical plan doubles per iteration and analysis
+    * blows the driver stack long before the data is the problem. (On a real
+    * cluster with executor churn, swap in reliable `checkpoint` — same
+    * shape, storage-backed.) A convergence count is the per-iteration action.
+    *
+    * Throws if not converged within `maxIter` — silently mis-grouped
+    * duplicates are worse than a loud failure; raise `maxIter` for
+    * pathological chain-shaped graphs (diameter ≈ chain length).
+    */
+  def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
+                maxIter: Int = 20): DataFrame = {
+    val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
+      .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
+      .distinct()
+      .persist()
+    var labels = edges.select(col("src").as("id"))
+      .distinct()
+      .withColumn("group_id", col("id"))
+      .localCheckpoint()
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val neighborLabels = edges
+        .join(labels.select(col("id").as("dst"), col("group_id")), Seq("dst"))
+        .select(col("src").as("id"), col("group_id"))
+      val next = neighborLabels.union(labels)
+        .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
+        .localCheckpoint()
+      val changed = next
+        .join(labels.select(col("id"), col("group_id").as("prev")), Seq("id"))
+        .where(col("group_id") =!= col("prev"))
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"dupGroups did not converge in $maxIter iterations — the pair graph " +
+          "has a connected component with diameter > maxIter; raise maxIter")
+    labels
+  }
+
+  /** Survivor filter for a resolved group table: keeps every row of `df`
+    * whose id is NOT a non-survivor (id != group_id) in `groups`. Rows absent
+    * from the pair graph pass through untouched (left_anti on the small
+    * non-survivor set — broadcast-able when the dup fraction is small).
+    */
+  def nearDupSurvivors(df: DataFrame, idCol: String, groups: DataFrame): DataFrame =
+    df.join(
+      groups.where(col("id") =!= col("group_id")).select(col("id").as(idCol)),
+      Seq(idCol), "left_anti")
+
+  /** Word n-gram Jaccard similarity pairs — the non-LSH exact baseline.
     *
     * Two blocking modes:
-    *  - DEFAULT `sizeRatioBlocking = true`: buckets by
-    *    `floor(log_{1/t} |gramset|)` with each doc emitted to buckets
-    *    (b-1, b, b+1). J(A,B) ≥ t forces |A|,|B| within a factor 1/t, i.e.
-    *    true log-bucket distance ≤ 1; the ±1 window absorbs that PLUS a ulp
-    *    of floating-point floor jitter at exact power-of-(1/t) set sizes, so
-    *    every pair above threshold shares ≥1 bucket — RECALL 1 by
-    *    construction. Cost grows as the threshold drops (wider ratio ⇒
-    *    bigger buckets).
-    *  - `sizeRatioBlocking = false` (explicit opt-in only): token-count/16
+    *  - DEFAULT `exactBlocking = true`: PREFIX FILTERING (the All-Pairs /
+    *    PPJoin principle — Bayardo et al., WWW'07): gram sets are sorted by
+    *    hash (a global total order), and each doc indexes only its first
+    *    `|g| - ceil(t*|g|) + 1` grams. If J(A,B) >= t then |A∩B| >= t*|A|,
+    *    and were the two prefixes disjoint, every common gram would have to
+    *    sit beyond one side's prefix — at most `ceil(t*|A|) - 1` grams —
+    *    contradiction; so every qualifying pair shares >= 1 prefix gram:
+    *    RECALL 1 by construction. The inverted-index join on single gram
+    *    hashes also applies the size-compatibility bound
+    *    (`t*|A| <= |B| <= |A|/t`, another J >= t consequence) inside the
+    *    join. Measured at sf0.1/t=0.2: 877k candidates vs 12.5M (= ALL
+    *    pairs) for log-size-ratio blocking — size blocking collapses at low
+    *    thresholds because real document-length spreads fit in one ratio
+    *    bucket, while prefix selectivity tracks actual gram overlap.
+    *  - `exactBlocking = false` (explicit opt-in only): token-count/16
     *    buckets — cheaper and SQL-replicable, but pairs straddling a bucket
     *    boundary are SILENTLY MISSED (the test suite pins the miss). Never
     *    the default: a dedup operator that silently loses recall is a trap.
+    *
+    * Scale shape: the exploded index carries (gram_hash, id, set_size) =
+    * 20 bytes/row, ~(1-t)·|grams| rows/doc; full gram arrays ride only the
+    * per-candidate verify join, as in `minhashNearDups`.
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3,
-                        sizeRatioBlocking: Boolean = true): DataFrame = {
+                        exactBlocking: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
-    val blocks =
-      if (!sizeRatioBlocking)
-        g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
-      else {
-        require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-        val base = math.log(1.0 / threshold)
-        val b = floor(log(greatest(size(col("g")), lit(1)).cast("double")) / base).cast("int")
-        g.select(col("id"), explode(array(b - 1, b, b + 1)).as("blk"))
+    val pairs =
+      if (!exactBlocking) {
+        val blocks = g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
+        val a = blocks.select(col("blk"), col("id").as("id_a"))
+        val bb = blocks.select(col("blk"), col("id").as("id_b"))
+        a.join(bb, Seq("blk")).where(col("id_a") < col("id_b"))
+          .select(col("id_a"), col("id_b")).distinct()
+      } else {
+        val pfxLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1).cast("int")
+        val idx = g.select(col("id"), size(col("g")).as("sz"),
+          explode(slice(col("g"), lit(1), pfxLen)).as("tok"))
+        val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+        val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+        a.join(bb, Seq("tok"))
+          .where(col("id_a") < col("id_b") &&
+            col("sz_a") >= ceil(col("sz_b") * threshold) &&
+            col("sz_b") >= ceil(col("sz_a") * threshold))
+          .select(col("id_a"), col("id_b")).distinct()
       }
-    val a = blocks.select(col("blk"), col("id").as("id_a"))
-    val bb = blocks.select(col("blk"), col("id").as("id_b"))
-    val pairs = a.join(bb, Seq("blk")).where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
     val sets = g.select(col("id"), col("g"))
     pairs
       .join(sets.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))

@@ -133,4 +133,43 @@ object StreamingDedup {
           }
       }
   }
+
+  /** END-TO-END streaming near-dup: `minhashCandidates` + per-micro-batch
+    * exact-Jaccard verification, wired through `foreachBatch`. Each batch's
+    * candidate id pairs (already deduped batch-locally) join against
+    * `corpus()` — a snapshot provider for the table the pipeline is also
+    * appending to (re-evaluated every batch so late-arriving corpus rows are
+    * visible) — via the same `Dedup.verifyJaccardPairs` stage as the batch
+    * operator, and verified (id_a, id_b, jaccard) rows go to `sink`.
+    *
+    * Cost shape per micro-batch: the verify join touches ONLY that batch's
+    * candidate ids (shingle sets are recomputed for the matched corpus rows —
+    * stateless; caching shingle sets for a 100 TB corpus would be worse than
+    * recomputing ~candidate-count of them). Candidate pairs re-emitted in
+    * later batches (same pair, new band hit) re-verify and re-emit: the
+    * sink must be idempotent on (id_a, id_b) — e.g. a dedup-on-merge table —
+    * which is the standard contract for streaming upserts.
+    *
+    * Returns the started `StreamingQuery`; the caller owns stop/await.
+    */
+  def verifiedMinhashNearDups(df: DataFrame, textCol: String, idCol: String,
+                              tsCol: String, watermarkDelayMs: Long,
+                              corpus: () => DataFrame, threshold: Double = 0.5,
+                              shingleK: Int = 7, numHashes: Int = 32,
+                              bands: Int = 16, maxBucketIds: Int = 64,
+                              checkpointDir: Option[String] = None)
+                             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val cands = minhashCandidates(df, textCol, idCol, tsCol, watermarkDelayMs,
+      shingleK, numHashes, bands, maxBucketIds)
+    val writer = cands.writeStream
+      .outputMode(OutputMode.Append())
+      .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
+        val pairs = batch.toDF()
+          .select(col("idA").as("id_a"), col("idB").as("id_b"))
+        sink(Dedup.verifyJaccardPairs(
+          pairs, corpus(), textCol, idCol, shingleK, threshold), batchId)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
 }

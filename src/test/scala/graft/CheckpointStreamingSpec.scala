@@ -259,6 +259,42 @@ class CheckpointStreamingSpec extends SparkSpec {
       s"expected no pairs with evicted ids, got $after")
   }
 
+  test("streaming verified near-dups end-to-end == batch minhashNearDups on the same docs") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingDedup
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val docTexts = Seq(
+      0L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      1L -> "the quick brown fox jumps over the lazy dog near the river bank tonight",
+      2L -> "completely different content about spark catalyst optimizer internals",
+      3L -> "the quick brown fox jumps over the lazy dog near the river bank today",
+      4L -> "structured streaming joins candidates against a corpus snapshot now")
+    val corpusDf = docTexts.toDF("doc_id", "text")
+    val verified = scala.collection.mutable.Set.empty[(Long, Long, Double)]
+    val mem = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "text", "ts")
+    val q = StreamingDedup.verifiedMinhashNearDups(
+      df, "text", "doc_id", "ts", watermarkDelayMs = 600000L,
+      corpus = () => corpusDf, threshold = 0.5) { (batch, _) =>
+      verified.synchronized {
+        verified ++= batch.as[(Long, Long, Double)].collect()
+      }
+    }
+    // two micro-batches, all arrivals inside the watermark horizon
+    mem.addData((0L, docTexts(0)._2, ts("10:00:00")), (1L, docTexts(1)._2, ts("10:00:30")))
+    q.processAllAvailable()
+    mem.addData((2L, docTexts(2)._2, ts("10:01:00")), (3L, docTexts(3)._2, ts("10:01:30")),
+      (4L, docTexts(4)._2, ts("10:02:00")))
+    q.processAllAvailable()
+    q.stop()
+    val batchPairs = graft.pipeline.Dedup.minhashNearDups(
+      corpusDf, "text", "doc_id", threshold = 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(batchPairs.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 3L), (1L, 3L)))
+    assert(verified.toSet == batchPairs,
+      s"streaming end-to-end ${verified.toSet} != batch $batchPairs")
+  }
+
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
     val media = Multimodal.syntheticMedia(spark, 300, 4)
     // the published schema IS the MediaRow contract

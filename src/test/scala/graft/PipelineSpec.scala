@@ -106,20 +106,48 @@ class PipelineSpec extends SparkSpec {
     assert(exact.exists(_.getAs[Double]("jaccard") == 1.0))
   }
 
-  test("ngram jaccard size-ratio blocking finds cross-bucket pairs the naive mode misses") {
+  test("ngram jaccard prefix filtering finds cross-bucket pairs the naive mode misses") {
     // 15 vs 17 whitespace tokens: token-count buckets 0 vs 1 (the opt-in
     // naive blocking misses), word-3-gram jaccard = 13/15 ≈ 0.867. The
-    // DEFAULT (size-ratio) mode must find it — recall 1 by construction.
+    // DEFAULT (prefix-filter) mode must find it — recall 1 by construction.
     val base = (1 to 15).map(i => s"w$i").mkString(" ")
     val longer = base + " extra tokens"
     val docs2 = Seq((0L, base), (1L, longer)).toDF("doc_id", "text")
     val naive = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3, threshold = 0.5,
-      sizeRatioBlocking = false).count()
+      exactBlocking = false).count()
     assert(naive == 0) // documented miss of the explicit opt-in mode
     val guaranteed = Dedup.ngramJaccardPairs(docs2, "text", "doc_id", k = 3,
       threshold = 0.5).collect()
     assert(guaranteed.length == 1)
     assert(math.abs(guaranteed.head.getAs[Double]("jaccard") - 13.0 / 15) < 1e-3)
+  }
+
+  test("ngram jaccard prefix filtering == all-pairs ground truth on varied docs") {
+    // 30 docs with overlapping template phrases and varied lengths; the
+    // prefix-filtered result must equal brute-force all-pairs at several
+    // thresholds (recall 1, and precision 1 via the verify step)
+    val words = "alpha beta gamma delta epsilon zeta eta theta iota kappa".split(" ")
+    val varied = (0 until 30).map { i =>
+      val body = (0 until 8 + i % 13).map(j => words((i * 7 + j * 3) % words.length))
+      (i.toLong, (if (i % 3 == 0) "common prefix phrase here " else "") + body.mkString(" "))
+    }.toDF("doc_id", "text")
+    for (t <- Seq(0.2, 0.5, 0.8)) {
+      val fast = Dedup.ngramJaccardPairs(varied, "text", "doc_id", k = 2, threshold = t)
+        .select("id_a", "id_b", "jaccard").as[(Long, Long, Double)].collect().toSet
+      // brute force: all pairs via a crossJoin on the same gram sets
+      val g = varied.select(col("doc_id").as("id"),
+        graft.functions.TextExprs.wordGramSet(
+          pipeline.TextFunctions.normalize(col("text")), 2).as("g"))
+      val all = g.select(col("id").as("id_a"), col("g").as("g_a"))
+        .crossJoin(g.select(col("id").as("id_b"), col("g").as("g_b")))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(col("g_a"), col("g_b")))
+        .where(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == all, s"threshold $t: prefix-filtered != all-pairs")
+      assert(all.nonEmpty || t > 0.5, s"threshold $t produced no ground-truth pairs — weak test data")
+    }
   }
 
   private val vecs = Seq(
@@ -251,5 +279,51 @@ class PipelineSpec extends SparkSpec {
     val cellCount = df.select(pipeline.Ivf.cellOf(col("embedding"), cents).as("c"))
       .distinct().count()
     assert(cellCount == 6, "hash sample must cover all strata of a cluster-sorted table")
+  }
+
+  test("dupGroups: transitive chains collapse, separate components stay apart") {
+    // component {1,2,3,9} via chain 9-1, 1-2, 2-3; component {5,7}; pair dup 4-6
+    val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 7L), (6L, 4L))
+      .toDF("id_a", "id_b")
+    val g = Dedup.dupGroups(pairs).as[(Long, Long)].collect().toMap
+    assert(g == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 9L -> 1L,
+      5L -> 5L, 7L -> 5L, 4L -> 4L, 6L -> 4L))
+  }
+
+  test("dupGroups matches brute-force closure on a random graph; maxIter throws loudly") {
+    // deterministic pseudo-random graph: 40 vertices, 45 edges
+    val rng = new scala.util.Random(42)
+    val edges = Seq.fill(45)((rng.nextInt(40).toLong, rng.nextInt(40).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    // brute-force: iterate min-label over an adjacency map until fixpoint
+    val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+    val adj = (edges ++ edges.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    var lab = verts.map(v => v -> v).toMap
+    var changed = true
+    while (changed) {
+      val next = lab.map { case (v, l) =>
+        v -> (adj.getOrElse(v, Seq()).map(lab) :+ l).min }
+      changed = next != lab; lab = next
+    }
+    val g = Dedup.dupGroups(edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
+    assert(g == lab)
+
+    // a 12-long chain has diameter 12: maxIter=2 must throw, not mis-group
+    val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
+    val full = Dedup.dupGroups(chain).as[(Long, Long)].collect().toMap
+    assert(full.values.toSet == Set(0L) && full.size == 13)
+  }
+
+  test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
+    val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
+      shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
+      .select(col("id_a"), col("id_b"))
+    val groups = Dedup.dupGroups(pairs)
+    val kept = Dedup.nearDupSurvivors(docs, "doc_id", groups)
+      .select("doc_id").as[Long].collect().toSet
+    // {0,1,3} collapse to 0; {4,5} to 4; 2 untouched
+    assert(kept == Set(0L, 2L, 4L))
   }
 }
