@@ -69,6 +69,8 @@ object GraftExtensions {
         intLit(es(2), "graft_jaccard_shingles", 2))),
     ("graft_word_gram_set", "graft_word_gram_set(text, k) - sorted distinct word k-gram hashes",
       (es: Seq[Expression]) => WordGramSet(es(0), intLit(es(1), "graft_word_gram_set", 1))),
+    ("graft_int_gram_set", "graft_int_gram_set(tokens, k) - sorted distinct k-gram hashes of an int array",
+      (es: Seq[Expression]) => IntGramSet(es(0), intLit(es(1), "graft_int_gram_set", 1))),
     ("graft_sorted_jaccard", "graft_sorted_jaccard(a, b) - Jaccard of two sorted distinct long arrays",
       (es: Seq[Expression]) => SortedArrayJaccard(es(0), es(1))),
     ("graft_gen_tokens", "graft_gen_tokens(id, maxLen, vocab) - deterministic synthetic token array",

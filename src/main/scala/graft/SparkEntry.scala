@@ -300,6 +300,33 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.dupGroups(materialize(s, pairs, "q_dup_pairs"))
     }),
+    "q_token_dedup" -> ((s, dir) => {
+      // exact dedup of TOKEN SEQUENCES (north-rule payload): deterministic
+      // table where ids >= 2400 repeat the token array of id % 2400 —
+      // materialized so the oracle groups by the raw list itself, checking
+      // the structural xxhash64 fingerprint end-to-end
+      val seqs = s.range(0, 3000, 1, 16).select(col("id"),
+        graft.functions.GenExprs.genTokens(
+          pmod(col("id"), lit(2400L)), 256, graft.gen.SequenceGen.Vocab).as("tokens"))
+      val stored = materialize(s, seqs, "q_token_seqs", files = 4)
+      Dedup.tokenExactDedup(stored, "tokens", "id").select(col("id"))
+    }),
+    "q_token_neardups" -> ((s, dir) => {
+      // near-dup token sequences: 80 base sequences × 5 variants (shared
+      // ~100-token base + per-id tail) — gram sets materialized so the
+      // oracle recomputes ALL-PAIRS exact jaccard; prefix filtering is
+      // recall-1, so blocked == exact
+      val seqs = s.range(0, 400, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(80L)), 200, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id"), 16, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      val g = seqs.select(col("id"),
+        graft.functions.TextExprs.intGramSet(col("tokens"), 5).as("g"))
+      Dedup.jaccardPairsFromSets(
+        materialize(s, g, "q_token_gramsets"), threshold = 0.5)
+    }),
     "q_simhash_neardups" -> ((s, dir) => {
       // sketch materialized; bands = maxHamming+1 ⇒ recall 1 by pigeonhole,
       // so all-pairs hamming over the sketch is an exact oracle
@@ -590,6 +617,24 @@ object SparkEntry {
         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
         |)
         |SELECT id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
+
+    // exact token-sequence dedup survivors: group by the raw token LIST —
+    // independent of the engine's structural hash fingerprint
+    "q_token_dedup" ->
+      """SELECT min(id) AS id
+        |FROM read_parquet('/root/repo/target/graft_oracle/q_token_seqs/*.parquet')
+        |GROUP BY tokens""".stripMargin,
+
+    // all-pairs exact jaccard over the materialized token-gram sets: prefix
+    // filtering is recall-1, so the blocked join must equal the quadratic
+    // recomputation
+    "q_token_neardups" ->
+      """WITH g AS (SELECT id, g FROM read_parquet('/root/repo/target/graft_oracle/q_token_gramsets/*.parquet')),
+        |p AS (SELECT a.id AS id_a, b.id AS id_b,
+        |        CAST(len(list_intersect(a.g, b.g)) AS DOUBLE) /
+        |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
+        |      FROM g a JOIN g b ON a.id < b.id)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
 
     // all-pairs hamming over the materialized simhash sketch: the banding
     // guarantees recall 1 for hamming <= maxHamming (pigeonhole), so the

@@ -30,6 +30,8 @@ object TextExprs {
     column(JaccardWordGrams(expression(a), expression(b), k))
   def wordGramSet(text: Column, k: Int): Column =
     column(WordGramSet(expression(text), k))
+  def intGramSet(arr: Column, k: Int): Column =
+    column(IntGramSet(expression(arr), k))
   def shingleSet(text: Column, k: Int): Column =
     column(ShingleSet(expression(text), k))
   def sortedArrayJaccard(a: Column, b: Column): Column =
@@ -223,6 +225,45 @@ case class WordGramSet(child: Expression, k: Int)
     val g = TextExprs.wordGrams(s.asInstanceOf[UTF8String].getBytes, k)
     val n = TextExprs.sortDistinct(g)
     new GenericArrayData(java.util.Arrays.copyOf(g, n))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Sorted-distinct hash set of k-grams of an INT array — the token-sequence
+  * analogue of `WordGramSet` for dedup over pre-tokenized training data
+  * (BASELINE.json input shape `tokens:array<int32>`): per-token splitmix
+  * hash, polynomial combine over k consecutive tokens. Arrays shorter than
+  * k collapse to one whole-array hash (same convention as word grams).
+  */
+case class IntGramSet(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
+    val n = arr.length
+    val g =
+      if (n <= k) {
+        var h = 0xCBF29CE484222325L
+        var i = 0
+        while (i < n) { h = TextExprs.mix(h ^ TextExprs.mix(arr(i) * 0x9E3779B97F4A7C15L + 1)); i += 1 }
+        Array(h)
+      } else {
+        val hs = new Array[Long](n)
+        var i = 0
+        while (i < n) { hs(i) = TextExprs.mix(arr(i) * 0x9E3779B97F4A7C15L + 1); i += 1 }
+        val out = new Array[Long](n - k + 1)
+        var j = 0
+        while (j <= n - k) {
+          var h = 0xCBF29CE484222325L
+          var t = 0
+          while (t < k) { h = TextExprs.mix(h ^ hs(j + t)); t += 1 }
+          out(j) = h
+          j += 1
+        }
+        out
+      }
+    val w = TextExprs.sortDistinct(g)
+    new GenericArrayData(java.util.Arrays.copyOf(g, w))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

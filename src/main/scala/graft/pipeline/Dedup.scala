@@ -209,10 +209,19 @@ object Dedup {
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist()
-    var labels = edges.select(col("src").as("id"))
-      .distinct()
-      .withColumn("group_id", col("id"))
+    // seed: label(v) = min(v, min neighbor) — one groupBy, worth a whole
+    // propagation round vs seeding with label(v) = v
+    var labels = edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("group_id"))
       .localCheckpoint()
+    // convergence via the label-sum: min-propagation is MONOTONE (labels only
+    // ever decrease), so an unchanged sum ⟺ every label unchanged — one
+    // cheap aggregate per iteration instead of a join + filtered count.
+    // decimal(38,0) because a long sum over billions of 64-bit ids can
+    // overflow, which under ANSI mode would throw mid-job
+    def labelSum(df: DataFrame): java.math.BigDecimal =
+      df.agg(sum(col("group_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -222,13 +231,11 @@ object Dedup {
       val next = neighborLabels.union(labels)
         .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
         .localCheckpoint()
-      val changed = next
-        .join(labels.select(col("id"), col("group_id").as("prev")), Seq("id"))
-        .where(col("group_id") =!= col("prev"))
-        .count()
+      val nextSum = labelSum(next)
       labels.unpersist()
       labels = next
-      converged = changed == 0
+      converged = nextSum.compareTo(prevSum) == 0
+      prevSum = nextSum
       iter += 1
     }
     edges.unpersist()
@@ -283,26 +290,44 @@ object Dedup {
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
-    val pairs =
-      if (!exactBlocking) {
-        val blocks = g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
-        val a = blocks.select(col("blk"), col("id").as("id_a"))
-        val bb = blocks.select(col("blk"), col("id").as("id_b"))
-        a.join(bb, Seq("blk")).where(col("id_a") < col("id_b"))
-          .select(col("id_a"), col("id_b")).distinct()
-      } else {
-        val pfxLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1).cast("int")
-        val idx = g.select(col("id"), size(col("g")).as("sz"),
-          explode(slice(col("g"), lit(1), pfxLen)).as("tok"))
-        val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-        val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-        a.join(bb, Seq("tok"))
-          .where(col("id_a") < col("id_b") &&
-            col("sz_a") >= ceil(col("sz_b") * threshold) &&
-            col("sz_b") >= ceil(col("sz_a") * threshold))
-          .select(col("id_a"), col("id_b")).distinct()
-      }
-    val sets = g.select(col("id"), col("g"))
+    if (exactBlocking) jaccardPairsFromSets(g.select(col("id"), col("g")), threshold)
+    else {
+      val blocks = g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
+      val a = blocks.select(col("blk"), col("id").as("id_a"))
+      val bb = blocks.select(col("blk"), col("id").as("id_b"))
+      val pairs = a.join(bb, Seq("blk")).where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      verifySetPairs(pairs, g.select(col("id"), col("g")), threshold)
+    }
+  }
+
+  /** Prefix-filtered exact-Jaccard SELF-JOIN over any precomputed
+    * sorted-distinct hash-set column `(id, g)` — the engine underneath
+    * `ngramJaccardPairs` (word grams) and `tokenNgramNearDups` (token
+    * grams); callable directly on a materialized sketch table. Returns
+    * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold, with
+    * RECALL 1 (prefix-filter + size-bound pruning only discard pairs that
+    * provably cannot reach the threshold).
+    */
+  def jaccardPairsFromSets(g: DataFrame, threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    val pfxLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1).cast("int")
+    val idx = g.select(col("id"), size(col("g")).as("sz"),
+      explode(slice(col("g"), lit(1), pfxLen)).as("tok"))
+    val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    val pairs = a.join(bb, Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        col("sz_a") >= ceil(col("sz_b") * threshold) &&
+        col("sz_b") >= ceil(col("sz_a") * threshold))
+      .select(col("id_a"), col("id_b")).distinct()
+    verifySetPairs(pairs, g, threshold)
+  }
+
+  /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
+    * sorted-distinct set table (id, g). */
+  private def verifySetPairs(pairs: DataFrame, sets: DataFrame,
+                             threshold: Double): DataFrame =
     pairs
       .join(sets.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
       .join(sets.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
@@ -310,5 +335,29 @@ object Dedup {
         col("g_a"), col("g_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+
+  /** Exact duplicate TOKEN-SEQUENCE dedup — the north-rule payload
+    * (`tokens:array<int32>`) analogue of `exactDedup`: fingerprint =
+    * `xxhash64` over the array (codegen'd structural hash, no
+    * serialization), keep the min-id row per fingerprint. One shuffle on
+    * the 8-byte fingerprint; the token arrays never shuffle.
+    */
+  def tokenExactDedup(df: DataFrame, tokensCol: String, idCol: String): DataFrame = {
+    val fp = df.withColumn("__fp", xxhash64(col(tokensCol)))
+    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
+
+  /** NEAR-duplicate token sequences by k-token-gram Jaccard: `IntGramSet`
+    * sketch (sorted distinct gram hashes) + the prefix-filtered similarity
+    * join. Catches re-tokenized near-copies (insertions/suffix edits) that
+    * exact token dedup misses — the sequence-level counterpart of
+    * `ngramJaccardPairs`.
+    */
+  def tokenNgramNearDups(df: DataFrame, tokensCol: String, idCol: String,
+                         k: Int = 5, threshold: Double = 0.7): DataFrame =
+    jaccardPairsFromSets(
+      df.select(col(idCol).as("id"),
+        graft.functions.TextExprs.intGramSet(col(tokensCol), k).as("g")),
+      threshold)
 }

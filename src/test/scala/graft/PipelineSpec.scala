@@ -316,6 +316,61 @@ class PipelineSpec extends SparkSpec {
     assert(full.values.toSet == Set(0L) && full.size == 13)
   }
 
+  test("IntGramSet: window hashes, short-array fold, sorted distinct output") {
+    val df = Seq(
+      (1L, (1 to 100).toArray),                  // 96 5-gram windows
+      (2L, (1 to 100).toArray :+ 999),           // 97 windows, 96 shared with 1
+      (3L, Array(7, 8)),                         // shorter than k → 1 fold hash
+      (4L, Array(7, 8)),                         // identical → identical hash
+      (5L, Array(8, 7))                          // order matters → different hash
+    ).toDF("id", "tokens")
+    val g = df.select(col("id"), graft.functions.TextExprs.intGramSet(col("tokens"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(g(1L).length == 96 && g(2L).length == 97)
+    assert(g(1L) == g(1L).distinct.sorted)
+    assert(g(1L).intersect(g(2L)).length == 96)
+    assert(g(3L).length == 1 && g(3L) == g(4L) && g(3L) != g(5L))
+  }
+
+  test("tokenExactDedup keeps min-id per identical token array") {
+    val df = Seq(
+      (10L, Array(1, 2, 3)), (11L, Array(1, 2, 3)), (12L, Array(3, 2, 1)),
+      (13L, Array(1, 2, 3, 4))
+    ).toDF("id", "tokens")
+    val kept = Dedup.tokenExactDedup(df, "tokens", "id")
+      .select("id").as[Long].collect().toSet
+    assert(kept == Set(10L, 12L, 13L))
+  }
+
+  test("tokenNgramNearDups finds suffix-edited sequences; matches brute force") {
+    val base = (1 to 100).toArray
+    val df = Seq(
+      (0L, base), (1L, base :+ 999), (2L, (200 to 260).toArray)
+    ).toDF("id", "tokens")
+    val pairs = Dedup.tokenNgramNearDups(df, "tokens", "id", k = 5, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+    // 96 shared of 97 union → jaccard = 96/97
+    assert(pairs.toSeq == Seq((0L, 1L, math.round(96.0 / 97 * 10000) / 10000.0)))
+
+    // equivalence vs brute-force all-pairs on varied deterministic arrays
+    val rng = new scala.util.Random(7)
+    val varied = (0 until 40).map { i =>
+      val b = (0 until 30 + rng.nextInt(40)).map(j => (i % 8) * 1000 + j).toArray
+      (i.toLong, if (i % 2 == 0) b else b ++ Array.fill(rng.nextInt(6))(rng.nextInt(50000)))
+    }.toDF("id", "tokens")
+    val g = varied.select(col("id"), graft.functions.TextExprs.intGramSet(col("tokens"), 5).as("g"))
+    val fast = Dedup.tokenNgramNearDups(varied, "tokens", "id", k = 5, threshold = 0.4)
+      .as[(Long, Long, Double)].collect().toSet
+    val brute = g.select(col("id").as("id_a"), col("g").as("g_a"))
+      .crossJoin(g.select(col("id").as("id_b"), col("g").as("g_b")))
+      .where(col("id_a") < col("id_b"))
+      .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(col("g_a"), col("g_b")))
+      .where(col("jaccard") >= 0.4)
+      .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(fast == brute && brute.nonEmpty)
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)

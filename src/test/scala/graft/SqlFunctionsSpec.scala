@@ -30,7 +30,9 @@ class SqlFunctionsSpec extends SparkSpec {
         |       graft_jaccard_shingles('abcdefgh', 'abcdefgh', 5) AS j1,
         |       graft_sorted_jaccard(array(1L, 2L, 3L), array(2L, 3L, 4L)) AS j2,
         |       size(graft_gen_tokens(7L, 128, 1000)) AS nt,
-        |       graft_lsh_sign(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 4) AS sig
+        |       graft_lsh_sign(array(CAST(1.0 AS FLOAT), CAST(0.5 AS FLOAT)), 4) AS sig,
+        |       graft_sorted_jaccard(graft_int_gram_set(array(1, 2, 3, 4, 5, 6), 5),
+        |                            graft_int_gram_set(array(1, 2, 3, 4, 5, 6), 5)) AS jt
         |""".stripMargin).head()
     // same values as the expression API
     val api = Seq("the quick brown fox").toDF("t")
@@ -41,6 +43,7 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("j2") == 0.5)
     assert(r.getAs[Int]("nt") >= 1 && r.getAs[Int]("nt") <= 128)
     assert(r.getAs[Int]("sig") >= 0 && r.getAs[Int]("sig") < 16)
+    assert(r.getAs[Double]("jt") == 1.0)
   }
 
   test("non-literal int argument fails loudly") {
