@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.checks.TableChecks
-import graft.pipeline.{Ann, Dedup, TextFunctions}
+import graft.pipeline.{Ann, Dedup, Overlap, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -243,6 +243,50 @@ object SparkEntry {
       graft.checks.Drift.chi2Terms(
         TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
         TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
+    }),
+
+    // --- PSI drift terms: same parity split, population-stability metric ---
+    "q_drift_psi" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      graft.checks.Drift.psiTerms(
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
+    }),
+
+    // --- boilerplate token-gram detection over generated sequences ---
+    "q_boilerplate_grams" -> ((s, dir) => {
+      // 10 template prefixes shared by 30 docs each + unique tails; the
+      // OUTPUT carries no gram hashes (df histogram only), so DuckDB
+      // recomputes grams as raw token-list slices — gram hashing, per-doc
+      // distinctness, and the df aggregation are all checked end-to-end
+      val seqs = s.range(0, 300, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(10L)), 40, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id") + 5000, 120, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      val stored = materialize(s, seqs, "q_boiler_seqs", files = 4)
+      Overlap.boilerplateGrams(stored, "tokens", "id", k = 5, minDf = 2)
+        .groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
+    }),
+
+    // --- train/test contamination: shared-gram counts vs an eval set ---
+    "q_contamination" -> ((s, dir) => {
+      val V = graft.gen.SequenceGen.Vocab
+      val train = materialize(s,
+        s.range(0, 400, 1, 8).select(col("id"),
+          graft.functions.GenExprs.genTokens(col("id"), 120, V).as("tokens")),
+        "q_contam_train", files = 4)
+      // eval doc j copies the first 60 tokens of train doc (j*17 % 400),
+      // then diverges — planted contamination with a known source
+      val test = materialize(s,
+        s.range(0, 20, 1, 2).select(col("id"),
+          concat(
+            slice(graft.functions.GenExprs.genTokens(
+              pmod(col("id") * 17, lit(400L)), 120, V), 1, 60),
+            graft.functions.GenExprs.genTokens(col("id") + 7777, 24, V)).as("tokens")),
+        "q_contam_test")
+      Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10)
     }),
 
     // --- time windows over events (streaming-shaped agg, batch oracle) ---
@@ -617,6 +661,52 @@ object SparkEntry {
         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
         |)
         |SELECT id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
+
+    // PSI terms with epsilon=0.5 pseudo-count smoothing per bucket
+    "q_drift_psi" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT bucket, n_obs, n_base,
+        |         (CAST(n_obs AS DOUBLE) + 0.5) /
+        |         (CAST(sum(n_obs) OVER () AS DOUBLE) + 0.5 * count(*) OVER ()) AS p_obs,
+        |         (CAST(n_base AS DOUBLE) + 0.5) /
+        |         (CAST(sum(n_base) OVER () AS DOUBLE) + 0.5 * count(*) OVER ()) AS p_base
+        |  FROM h)
+        |SELECT bucket, n_obs, n_base,
+        |       round((p_obs - p_base) * ln(p_obs / p_base), 6) AS psi_term
+        |FROM t""".stripMargin,
+
+    // grams recomputed as raw token-list slices (per-doc distinct, short
+    // arrays collapse to the whole list — IntGramSet's convention), df per
+    // gram, then the df histogram: hashing + aggregation checked end-to-end
+    "q_boilerplate_grams" ->
+      """WITH s AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_boiler_seqs/*.parquet')),
+        |g0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                              ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |       FROM s),
+        |g AS (SELECT DISTINCT id, gram FROM g0),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram HAVING count(*) >= 2)
+        |SELECT df, CAST(count(*) AS BIGINT) AS n_grams FROM d GROUP BY df""".stripMargin,
+
+    // shared distinct gram counts between every (train, eval) doc pair
+    "q_contamination" ->
+      """WITH tr AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_contam_train/*.parquet')),
+        |te AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_contam_test/*.parquet')),
+        |trg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM tr),
+        |trg AS (SELECT DISTINCT id, gram FROM trg0),
+        |teg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM te),
+        |teg AS (SELECT DISTINCT id, gram FROM teg0)
+        |SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM trg JOIN teg USING (gram)
+        |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
 
     // exact token-sequence dedup survivors: group by the raw token LIST —
     // independent of the engine's structural hash fingerprint

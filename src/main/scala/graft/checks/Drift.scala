@@ -129,4 +129,32 @@ object Drift {
           greatest(col("pe"), lit(1.0)), 6).as("chi2_term"))
     perBucket.unionAll(pooled)
   }
+
+  /** Distributed per-bucket Population Stability Index terms between two
+    * histograms (`(bucket, cnt)`): `psi_term = (p_obs - p_base) *
+    * ln(p_obs / p_base)`, where both rates are smoothed with `epsilon`
+    * pseudo-counts per bucket (the standard guard — an empty bucket on
+    * either side would otherwise send the term to ±∞). `sum(psi_term)` is
+    * the PSI statistic (common gates: 0.1 watch / 0.25 act). Same plan
+    * shape as `chi2Terms`: full-outer bucket align, totals + aligned-bucket
+    * count from ONE broadcast one-row aggregate, per-bucket math map-side.
+    */
+  def psiTerms(observed: DataFrame, baseline: DataFrame,
+               epsilon: Double = 0.5): DataFrame = {
+    val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
+    val b = baseline.select(col("bucket"), col("cnt").as("n_base"))
+    val j = o.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"))
+    val totals = j.agg(sum(col("n_obs")).as("tot_obs"),
+      sum(col("n_base")).as("tot_base"), count(lit(1)).as("n_buckets"))
+    val pObs = (col("n_obs").cast("double") + lit(epsilon)) /
+      (col("tot_obs").cast("double") + lit(epsilon) * col("n_buckets"))
+    val pBase = (col("n_base").cast("double") + lit(epsilon)) /
+      (col("tot_base").cast("double") + lit(epsilon) * col("n_buckets"))
+    j.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_obs"), col("n_base"),
+        round((pObs - pBase) * log(pObs / pBase), 6).as("psi_term"))
+  }
 }

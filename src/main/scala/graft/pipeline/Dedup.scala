@@ -211,9 +211,11 @@ object Dedup {
       .persist()
     // seed: label(v) = min(v, min neighbor) — one groupBy, worth a whole
     // propagation round vs seeding with label(v) = v
+    // lazy checkpoints: the labelSum action right after materializes the
+    // checkpoint and computes the sum in ONE job (eager would run two)
     var labels = edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("group_id"))
-      .localCheckpoint()
+      .localCheckpoint(eager = false)
     // convergence via the label-sum: min-propagation is MONOTONE (labels only
     // ever decrease), so an unchanged sum ⟺ every label unchanged — one
     // cheap aggregate per iteration instead of a join + filtered count.
@@ -230,7 +232,7 @@ object Dedup {
         .select(col("src").as("id"), col("group_id"))
       val next = neighborLabels.union(labels)
         .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
-        .localCheckpoint()
+        .localCheckpoint(eager = false)
       val nextSum = labelSum(next)
       labels.unpersist()
       labels = next

@@ -1,0 +1,64 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Cross-document token-gram overlap operators for training-data hygiene:
+  * boilerplate detection (grams repeated across many documents) and
+  * train/test contamination checks (training sequences sharing long spans
+  * with an evaluation set). Both run on the north-rule payload
+  * (`tokens:array<int32>`) via `IntGramSet` — per-doc DISTINCT gram hashes,
+  * so a gram repeated inside one document counts that document once.
+  *
+  * Scale shape: the exploded gram index is (gram:int64, id) = 16 bytes/row,
+  * ~|tokens| rows per doc; aggregation is two-stage (map-side combine), and
+  * the contamination join BROADCASTS the evaluation-set index — eval sets
+  * are thousands of docs against a 10^12-sequence train table, so the train
+  * grams never shuffle at all.
+  */
+object Overlap {
+
+  private def gramIndex(df: DataFrame, tokensCol: String, idCol: String,
+                        k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.TextExprs.intGramSet(col(tokensCol), k)).as("gram"))
+
+  /** Document frequency of token k-grams: (gram, df) for grams appearing in
+    * at least `minDf` distinct documents — boilerplate / template spans.
+    * Per-doc gram sets are distinct, so `count(1)` after the gram shuffle IS
+    * the document frequency (no count-distinct pass needed).
+    */
+  def boilerplateGrams(df: DataFrame, tokensCol: String, idCol: String,
+                       k: Int, minDf: Long): DataFrame =
+    gramIndex(df, tokensCol, idCol, k)
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .where(col("df") >= minDf)
+
+  /** Train/test contamination: training documents sharing at least
+    * `minShared` distinct k-grams with a single evaluation document.
+    * Returns (train_id, test_id, n_shared).
+    *
+    * The eval gram index is broadcast — the 100 TB side is touched in ONE
+    * narrow pass (gram projection + broadcast hash join + partial count).
+    * Boilerplate grams shared by everything inflate the join output: pass
+    * `stopGramMaxDf` to drop eval grams that occur in more than that many
+    * EVAL documents first (self-contained stop-gram list; `minShared` then
+    * gates on the remaining informative grams).
+    */
+  def contamination(train: DataFrame, test: DataFrame, tokensCol: String,
+                    idCol: String, k: Int, minShared: Long,
+                    stopGramMaxDf: Option[Long] = None): DataFrame = {
+    val testIdx0 = gramIndex(test, tokensCol, idCol, k)
+    val testIdx = stopGramMaxDf.fold(testIdx0) { cap =>
+      val stop = testIdx0.groupBy(col("gram"))
+        .agg(count(lit(1)).as("tdf")).where(col("tdf") > cap)
+        .select(col("gram"))
+      testIdx0.join(broadcast(stop), Seq("gram"), "left_anti")
+    }
+    gramIndex(train, tokensCol, idCol, k)
+      .join(broadcast(testIdx.withColumnRenamed("id", "test_id")), Seq("gram"))
+      .groupBy(col("id").as("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+}

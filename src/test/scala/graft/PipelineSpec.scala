@@ -371,6 +371,42 @@ class PipelineSpec extends SparkSpec {
     assert(fast == brute && brute.nonEmpty)
   }
 
+  test("boilerplateGrams counts document frequency, not in-doc repeats") {
+    val df = Seq(
+      (0L, Array(1, 2, 3, 4, 5, 9, 1, 2, 3, 4, 5)), // template 1..5 twice IN one doc
+      (1L, Array(1, 2, 3, 4, 5, 77)),
+      (2L, Array(1, 2, 3, 4, 5)),                   // len == k → whole-array gram == window gram
+      (3L, Array(60, 61, 62, 63, 64, 65))
+    ).toDF("id", "tokens")
+    val bp = pipeline.Overlap.boilerplateGrams(df, "tokens", "id", k = 5, minDf = 2)
+      .as[(Long, Long)].collect().toMap
+    // the 1..5 gram appears in docs 0,1,2 → df=3 exactly (doc 0 counts once)
+    val g15 = df.where(col("id") === 2L)
+      .select(graft.functions.TextExprs.intGramSet(col("tokens"), 5)(0)).head().getLong(0)
+    assert(bp(g15) == 3L)
+    assert(bp.values.forall(_ >= 2L))
+  }
+
+  test("contamination finds planted train/test overlap; stop-grams drop ubiquitous spans") {
+    val train = Seq(
+      (0L, (1 to 50).toArray), (1L, (100 to 150).toArray), (2L, (200 to 250).toArray)
+    ).toDF("id", "tokens")
+    val test = Seq(
+      (10L, (1 to 30).toArray ++ Array(9999, 9998, 9997, 9996, 9995)), // 26 grams from train 0
+      (11L, (500 to 540).toArray)                                      // clean
+    ).toDF("id", "tokens")
+    val hits = pipeline.Overlap.contamination(train, test, "tokens", "id",
+      k = 5, minShared = 10).as[(Long, Long, Long)].collect()
+    assert(hits.toSeq == Seq((0L, 10L, 26L))) // windows 1..26 of 1..30
+    // a gram in EVERY eval doc is dropped by the stop-gram cap
+    val test2 = Seq(
+      (10L, (1 to 30).toArray), (11L, (1 to 30).toArray), (12L, (1 to 30).toArray))
+      .toDF("id", "tokens")
+    val capped = pipeline.Overlap.contamination(train, test2, "tokens", "id",
+      k = 5, minShared = 1, stopGramMaxDf = Some(2L)).count()
+    assert(capped == 0L) // every shared gram occurs in 3 eval docs > cap 2
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)

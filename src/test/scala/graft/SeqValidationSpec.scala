@@ -148,6 +148,26 @@ class SeqValidationSpec extends SparkSpec {
     assert(!report.chi2Pass)
   }
 
+  test("drift: psiTerms matches a closed-form hand computation; no window in the plan") {
+    // two 2-bucket histograms, eps=0.5: p computed over (tot + 0.5*B)
+    val obsH = Seq((0, 90L), (1, 10L)).toDF("bucket", "cnt")
+    val baseH = Seq((0, 50L), (1, 50L)).toDF("bucket", "cnt")
+    val rows = Drift.psiTerms(obsH, baseH).collect()
+      .map(r => r.getInt(0) -> r.getAs[Double]("psi_term")).toMap
+    def term(o: Double, b: Double): Double = {
+      val po = (o + 0.5) / 101.0; val pb = (b + 0.5) / 101.0
+      math.round((po - pb) * math.log(po / pb) * 1e6) / 1e6
+    }
+    assert(rows(0) == term(90, 50) && rows(1) == term(10, 50))
+    // PSI is symmetric-positive: total must exceed the 0.25 action gate here
+    assert(rows.values.sum > 0.25)
+    // a bucket present only in the baseline still contributes (smoothed)
+    val withNew = Drift.psiTerms(obsH, baseH.union(Seq((2, 30L)).toDF("bucket", "cnt"))).collect()
+    assert(withNew.length == 3 && withNew.forall(!_.isNullAt(3)))
+    val plan = Drift.psiTerms(obsH, baseH).queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
+  }
+
   test("plan shape: chi2Terms has no unpartitioned window (broadcast totals instead)") {
     // an unbounded global window would funnel every row through ONE partition
     // if a caller passed an unaggregated frame — totals must come from a
