@@ -36,18 +36,25 @@ class Manifest(path: String) {
 
   /** Every completed split's recorded result (latest line wins per split) —
     * the full-job picture for verdict outputs, independent of which splits
-    * THIS run processed. Malformed (torn) lines are skipped.
+    * THIS run processed. Lines are parsed as JSON (field order / added
+    * fields don't matter — the manifest format may grow); malformed (torn)
+    * lines and non-`done` records are skipped.
     */
   def allResults(): Seq[SplitResult] =
     if (!Files.exists(file)) Nil
     else {
       import scala.jdk.CollectionConverters._
-      val re = ("\"split\":(\\d+),\"status\":\"done\",\"n_rows\":(\\d+)," +
-        "\"n_valid\":(\\d+),\"wall_ms\":(\\d+),\"lineage\":\"([^\"]*)\"").r
       Files.readAllLines(file).asScala.flatMap { line =>
-        re.findFirstMatchIn(line).map(m =>
-          SplitResult(m.group(1).toInt, "done", m.group(2).toLong,
-            m.group(3).toLong, m.group(4).toLong, m.group(5)))
+        try {
+          val n = Manifest.mapper.readTree(line)
+          if (n != null && n.path("status").asText("") == "done" &&
+            n.hasNonNull("split") && n.hasNonNull("n_rows") &&
+            n.hasNonNull("n_valid") && n.hasNonNull("wall_ms"))
+            Some(SplitResult(n.get("split").asInt, "done",
+              n.get("n_rows").asLong, n.get("n_valid").asLong,
+              n.get("wall_ms").asLong, n.path("lineage").asText("")))
+          else None
+        } catch { case _: Exception => None } // torn tail line
       }.groupBy(_.split).map(_._2.last).toSeq.sortBy(_.split)
     }
 
@@ -59,6 +66,9 @@ class Manifest(path: String) {
 }
 
 object Manifest {
+  /** Jackson ships with Spark; an ObjectMapper is thread-safe once built. */
+  private[checkpoint] val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
   /** Lineage is caller-supplied free text on a JSON line: a quote/backslash
     * would corrupt the manifest and silently disable resume. Public so
     * callers can compare recorded lineage against a current one.

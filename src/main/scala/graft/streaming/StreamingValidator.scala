@@ -94,4 +94,48 @@ object StreamingValidator {
           events.result().iterator
       }
   }
+
+  /** Streaming DISTRIBUTION-DRIFT alerts: per event-time window, histogram a
+    * numeric column with the exact `TableChecks.histogram` bucketing and
+    * score it against a driver-side BASELINE snapshot with the same
+    * epsilon-smoothed PSI math as `Drift.psiTerms`. Emits one row per
+    * finalized window: (window_start, window_end, n_rows, psi, pass).
+    *
+    * Plan shape: Spark allows ONE streaming aggregation, so the per-window
+    * histogram is built as a single wide aggregate (one conditional-sum
+    * column per bucket — `buckets` is small by construction) and the PSI
+    * reduction over it is a stateless literal-driven projection (the
+    * baseline rates are constants compiled into the plan, exactly like the
+    * broadcast side of the batch form). Append mode + watermark ⇒ a window
+    * emits once, when finalized; state is O(buckets) per open window.
+    */
+  def psiDriftAlerts(df: DataFrame, c: String, lo: Double, hi: Double,
+                     buckets: Int, tsCol: String, watermarkDelay: String,
+                     windowLen: String, baseline: Map[Int, Long],
+                     psiGate: Double = 0.25,
+                     epsilon: Double = 0.5): DataFrame = {
+    require(buckets > 0 && baseline.values.sum > 0, "need a non-empty baseline")
+    val w = (hi - lo) / buckets
+    val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
+      lit(buckets - 1)).cast("int")
+    val counts = (0 until buckets).map(i =>
+      sum(when(b === i, 1L).otherwise(0L)).as(s"__c$i"))
+    val hist = df.where(col(c).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counts.head, counts.tail: _*)
+    val totBase = baseline.values.sum.toDouble
+    val nObs = (0 until buckets).map(i => col(s"__c$i")).reduce(_ + _)
+    val psi = (0 until buckets).map { i =>
+      val pObs = (col(s"__c$i").cast("double") + lit(epsilon)) /
+        (nObs.cast("double") + lit(epsilon * buckets))
+      val pBase = lit((baseline.getOrElse(i, 0L) + epsilon) /
+        (totBase + epsilon * buckets))
+      (pObs - pBase) * log(pObs / pBase)
+    }.reduce(_ + _)
+    hist.select(col("window.start").as("window_start"),
+      col("window.end").as("window_end"),
+      nObs.as("n_rows"), round(psi, 6).as("psi"),
+      (psi <= psiGate).as("pass"))
+  }
 }

@@ -96,6 +96,25 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(new Manifest(s"$dir/m.jsonl").allResults().map(_.nRows).sum == 3)
   }
 
+  test("manifest parses real JSON: reordered fields, extra fields, torn lines, latest-wins") {
+    val dir = java.nio.file.Files.createTempDirectory("graft-mf").toString
+    val p = java.nio.file.Paths.get(s"$dir/m.jsonl")
+    java.nio.file.Files.writeString(p, Seq(
+      """{"split":0,"status":"done","n_rows":10,"n_valid":9,"wall_ms":5,"lineage":"a"}""",
+      // field order differs + an extra field: a grown writer format must still parse
+      """{"status":"done","extra":true,"n_valid":3,"n_rows":4,"wall_ms":7,"split":1,"lineage":"a"}""",
+      // stale record for split 0 superseded above? no — LATER line wins:
+      """{"split":0,"status":"done","n_rows":20,"n_valid":20,"wall_ms":9,"lineage":"b"}""",
+      """{"split":2,"status":"failed","n_rows":0,"n_valid":0,"wall_ms":1,"lineage":"a"}""",
+      """{"split":3,"status":"done","n_rows":1,"n_""" // torn tail
+    ).mkString("\n"))
+    val rs = new Manifest(p.toString).allResults()
+    assert(rs.map(_.split) == Seq(0, 1))
+    assert(rs.find(_.split == 0).get.nRows == 20L) // latest line wins
+    assert(rs.find(_.split == 0).get.lineage == "b")
+    assert(rs.find(_.split == 1).get.nRows == 4L)  // reordered fields parsed
+  }
+
   test("splits are stable across partitioning (lineage-safe resume)") {
     // exercise the REAL resume path: complete a run on 2-partition input,
     // then re-run the SAME manifest against a 16-partition layout of the
@@ -293,6 +312,46 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 3L), (1L, 3L)))
     assert(verified.toSet == batchPairs,
       s"streaming end-to-end ${verified.toSet} != batch $batchPairs")
+  }
+
+  test("streaming PSI drift alerts: in-distribution window passes, shifted window fails") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(Double, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("value", "ts")
+    val baseline = Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L)
+    val alerts = graft.streaming.StreamingValidator.psiDriftAlerts(
+      df, "value", lo = 0, hi = 4, buckets = 4, tsCol = "ts",
+      watermarkDelay = "1 minute", windowLen = "5 minutes", baseline)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("drift").start()
+    // window 10:00: uniform over the 4 buckets (matches baseline exactly)
+    (0 until 4).foreach(b => mem.addData((b + 0.5, ts("10:00:10")), (b + 0.5, ts("10:04:50"))))
+    // window 10:10: everything in bucket 0 (shifted distribution)
+    (1 to 8).foreach(i => mem.addData((0.5, ts(f"10:10:${i}%02d"))))
+    q.processAllAvailable()
+    // advance the watermark past both windows so they finalize
+    mem.addData((1.5, ts("10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("drift")
+      .select("window_start", "n_rows", "psi", "pass").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // uniform window: pObs_i = 2.5/10 = pBase_i = 10.5/42 = 0.25 → PSI exactly 0
+    assert(rows(ts("10:00:00")) == ((8L, 0.0, true)))
+    // shifted window: closed-form PSI with the same eps-smoothed formula
+    val expected = {
+      val counts = Seq(8L, 0L, 0L, 0L)
+      val psi = counts.map { cnt =>
+        val pObs = (cnt + 0.5) / (8 + 0.5 * 4)
+        val pBase = (10 + 0.5) / (40 + 0.5 * 4)
+        (pObs - pBase) * math.log(pObs / pBase)
+      }.sum
+      math.round(psi * 1e6) / 1e6
+    }
+    val (n2, psi2, pass2) = rows(ts("10:10:00"))
+    assert(n2 == 8L && psi2 == expected && !pass2, s"got psi=$psi2 expected=$expected")
+    assert(psi2 > 0.25)
   }
 
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
