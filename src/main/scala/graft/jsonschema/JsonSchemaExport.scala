@@ -146,10 +146,14 @@ object JsonSchemaExport {
 
   def exportJ(rule: Rule, schemaId: String, useRefs: Boolean = false): JObj = {
     val ctx = new ExportCtx(useRefs)
-    // main schema: name/description become title/description; asReference
-    // is ignored at the main level (is_main_schema, :689)
+    // main schema: name/description become title/description. A main-level
+    // asReference schema ALSO collects its definition and renders as $ref —
+    // the reference applies as_reference at every level (:689-699), which is
+    // what makes a RECURSIVE self-referencing schema exportable
+    // (test_schema.py:1958-1992: title + $ref at the top, one definition).
     val (body, title, desc) = rule match {
-      case NamedRule(n, s, d, _) => (toJson(s, ctx), Some(n), d)
+      case nr @ NamedRule(n, _, _, true) => (toJson(nr, ctx), Some(n), None)
+      case NamedRule(n, s, d, false) => (toJson(s, ctx), Some(n), d)
       case r => (toJson(r, ctx), None, None)
     }
     val headed =
@@ -297,6 +301,10 @@ object JsonSchemaExport {
       }
 
     case WithErrorRule(s, _) => toJson(s, c)
+
+    // deferred self-reference: render the resolved rule — the asReference
+    // definition placeholder breaks the cycle (inner occurrence → $ref)
+    case lr: LazyRule => toJson(lr.resolved, c)
 
     // CALLABLE / VALIDATOR-without-handler → {} (:779-782)
     case _: Pred | _: PredP | _: UseCast | _: UseExpr | _: UseP | _: ConstRule =>

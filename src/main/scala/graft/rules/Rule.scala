@@ -513,6 +513,49 @@ final case class NamedRule(name: String, sub: Rule,
   override def acceptsNull: Boolean = sub.acceptsNull
 }
 
+/** Deferred rule reference — enables SELF-REFERENTIAL schemas, the Scala
+  * form of the reference's cyclic containers
+  * (test_schema.py:1958-1981: `children = []; person = Schema({...,
+  * Optional("children"): children}); children.append(person)`):
+  *
+  * {{{
+  * lazy val person: Rule = named("person", asRef = true)(
+  *   struct(opt("name", str), opt("children", seqOf(lazyRule(person)))))
+  * }}}
+  *
+  * Validation TERMINATES despite the cyclic rule because `compile` unrolls
+  * against the DATA schema, which is a finite tree: each recursion step
+  * descends into a child DataType, and where the data stops nesting the
+  * recursion stops (the reference gets the same effect from finite runtime
+  * values). The json_schema export terminates through the `asReference`
+  * definition placeholder — the inner occurrence renders as `$ref` while
+  * the definition is still being built (the reference's
+  * allow_reference=False guard, schema/__init__.py:689-699).
+  *
+  * Rule-tree-only traversals that never touch data (`reprStr`,
+  * `transformFree`) WOULD loop on a cycle, so they carry a re-entrancy
+  * guard: repr renders Python's cyclic-container `...`, transformFree
+  * answers `true` on re-entry (the cycle contributes no transform of its
+  * own; any real Use inside the body still forces false at the outer call).
+  */
+final class LazyRule(thunk: () => Rule) extends Rule {
+  lazy val resolved: Rule = thunk()
+  private val visiting = ThreadLocal.withInitial[java.lang.Boolean](() => false)
+  private def guarded[A](onCycle: A)(f: => A): A =
+    if (visiting.get) onCycle
+    else { visiting.set(true); try f finally visiting.set(false) }
+  def reprStr: String = guarded("...")(resolved.reprStr)
+  override def transformFree: Boolean = guarded(true)(resolved.transformFree)
+  def compile(in: Column, dtype: DataType, ctx: Ctx): Compiled =
+    resolved.compile(in, dtype, ctx)
+  override def compileValue(in: Column, dtype: DataType, ctx: Ctx): (Column, DataType) =
+    resolved.compileValue(in, dtype, ctx)
+  override def validCol(in: Column, dtype: DataType, ctx: Ctx): Column =
+    resolved.validCol(in, dtype, ctx)
+  override def acceptsName(name: String): Boolean = guarded(false)(resolved.acceptsName(name))
+  override def acceptsNull: Boolean = guarded(false)(resolved.acceptsNull)
+}
+
 /** `error=` channel (/root/reference/schema/__init__.py:507,524,544,567…):
   * on failure, prepend the `{}`-formatted template to the user-errors list;
   * user errors win over autos in `code` (Err.code).

@@ -162,6 +162,11 @@ object dsl {
 
   /** `Schema(..., name=..., description=..., as_reference=True)` — metadata
     * for the json_schema export ($ref/definitions). */
+  /** Deferred reference for SELF-REFERENTIAL schemas (see `LazyRule`):
+    * `lazy val person: Rule = asRef("person", schema(..., opt("children",
+    * arrayOf(lazyRule(person)))))`.
+    */
+  def lazyRule(r: => Rule): Rule = new LazyRule(() => r)
   def asRef(name: String, r: Rule, description: Option[String] = None): Rule =
     NamedRule(name, r, description, asReference = true)
   def described(name: String, description: String, r: Rule): Rule =

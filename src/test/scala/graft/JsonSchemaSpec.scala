@@ -114,6 +114,19 @@ class JsonSchemaSpec extends AnyFunSuite {
     assert("\"Shared\": \\{\"title\"".r.findAllIn(out).size == 1)
   }
 
+  test("ecma-compliant regex: named groups stripped, slashes escaped (test_schema.py:1112-1123)") {
+    val out = export(schema(opt("username", regex("^(?P<name>[a-zA-Z_][a-zA-Z0-9_]*)/$"))), "my-id")
+    assert(out == s"""{"type": "object", "properties": {"username": {"type": "string", "pattern": "^([a-zA-Z_][a-zA-Z0-9_]*)\\\\/$$"}}, "required": [], "additionalProperties": false, $tail}""")
+  }
+
+  test("recursive self-referencing schema exports via $ref (test_schema.py:1958-1992)") {
+    lazy val person: graft.rules.Rule = asRef("person",
+      schema(opt("name", str), opt("children", arrayOf(lazyRule(person)))))
+    val out = export(person, "my-id")
+    assert(out ==
+      s"""{"title": "person", "$$ref": "#/definitions/person", "definitions": {"person": {"title": "person", "type": "object", "properties": {"name": {"type": "string"}, "children": {"type": "array", "items": {"$$ref": "#/definitions/person"}}}, "required": [], "additionalProperties": false}}, $tail}""")
+  }
+
   // --- use_refs hash-consing (test_schema.py:1681-1703, structural) ---
   test("use_refs: repeated sub-schemas collapse to $id/$ref") {
     val r = schema(req("test1", str), req("test2", str), req("test3", str))

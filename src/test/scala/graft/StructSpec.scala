@@ -282,4 +282,27 @@ class StructSpec extends SparkSpec {
     assert(verd.forall(_.getAs[Boolean]("pass")))
     assert(verd.map(_.getAs[Long]("n_rows")).sum == 100)
   }
+
+  test("recursive rule unrolls to the data schema depth (test_schema.py:1958 shape)") {
+    lazy val person: Rule = asRef("person",
+      schema(opt("name", str), opt("children", arrayOf(lazyRule(person)))))
+    // depth-2 data: struct<name, children: array<struct<name>>>
+    val good = spark.range(2).select(
+      when(col("id") === 0, "alice").otherwise("dave").as("name"),
+      when(col("id") === 0,
+        array(struct(lit("bob").as("name")), struct(lit("carol").as("name"))))
+        .otherwise(array().cast("array<struct<name:string>>")).as("children"))
+    val rowCol = struct(good.columns.map(col).toIndexedSeq: _*)
+    val ok = good.select(person.validCol(rowCol, good.schema, Ctx()).as("v"))
+      .collect().map(_.getBoolean(0))
+    assert(ok.toSeq == Seq(true, true))
+    // depth-2 type violation: child name is an INT struct field
+    val bad = spark.range(1).select(lit("alice").as("name"),
+      array(struct(lit(7).as("name"))).as("children"))
+    val badRow = struct(bad.columns.map(col).toIndexedSeq: _*)
+    assert(!bad.select(person.validCol(badRow, bad.schema, Ctx()).as("v")).head().getBoolean(0))
+    // rule-tree-only traversals terminate on the cycle
+    assert(person.reprStr.nonEmpty)
+    assert(person.transformFree || !person.transformFree) // evaluates, no overflow
+  }
 }
