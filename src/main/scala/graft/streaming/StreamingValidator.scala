@@ -115,6 +115,9 @@ object StreamingValidator {
                      psiGate: Double = 0.25,
                      epsilon: Double = 0.5): DataFrame = {
     require(buckets > 0 && baseline.values.sum > 0, "need a non-empty baseline")
+    // one conditional-sum column per bucket: fine for histogram-scale bucket
+    // counts, degenerate for thousands (the plan grows linearly) — fail loud
+    require(buckets <= 1024, s"buckets=$buckets: use <= 1024 histogram buckets")
     val w = (hi - lo) / buckets
     val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
       lit(buckets - 1)).cast("int")

@@ -407,6 +407,25 @@ class PipelineSpec extends SparkSpec {
     assert(capped == 0L) // every shared gram occurs in 3 eval docs > cap 2
   }
 
+  test("plan shapes: contamination broadcasts the eval index; prefix join has no cartesian") {
+    val train = Seq((0L, (1 to 50).toArray)).toDF("id", "tokens")
+    val test0 = Seq((10L, (1 to 30).toArray)).toDF("id", "tokens")
+    val contamPlan = pipeline.Overlap.contamination(train, test0, "tokens", "id",
+      k = 5, minShared = 10).queryExecution.executedPlan.toString
+    // the 100 TB train side must meet the eval index in a broadcast hash
+    // join — a sort-merge here would shuffle the whole train gram index
+    assert(contamPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$contamPlan")
+    assert(!contamPlan.contains("SortMergeJoin"), s"unexpected SMJ in:\n$contamPlan")
+
+    val g = Seq((0L, (1 to 50).toArray)).toDF("id", "tokens")
+      .select(col("id"), graft.functions.TextExprs.intGramSet(col("tokens"), 5).as("g"))
+    val prefixPlan = Dedup.jaccardPairsFromSets(g, 0.5)
+      .queryExecution.executedPlan.toString
+    // the candidate join keys on the exploded gram hash — never a cartesian
+    assert(!prefixPlan.contains("Cartesian") && !prefixPlan.contains("BroadcastNestedLoop"),
+      s"unkeyed join in:\n$prefixPlan")
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
