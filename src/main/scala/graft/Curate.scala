@@ -1,0 +1,133 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, Overlap, TextFunctions}
+
+/** End-to-end training-data CURATION pipeline — the composition a corpus
+  * team actually runs, wired from the engine's own operators:
+  *
+  *   validate → annotate (lang / quality / token counts) → exact dedup →
+  *   near-dup pairs → transitive groups → survivors →
+  *   [optional decontamination vs an eval set] → clean output + stage stats
+  *
+  *   spark-submit --class graft.Curate schemaspark.jar \
+  *     --input <parquet of (doc_id, text, lang?, source?, ...)> \
+  *     --output <dir> [--eval <parquet of (doc_id, text)>] \
+  *     [--minhash-threshold 0.8] [--min-quality 0.0] [--contam-grams 13]
+  *
+  * Output layout: `clean/` (surviving annotated rows), `violations/`,
+  * `dup_groups/` (id → group), `contaminated/` (train_id, test_id,
+  * n_shared — when --eval given), `stats.json` (one line per stage:
+  * rows in/out, so the funnel is auditable).
+  *
+  * Scale shape: each stage is one of the already-audited operators (scan
+  * fusion for validation, fingerprint-shuffle exact dedup, banded LSH
+  * candidates, short-key group propagation, broadcast eval index); the
+  * pipeline adds NO new shuffle beyond its stages, and stats come from the
+  * stage outputs (counted once, after persist) rather than extra scans.
+  */
+object Curate {
+
+  final case class StageStats(stage: String, rowsIn: Long, rowsOut: Long)
+
+  final case class Result(clean: DataFrame, violations: DataFrame,
+                          groups: DataFrame, contaminated: Option[DataFrame],
+                          stats: Seq[StageStats])
+
+  /** The default text-corpus rule: required id, non-empty text with a sane
+    * length bound — and every OTHER column declared `opt(_, anything)` so
+    * arbitrary corpus schemas pass through with their columns intact
+    * (struct rules are strict about undeclared keys, and `ignore_extra`
+    * would PRUNE the extras from the validated projection). Callers with
+    * schema knowledge pass their own rule.
+    */
+  def defaultRule(docs: DataFrame, idCol: String, textCol: String): rules.StructRule = {
+    import rules.dsl._
+    val extras = docs.columns.filterNot(c => c == idCol || c == textCol)
+      .map(c => opt(c, anything)).toSeq
+    rules.StructRule(fields = Seq(
+      req(idCol, anything),
+      req(textCol, and(str, nonEmptyStr,
+        pred("len_le_1m")(t => length(t) <= 1000000)))) ++ extras)
+  }
+
+  def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
+          rule: Option[rules.StructRule] = None,
+          eval: Option[DataFrame] = None,
+          minhashThreshold: Double = 0.8,
+          contamGrams: Int = 13, contamMinShared: Long = 1L): Result = {
+    val stats = Seq.newBuilder[StageStats]
+    val n0 = docs.count()
+
+    // 1. validate (rule compiled into the scan; violations carry messages)
+    val res = rules.Validator.run(docs,
+      rule.getOrElse(defaultRule(docs, idCol, textCol)))
+    val valid = res.validated.persist()
+    val nValid = valid.count()
+    stats += StageStats("validate", n0, nValid)
+
+    // 2. annotate: language, quality, token counts — pure codegen columns
+    val annotated = valid
+      .withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
+      .withColumn("quality", pipeline.TextFunctions.qualityScore(col(textCol)))
+      .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
+
+    // 3. exact dedup on the normalized-text fingerprint
+    val exact = Dedup.exactDedup(annotated, textCol, idCol).persist()
+    val nExact = exact.count()
+    stats += StageStats("exact_dedup", nValid, nExact)
+
+    // 4. near-dup pairs → transitive groups → survivors
+    val pairs = Dedup.minhashNearDups(exact, textCol, idCol,
+      threshold = minhashThreshold).select(col("id_a"), col("id_b"))
+    val groups = Dedup.dupGroups(pairs).persist()
+    val survivors = Dedup.nearDupSurvivors(exact, idCol, groups).persist()
+    val nSurv = survivors.count()
+    stats += StageStats("near_dedup", nExact, nSurv)
+
+    // 5. optional decontamination against the eval set
+    val (clean, contaminated) = eval match {
+      case Some(ev) =>
+        val contam = Overlap.textContamination(
+          survivors, ev, textCol, idCol, contamGrams, contamMinShared).persist()
+        val dec = Overlap.decontaminate(survivors, idCol, contam)
+        val nDec = dec.count()
+        stats += StageStats("decontaminate", nSurv, nDec)
+        (dec, Some(contam))
+      case None => (survivors, None)
+    }
+    Result(clean, res.violations, groups, contaminated, stats.result())
+  }
+
+  def main(args: Array[String]): Unit = {
+    val opts = args.sliding(2, 2).collect {
+      case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
+    }.toMap
+    val input = opts.getOrElse("input", sys.error("--input <path> required"))
+    val output = opts.getOrElse("output", input.stripSuffix("/") + "_curated")
+    val spark = SparkSession.builder()
+      .appName("graft-curate")
+      .config("spark.sql.session.timeZone", "UTC")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val docs = spark.read.parquet(input)
+    val eval = opts.get("eval").map(spark.read.parquet(_))
+    val r = run(spark, docs, "doc_id", "text", eval = eval,
+      minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
+      contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+
+    r.clean.write.mode("overwrite").parquet(s"$output/clean")
+    r.violations.write.mode("overwrite").parquet(s"$output/violations")
+    r.groups.write.mode("overwrite").parquet(s"$output/dup_groups")
+    r.contaminated.foreach(_.write.mode("overwrite").parquet(s"$output/contaminated"))
+    val statsJson = r.stats.map(s =>
+      s"""{"stage":"${s.stage}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut}}""")
+      .mkString("\n")
+    java.nio.file.Files.writeString(
+      java.nio.file.Paths.get(s"$output/stats.json"), statsJson + "\n")
+    println(statsJson)
+    spark.stop()
+  }
+}

@@ -221,8 +221,13 @@ object Dedup {
     // cheap aggregate per iteration instead of a join + filtered count.
     // decimal(38,0) because a long sum over billions of 64-bit ids can
     // overflow, which under ANSI mode would throw mid-job
-    def labelSum(df: DataFrame): java.math.BigDecimal =
-      df.agg(sum(col("group_id").cast("decimal(38,0)"))).head().getDecimal(0)
+    // sum over an EMPTY frame is NULL (no pairs at all — e.g. a clean
+    // corpus or a high threshold): coalesce to zero so the empty graph
+    // converges on the first iteration instead of NPE-ing
+    def labelSum(df: DataFrame): java.math.BigDecimal = {
+      val d = df.agg(sum(col("group_id").cast("decimal(38,0)"))).head().getDecimal(0)
+      if (d == null) java.math.BigDecimal.ZERO else d
+    }
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false

@@ -23,6 +23,12 @@ object Overlap {
     df.select(col(idCol).as("id"),
       explode(graft.functions.TextExprs.intGramSet(col(tokensCol), k)).as("gram"))
 
+  private def textGramIndex(df: DataFrame, textCol: String, idCol: String,
+                            k: Int): DataFrame =
+    df.select(col(idCol).as("id"),
+      explode(graft.functions.TextExprs.wordGramSet(
+        TextFunctions.normalize(col(textCol)), k)).as("gram"))
+
   /** Document frequency of token k-grams: (gram, df) for grams appearing in
     * at least `minDf` distinct documents — boilerplate / template spans.
     * Per-doc gram sets are distinct, so `count(1)` after the gram shuffle IS
@@ -61,4 +67,30 @@ object Overlap {
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
+
+  /** `contamination` over raw TEXT (normalized word k-grams instead of token
+    * k-grams) — for corpora that haven't been tokenized yet. Same broadcast
+    * shape.
+    */
+  def textContamination(train: DataFrame, test: DataFrame, textCol: String,
+                        idCol: String, k: Int, minShared: Long): DataFrame =
+    textGramIndex(train, textCol, idCol, k)
+      .join(broadcast(
+        textGramIndex(test, textCol, idCol, k).withColumnRenamed("id", "test_id")),
+        Seq("gram"))
+      .groupBy(col("id").as("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .where(col("n_shared") >= minShared)
+
+  /** Decontamination filter: drop every training row flagged by a
+    * contamination check. `contaminated` is the (train_id, test_id,
+    * n_shared) output of `contamination`/`textContamination`; the distinct
+    * flagged-id set is a left-anti join (broadcast-able — the flagged set
+    * is small when the corpus is clean).
+    */
+  def decontaminate(train: DataFrame, idCol: String,
+                    contaminated: DataFrame): DataFrame =
+    train.join(
+      contaminated.select(col("train_id").as(idCol)).distinct(),
+      Seq(idCol), "left_anti")
 }

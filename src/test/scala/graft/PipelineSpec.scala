@@ -281,6 +281,13 @@ class PipelineSpec extends SparkSpec {
     assert(cellCount == 6, "hash sample must cover all strata of a cluster-sorted table")
   }
 
+  test("dupGroups on an EMPTY pair list: no groups, no crash (clean corpus)") {
+    val empty = Seq.empty[(Long, Long)].toDF("id_a", "id_b")
+    assert(Dedup.dupGroups(empty).count() == 0L)
+    val clean = Dedup.nearDupSurvivors(docs, "doc_id", Dedup.dupGroups(empty))
+    assert(clean.count() == docs.count())
+  }
+
   test("dupGroups: transitive chains collapse, separate components stay apart") {
     // component {1,2,3,9} via chain 9-1, 1-2, 2-3; component {5,7}; pair dup 4-6
     val pairs = Seq((1L, 2L), (2L, 3L), (9L, 1L), (5L, 7L), (6L, 4L))
@@ -424,6 +431,29 @@ class PipelineSpec extends SparkSpec {
     // the candidate join keys on the exploded gram hash — never a cartesian
     assert(!prefixPlan.contains("Cartesian") && !prefixPlan.contains("BroadcastNestedLoop"),
       s"unkeyed join in:\n$prefixPlan")
+  }
+
+  test("Curate.run: the full funnel — validate, dedup, groups, decontaminate") {
+    // 6 fixture docs + one invalid (empty text). Expected funnel:
+    // validate 7→6; exact dedup drops 3 (dup of 0) and 5 (fingerprint-equal
+    // to 4) → 4; near-dup groups {0,1} keep 0 → 3; eval set copies doc 2's
+    // text → decontaminate → {0, 4}
+    val input = docs.union(Seq((6L, "")).toDF("doc_id", "text"))
+    val eval = Seq((100L,
+      "completely different content about spark catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text",
+      eval = Some(eval), minhashThreshold = 0.5,
+      contamGrams = 3, contamMinShared = 1L)
+    assert(r.stats.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("validate", 7L, 6L), ("exact_dedup", 6L, 4L),
+      ("near_dedup", 4L, 3L), ("decontaminate", 3L, 2L)))
+    assert(r.clean.select("doc_id").as[Long].collect().toSet == Set(0L, 4L))
+    assert(r.clean.columns.contains("lang_id") && r.clean.columns.contains("quality"))
+    assert(r.violations.count() == 1)
+    assert(r.groups.as[(Long, Long)].collect().toMap == Map(0L -> 0L, 1L -> 0L))
+    assert(r.contaminated.get.as[(Long, Long, Long)].collect().toSeq ==
+      Seq((2L, 100L, 6L))) // 6 shared word-3-grams of the 8-word text
   }
 
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
