@@ -33,7 +33,13 @@ object Curate {
 
   final case class Result(clean: DataFrame, violations: DataFrame,
                           groups: DataFrame, contaminated: Option[DataFrame],
-                          stats: Seq[StageStats])
+                          stats: Seq[StageStats],
+                          private val persisted: Seq[DataFrame]) {
+    /** Release the stage caches once the outputs are written — a long-lived
+      * session would otherwise hold every intermediate in executor memory.
+      */
+    def unpersist(): Unit = persisted.foreach(_.unpersist())
+  }
 
   /** The default text-corpus rule: required id, non-empty text with a sane
     * length bound — and every OTHER column declared `opt(_, anything)` so
@@ -72,6 +78,7 @@ object Curate {
       .withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
       .withColumn("quality", pipeline.TextFunctions.qualityScore(col(textCol)))
       .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
+      .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol)))
 
     // 3. exact dedup on the normalized-text fingerprint
     val exact = Dedup.exactDedup(annotated, textCol, idCol).persist()
@@ -97,7 +104,8 @@ object Curate {
         (dec, Some(contam))
       case None => (survivors, None)
     }
-    Result(clean, res.violations, groups, contaminated, stats.result())
+    Result(clean, res.violations, groups, contaminated, stats.result(),
+      persisted = Seq(valid, exact, groups, survivors) ++ contaminated)
   }
 
   def main(args: Array[String]): Unit = {
@@ -128,6 +136,7 @@ object Curate {
     java.nio.file.Files.writeString(
       java.nio.file.Paths.get(s"$output/stats.json"), statsJson + "\n")
     println(statsJson)
+    r.unpersist()
     spark.stop()
   }
 }

@@ -206,6 +206,12 @@ object SparkEntry {
     }),
 
     // --- quality scoring (single division + round for float safety) ---
+    "q_word_repetition" -> ((s, dir) => {
+      // duplicate word-2-gram fraction: gram hashing (WordGramSet) checked
+      // against DuckDB's literal string-pair distinct count
+      T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.wordRepetitionRatio(col("text")).as("rep_ratio"))
+    }),
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
       val nTok = TextFunctions.tokenCount(t)
@@ -552,6 +558,20 @@ object SparkEntry {
         |       CASE WHEN length(text) = 0 THEN 0
         |            ELSE length(text) - length(replace(text, ' ', '')) + 1 END AS n_tokens
         |FROM documents""".stripMargin,
+
+    // duplicate word-2-gram fraction over the normalized text; tokenCount
+    // counts RAW whitespace words == words of the collapsed text
+    "q_word_repetition" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n),
+        |g AS (SELECT doc_id, CASE WHEN t = '' THEN 0 ELSE len(ws) END AS ntok,
+        |         CASE WHEN len(ws) <= 2 THEN 1
+        |              ELSE len(list_distinct([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)])) END AS nd
+        |       FROM w JOIN n USING (doc_id))
+        |SELECT doc_id,
+        |       CASE WHEN ntok - 1 <= 0 THEN 0.0
+        |            ELSE round(1.0 - CAST(nd AS DOUBLE) / (ntok - 1), 4) END AS rep_ratio
+        |FROM g""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,

@@ -48,6 +48,22 @@ object TextFunctions {
       .when(text.rlike("(^| )(el|los|las|con)( |$)"), "es")
       .otherwise("und")
 
+  /** Word-repetition ratio (Gopher-style quality rule): the fraction of
+    * DUPLICATE word 2-grams in the normalized text —
+    * `1 - distinct_2grams / total_2grams`, 0 for texts under two words.
+    * Boilerplate loops and stuck-generation artifacts score high; normal
+    * prose sits near 0. Distinct count rides the codegen'd `WordGramSet`
+    * hash set; total = word count - 1 (whitespace words, like
+    * `tokenCount`).
+    */
+  def wordRepetitionRatio(text: Column): Column = {
+    val total = (tokenCount(text) - 1).cast("double")
+    when(total <= 0.0, 0.0).otherwise(
+      round(lit(1.0) -
+        size(graft.functions.TextExprs.wordGramSet(normalize(text), 2))
+          .cast("double") / total, 4))
+  }
+
   /** Deterministic 64-bit document fingerprint (rolling-hash family):
     * xxhash64 of the normalized text. Normalization = trim + collapse
     * whitespace + lowercase, so near-identical formatting dedups together.

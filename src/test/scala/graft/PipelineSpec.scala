@@ -51,6 +51,17 @@ class PipelineSpec extends SparkSpec {
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
   }
 
+  test("wordRepetitionRatio: duplicate 2-gram fraction with short-text edges") {
+    val r = Seq(
+      (1L, "a b a b a b"),        // grams: ab,ba,ab,ba,ab → total 5, distinct 2 → 0.6
+      (2L, "one two three four"), // all distinct → 0
+      (3L, "hello"), (4L, ""), (5L, "x y")
+    ).toDF("doc_id", "text")
+      .select(col("doc_id"), TextFunctions.wordRepetitionRatio(col("text")).as("r"))
+      .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
+    assert(r == Map(1L -> 0.6, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+  }
+
   test("fingerprint: whitespace/case-insensitive exact dedup") {
     val fps = docs.select(col("doc_id"), TextFunctions.fingerprint(col("text")).as("fp"))
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
