@@ -371,5 +371,18 @@ class CheckpointStreamingSpec extends SparkSpec {
     // frame sampling explodes only video rows
     val frames = Multimodal.sampleFrames(media.toDF(), everyNth = 50)
     assert(frames.select("media_id").distinct().count() == media.filter(_.kind == "video").count())
+
+    // media features feed the ANN path end-to-end: extracted vectors are a
+    // valid embedding column for brute-force cosine top-k (decode → feature
+    // → similarity composition, the retrieval half of media dedup)
+    val embedded = feats.toDF()
+      .select(col("media_id").cast("long").as("vec_id"),
+        col("features").as("embedding"))
+    val topk = pipeline.Ann.bruteForceTopK(embedded, embedded.limit(2), k = 3)
+    val hits = topk.select("query_id", "rank", "neighbor_id", "cos")
+      .as[(Long, Int, Long, Double)].collect()
+    assert(hits.length == 6) // 2 queries × k
+    assert(hits.forall { case (q, r, n, c) =>
+      q != n && r >= 1 && r <= 3 && c >= -1.0 && c <= 1.0 })
   }
 }
