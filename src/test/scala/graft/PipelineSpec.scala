@@ -425,6 +425,32 @@ class PipelineSpec extends SparkSpec {
     assert(capped == 0L) // every shared gram occurs in 3 eval docs > cap 2
   }
 
+  test("prefix-filtered join == brute force on random corpora at random thresholds") {
+    for (seed <- 1 to 4) {
+      val rng = new scala.util.Random(seed)
+      val vocab = (0 until 12).map(i => s"w$i")
+      val base = (0 until 25).map { i =>
+        (i.toLong, (0 until 3 + rng.nextInt(37)).map(_ => vocab(rng.nextInt(vocab.length))).mkString(" "))
+      }
+      // plant one near-dup so every corpus has ground truth above threshold
+      val rdocs = (base :+ (100L -> (base.head._2 + " extra"))).toDF("doc_id", "text")
+      val t = Seq(0.25, 0.5, 0.75)(seed % 3)
+      val fast = Dedup.ngramJaccardPairs(rdocs, "text", "doc_id", k = 2, threshold = t)
+        .as[(Long, Long, Double)].collect().toSet
+      val g = rdocs.select(col("doc_id").as("id"),
+        graft.functions.TextExprs.wordGramSet(TextFunctions.normalize(col("text")), 2).as("g"))
+      val brute = g.select(col("id").as("id_a"), col("g").as("g_a"))
+        .crossJoin(g.select(col("id").as("id_b"), col("g").as("g_b")))
+        .where(col("id_a") < col("id_b"))
+        .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(col("g_a"), col("g_b")))
+        .where(col("jaccard") >= t)
+        .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
+        .as[(Long, Long, Double)].collect().toSet
+      assert(fast == brute, s"seed=$seed t=$t: ${fast.size} vs ${brute.size}")
+      assert(brute.nonEmpty, s"seed=$seed t=$t produced no ground truth — weak corpus")
+    }
+  }
+
   test("plan shapes: contamination broadcasts the eval index; prefix join has no cartesian") {
     val train = Seq((0L, (1 to 50).toArray)).toDF("id", "tokens")
     val test0 = Seq((10L, (1 to 30).toArray)).toDF("id", "tokens")
