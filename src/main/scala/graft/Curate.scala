@@ -14,7 +14,8 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *   spark-submit --class graft.Curate schemaspark.jar \
   *     --input <parquet of (doc_id, text, lang?, source?, ...)> \
   *     --output <dir> [--eval <parquet of (doc_id, text)>] \
-  *     [--minhash-threshold 0.8] [--min-quality 0.0] [--contam-grams 13]
+  *     [--id-col doc_id] [--text-col text] \
+  *     [--minhash-threshold 0.8] [--contam-grams 13]
   *
   * Output layout: `clean/` (surviving annotated rows), `violations/`,
   * `dup_groups/` (id → group), `contaminated/` (train_id, test_id,
@@ -122,7 +123,9 @@ object Curate {
 
     val docs = spark.read.parquet(input)
     val eval = opts.get("eval").map(spark.read.parquet(_))
-    val r = run(spark, docs, "doc_id", "text", eval = eval,
+    val r = run(spark, docs,
+      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+      eval = eval,
       minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
       contamGrams = opts.getOrElse("contam-grams", "13").toInt)
 
