@@ -130,6 +130,26 @@ object Drift {
     perBucket.unionAll(pooled)
   }
 
+  /** Driver-side PSI over snapshot histograms — the scalar companion of
+    * `compare` (χ²/KS), same epsilon-smoothed formula and bucket alignment
+    * as the distributed `psiTerms` (B = buckets observed on either side),
+    * so the two forms agree to the last double. Conventional gates: 0.1
+    * watch, 0.25 act.
+    */
+  def psi(observed: Map[Int, Long], baseline: Map[Int, Long],
+          buckets: Int, epsilon: Double = 0.5): Double = {
+    val aligned = (0 until buckets)
+      .filter(b => observed.contains(b) || baseline.contains(b))
+    val nB = aligned.size
+    val totObs = observed.values.sum.toDouble
+    val totBase = baseline.values.sum.toDouble
+    aligned.map { b =>
+      val pObs = (observed.getOrElse(b, 0L) + epsilon) / (totObs + epsilon * nB)
+      val pBase = (baseline.getOrElse(b, 0L) + epsilon) / (totBase + epsilon * nB)
+      (pObs - pBase) * math.log(pObs / pBase)
+    }.sum
+  }
+
   /** Distributed per-bucket Population Stability Index terms between two
     * histograms (`(bucket, cnt)`): `psi_term = (p_obs - p_base) *
     * ln(p_obs / p_base)`, where both rates are smoothed with `epsilon`

@@ -166,6 +166,10 @@ class SeqValidationSpec extends SparkSpec {
     assert(withNew.length == 3 && withNew.forall(!_.isNullAt(3)))
     val plan = Drift.psiTerms(obsH, baseH).queryExecution.executedPlan.toString
     assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
+    // driver-side scalar == sum of the distributed (unrounded-equivalent)
+    // terms — same smoothing and bucket alignment
+    val driver = Drift.psi(Map(0 -> 90L, 1 -> 10L), Map(0 -> 50L, 1 -> 50L), 2)
+    assert(math.abs(driver - rows.values.sum) < 2e-6) // terms rounded at 6
   }
 
   test("plan shape: chi2Terms has no unpartitioned window (broadcast totals instead)") {

@@ -283,6 +283,21 @@ class StructSpec extends SparkSpec {
     assert(verd.map(_.getAs[Long]("n_rows")).sum == 100)
   }
 
+  test("Or over two struct rules: first matching dict wins (Or(dict1, dict2) shape)") {
+    val df = Seq(
+      (Some(1), None: Option[Int]),
+      (None: Option[Int], Some(2)),
+      (None: Option[Int], None: Option[Int])
+    ).toDF("a", "b")
+    val rule = or(
+      schemaIgnoreExtra(req("a", int)),
+      schemaIgnoreExtra(req("b", int)))
+    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
+    val ok = df.select(rule.validCol(rowCol, df.schema, Ctx()).as("v"))
+      .collect().map(_.getBoolean(0)).toSeq
+    assert(ok == Seq(true, true, false))
+  }
+
   test("recursive rule unrolls to the data schema depth (test_schema.py:1958 shape)") {
     lazy val person: Rule = asRef("person",
       schema(opt("name", str), opt("children", arrayOf(lazyRule(person)))))
