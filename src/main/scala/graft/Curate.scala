@@ -63,16 +63,21 @@ object Curate {
           rule: Option[rules.StructRule] = None,
           eval: Option[DataFrame] = None,
           minhashThreshold: Double = 0.8,
-          contamGrams: Int = 13, contamMinShared: Long = 1L): Result = {
+          contamGrams: Int = 13, contamMinShared: Long = 1L,
+          contamStopGramMaxDf: Option[Long] = None): Result = {
     val stats = Seq.newBuilder[StageStats]
-    val n0 = docs.count()
 
-    // 1. validate (rule compiled into the scan; violations carry messages)
+    // 1. validate (rule compiled into the scan; violations carry messages).
+    // rows_in is derived from the two stage outputs (survivors + failures)
+    // instead of a dedicated docs.count() — no extra full-input scan, and
+    // the violation count is a stat worth having anyway
     val res = rules.Validator.run(docs,
       rule.getOrElse(defaultRule(docs, idCol, textCol)))
     val valid = res.validated.persist()
+    val violations = res.violations.persist() // counted here, written by main
     val nValid = valid.count()
-    stats += StageStats("validate", n0, nValid)
+    val nViolations = violations.count()
+    stats += StageStats("validate", nValid + nViolations, nValid)
 
     // 2. annotate: language, quality, token counts — pure codegen columns
     val annotated = valid
@@ -98,15 +103,16 @@ object Curate {
     val (clean, contaminated) = eval match {
       case Some(ev) =>
         val contam = Overlap.textContamination(
-          survivors, ev, textCol, idCol, contamGrams, contamMinShared).persist()
+          survivors, ev, textCol, idCol, contamGrams, contamMinShared,
+          contamStopGramMaxDf).persist()
         val dec = Overlap.decontaminate(survivors, idCol, contam)
         val nDec = dec.count()
         stats += StageStats("decontaminate", nSurv, nDec)
         (dec, Some(contam))
       case None => (survivors, None)
     }
-    Result(clean, res.violations, groups, contaminated, stats.result(),
-      persisted = Seq(valid, exact, groups, survivors) ++ contaminated)
+    Result(clean, violations, groups, contaminated, stats.result(),
+      persisted = Seq(valid, violations, exact, groups, survivors) ++ contaminated)
   }
 
   def main(args: Array[String]): Unit = {
@@ -136,8 +142,12 @@ object Curate {
     val statsJson = r.stats.map(s =>
       s"""{"stage":"${s.stage}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut}}""")
       .mkString("\n")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get(s"$output/stats.json"), statsJson + "\n")
+    // Hadoop FS, not java.nio: --output may be hdfs://... or s3a://... like
+    // every other output this job writes
+    val statsPath = new org.apache.hadoop.fs.Path(s"$output/stats.json")
+    val fs = statsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val out = fs.create(statsPath, true)
+    try out.write((statsJson + "\n").getBytes("UTF-8")) finally out.close()
     println(statsJson)
     r.unpersist()
     spark.stop()

@@ -132,14 +132,16 @@ object Drift {
 
   /** Driver-side PSI over snapshot histograms — the scalar companion of
     * `compare` (χ²/KS), same epsilon-smoothed formula and bucket alignment
-    * as the distributed `psiTerms` (B = buckets observed on either side),
-    * so the two forms agree to the last double. Conventional gates: 0.1
-    * watch, 0.25 act.
+    * as the distributed `psiTerms`: the aligned set is the UNION of the two
+    * maps' keys (psiTerms full-outer joins the histogram frames, so a key
+    * appearing in either — whatever its value — is a bucket; keys outside a
+    * caller's nominal range still count rather than silently skewing the
+    * totals). The two forms agree to the last double. Conventional gates:
+    * 0.1 watch, 0.25 act.
     */
   def psi(observed: Map[Int, Long], baseline: Map[Int, Long],
-          buckets: Int, epsilon: Double = 0.5): Double = {
-    val aligned = (0 until buckets)
-      .filter(b => observed.contains(b) || baseline.contains(b))
+          epsilon: Double = 0.5): Double = {
+    val aligned = (observed.keySet ++ baseline.keySet).toSeq.sorted
     val nB = aligned.size
     val totObs = observed.values.sum.toDouble
     val totBase = baseline.values.sum.toDouble

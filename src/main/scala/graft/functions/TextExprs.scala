@@ -237,10 +237,30 @@ case class WordGramSet(child: Expression, k: Int)
   */
 case class IntGramSet(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
+  // analysis-time type check: an array<bigint>/array<string> argument fails
+  // with a proper error instead of a runtime ClassCastException deep in eval
+  // (ExpectsInputTypes is unusable here — AbstractDataType is sql-private)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_int_gram_set requires array<int> input, got ${other.catalogString}")
+    }
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(a: Any): Any = {
-    val arr = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData].toIntArray()
-    val n = arr.length
+    val ad = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
+    // manual copy with an explicit null-element sentinel: toIntArray would
+    // silently read a null slot as 0 (UnsafeArrayData ignores the null
+    // bitmap on primitive copy), conflating `null` with token 0
+    val n = ad.numElements()
+    val arr = new Array[Int](n)
+    var p = 0
+    while (p < n) {
+      arr(p) = if (ad.isNullAt(p)) Int.MinValue else ad.getInt(p)
+      p += 1
+    }
     val g =
       if (n <= k) {
         var h = 0xCBF29CE484222325L

@@ -236,31 +236,36 @@ object Dedup {
     var prevSum = labelSum(labels)
     var iter = 0
     var converged = false
-    while (!converged && iter < maxIter) {
-      val neighborLabels = edges
-        .join(labels.select(col("id").as("dst"), col("group_id")), Seq("dst"))
-        .select(col("src").as("id"), col("group_id"))
-      val propagated = neighborLabels.union(labels)
-        .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
-      // pointer jump: follow one indirection through the label table —
-      // label targets are themselves vertices, so the self-join always
-      // resolves (left + coalesce guards the root labels pointing at
-      // themselves)
-      val next = propagated
-        .join(propagated.select(col("id").as("group_id"),
-          col("group_id").as("jumped")), Seq("group_id"), "left")
-        .select(col("id"),
-          least(col("group_id"), coalesce(col("jumped"), col("group_id")))
-            .as("group_id"))
-        .localCheckpoint(eager = false)
-      val nextSum = labelSum(next)
-      labels.unpersist()
-      labels = next
-      converged = nextSum.compareTo(prevSum) == 0
-      prevSum = nextSum
-      iter += 1
-    }
-    edges.unpersist()
+    try {
+      while (!converged && iter < maxIter) {
+        val neighborLabels = edges
+          .join(labels.select(col("id").as("dst"), col("group_id")), Seq("dst"))
+          .select(col("src").as("id"), col("group_id"))
+        val propagated = neighborLabels.union(labels)
+          .groupBy(col("id")).agg(min(col("group_id")).as("group_id"))
+        // pointer jump: follow one indirection through the label table —
+        // label targets are themselves vertices, so the self-join always
+        // resolves (left + coalesce guards the root labels pointing at
+        // themselves)
+        val next = propagated
+          .join(propagated.select(col("id").as("group_id"),
+            col("group_id").as("jumped")), Seq("group_id"), "left")
+          .select(col("id"),
+            least(col("group_id"), coalesce(col("jumped"), col("group_id")))
+              .as("group_id"))
+          .localCheckpoint(eager = false)
+        val nextSum = labelSum(next)
+        // NOTE: Dataset.unpersist does not free localCheckpoint RDDs (they
+        // live outside the CacheManager); dropping the reference is what
+        // matters — ContextCleaner reclaims unreachable checkpointed RDDs,
+        // and MEMORY_AND_DISK spills rather than OOMs in the interim
+        labels.unpersist()
+        labels = next
+        converged = nextSum.compareTo(prevSum) == 0
+        prevSum = nextSum
+        iter += 1
+      }
+    } finally edges.unpersist() // also on a mid-loop failure
     if (!converged)
       throw new IllegalStateException(
         s"dupGroups did not converge in $maxIter iterations — the pair graph " +

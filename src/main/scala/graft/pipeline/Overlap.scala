@@ -53,34 +53,40 @@ object Overlap {
     */
   def contamination(train: DataFrame, test: DataFrame, tokensCol: String,
                     idCol: String, k: Int, minShared: Long,
-                    stopGramMaxDf: Option[Long] = None): DataFrame = {
-    val testIdx0 = gramIndex(test, tokensCol, idCol, k)
+                    stopGramMaxDf: Option[Long] = None): DataFrame =
+    contaminationFromIndexes(
+      gramIndex(train, tokensCol, idCol, k),
+      gramIndex(test, tokensCol, idCol, k), minShared, stopGramMaxDf)
+
+  /** `contamination` over raw TEXT (normalized word k-grams instead of token
+    * k-grams) — for corpora that haven't been tokenized yet. Same broadcast
+    * shape and options.
+    */
+  def textContamination(train: DataFrame, test: DataFrame, textCol: String,
+                        idCol: String, k: Int, minShared: Long,
+                        stopGramMaxDf: Option[Long] = None): DataFrame =
+    contaminationFromIndexes(
+      textGramIndex(train, textCol, idCol, k),
+      textGramIndex(test, textCol, idCol, k), minShared, stopGramMaxDf)
+
+  /** Shared body of the two contamination variants: (gram, id) indexes in,
+    * (train_id, test_id, n_shared) out.
+    */
+  private def contaminationFromIndexes(trainIdx: DataFrame, testIdx0: DataFrame,
+                                       minShared: Long,
+                                       stopGramMaxDf: Option[Long]): DataFrame = {
     val testIdx = stopGramMaxDf.fold(testIdx0) { cap =>
       val stop = testIdx0.groupBy(col("gram"))
         .agg(count(lit(1)).as("tdf")).where(col("tdf") > cap)
         .select(col("gram"))
       testIdx0.join(broadcast(stop), Seq("gram"), "left_anti")
     }
-    gramIndex(train, tokensCol, idCol, k)
+    trainIdx
       .join(broadcast(testIdx.withColumnRenamed("id", "test_id")), Seq("gram"))
       .groupBy(col("id").as("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))
       .where(col("n_shared") >= minShared)
   }
-
-  /** `contamination` over raw TEXT (normalized word k-grams instead of token
-    * k-grams) — for corpora that haven't been tokenized yet. Same broadcast
-    * shape.
-    */
-  def textContamination(train: DataFrame, test: DataFrame, textCol: String,
-                        idCol: String, k: Int, minShared: Long): DataFrame =
-    textGramIndex(train, textCol, idCol, k)
-      .join(broadcast(
-        textGramIndex(test, textCol, idCol, k).withColumnRenamed("id", "test_id")),
-        Seq("gram"))
-      .groupBy(col("id").as("train_id"), col("test_id"))
-      .agg(count(lit(1)).as("n_shared"))
-      .where(col("n_shared") >= minShared)
 
   /** Decontamination filter: drop every training row flagged by a
     * contamination check. `contaminated` is the (train_id, test_id,

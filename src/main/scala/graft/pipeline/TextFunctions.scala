@@ -57,7 +57,11 @@ object TextFunctions {
     * `tokenCount`).
     */
   def wordRepetitionRatio(text: Column): Column = {
-    val total = (tokenCount(text) - 1).cast("double")
+    // denominator over the NORMALIZED text, same as the gram set: counting
+    // raw space-split words would disagree whenever words are separated by
+    // tabs/newlines (grams see N words, the raw count sees fewer — the
+    // ratio could even go negative)
+    val total = (tokenCount(normalize(text)) - 1).cast("double")
     when(total <= 0.0, 0.0).otherwise(
       round(lit(1.0) -
         size(graft.functions.TextExprs.wordGramSet(normalize(text), 2))

@@ -150,6 +150,15 @@ object StreamingDedup {
     * sink must be idempotent on (id_a, id_b) — e.g. a dedup-on-merge table —
     * which is the standard contract for streaming upserts.
     *
+    * FRESHNESS CONTRACT: a candidate pair is emitted ONCE (when the second
+    * doc's band hit lands), so `corpus()` must already contain the docs of
+    * the batch being verified — i.e. the pipeline must append documents to
+    * the corpus table BEFORE (or in the same transaction as) candidate
+    * verification, the normal layout when `dedupExact` feeds the corpus
+    * upstream. A pair whose docs are missing from the snapshot would
+    * otherwise drop SILENTLY (inner verify join, no re-emission); pass
+    * `onUnmatched` to capture such pairs for retry/audit instead.
+    *
     * Returns the started `StreamingQuery`; the caller owns stop/await.
     */
   def verifiedMinhashNearDups(df: DataFrame, textCol: String, idCol: String,
@@ -157,7 +166,8 @@ object StreamingDedup {
                               corpus: () => DataFrame, threshold: Double = 0.5,
                               shingleK: Int = 7, numHashes: Int = 32,
                               bands: Int = 16, maxBucketIds: Int = 64,
-                              checkpointDir: Option[String] = None)
+                              checkpointDir: Option[String] = None,
+                              onUnmatched: Option[(DataFrame, Long) => Unit] = None)
                              (sink: (DataFrame, Long) => Unit)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val cands = minhashCandidates(df, textCol, idCol, tsCol, watermarkDelayMs,
@@ -166,9 +176,23 @@ object StreamingDedup {
       .outputMode(OutputMode.Append())
       .foreachBatch { (batch: Dataset[Candidate], batchId: Long) =>
         val pairs = batch.toDF()
-          .select(col("idA").as("id_a"), col("idB").as("id_b"))
+          .select(col("idA").as("id_a"), col("idB").as("id_b")).distinct()
+        val snap = corpus()
+        onUnmatched.foreach { f =>
+          val ids = snap.select(col(idCol).cast("long").as("id"))
+          // using-column joins move the key to the front — reselect before
+          // the positional union or the second branch flips (id_a, id_b)
+          val missing = pairs
+            .join(ids.withColumnRenamed("id", "id_a"), Seq("id_a"), "left_anti")
+            .select(col("id_a"), col("id_b"))
+            .union(pairs
+              .join(ids.withColumnRenamed("id", "id_b"), Seq("id_b"), "left_anti")
+              .select(col("id_a"), col("id_b")))
+            .distinct()
+          f(missing, batchId)
+        }
         sink(Dedup.verifyJaccardPairs(
-          pairs, corpus(), textCol, idCol, shingleK, threshold), batchId)
+          pairs, snap, textCol, idCol, shingleK, threshold), batchId)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }

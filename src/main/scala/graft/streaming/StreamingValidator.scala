@@ -104,10 +104,16 @@ object StreamingValidator {
     * Plan shape: Spark allows ONE streaming aggregation, so the per-window
     * histogram is built as a single wide aggregate (one conditional-sum
     * column per bucket — `buckets` is small by construction) and the PSI
-    * reduction over it is a stateless literal-driven projection (the
+    * reduction over it is a stateless projection staged through NAMED
+    * intermediate columns (totals, aligned-bucket count, then per-term
+    * math referencing them) — inlining the totals into every term would
+    * grow the expression tree quadratically in the bucket count. The
     * baseline rates are constants compiled into the plan, exactly like the
-    * broadcast side of the batch form). Append mode + watermark ⇒ a window
-    * emits once, when finalized; state is O(buckets) per open window.
+    * broadcast side of the batch form. Smoothing matches `Drift.psiTerms`
+    * EXACTLY: the aligned-bucket count B covers buckets non-empty in the
+    * window OR present in the baseline, and buckets empty on both sides
+    * contribute zero. Append mode + watermark ⇒ a window emits once, when
+    * finalized; state is O(buckets) per open window.
     */
   def psiDriftAlerts(df: DataFrame, c: String, lo: Double, hi: Double,
                      buckets: Int, tsCol: String, watermarkDelay: String,
@@ -118,6 +124,8 @@ object StreamingValidator {
     // one conditional-sum column per bucket: fine for histogram-scale bucket
     // counts, degenerate for thousands (the plan grows linearly) — fail loud
     require(buckets <= 1024, s"buckets=$buckets: use <= 1024 histogram buckets")
+    require(baseline.keys.forall(k => k >= 0 && k < buckets),
+      s"baseline keys must lie in [0, $buckets)")
     val w = (hi - lo) / buckets
     val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
       lit(buckets - 1)).cast("int")
@@ -128,17 +136,25 @@ object StreamingValidator {
       .groupBy(window(col(tsCol), windowLen))
       .agg(counts.head, counts.tail: _*)
     val totBase = baseline.values.sum.toDouble
-    val nObs = (0 until buckets).map(i => col(s"__c$i")).reduce(_ + _)
+    val staged = hist
+      .withColumn("__n", (0 until buckets).map(i => col(s"__c$i")).reduce(_ + _))
+      .withColumn("__nb", (0 until buckets).map { i =>
+        if (baseline.contains(i)) lit(1)
+        else when(col(s"__c$i") > 0L, 1).otherwise(0)
+      }.reduce(_ + _))
     val psi = (0 until buckets).map { i =>
       val pObs = (col(s"__c$i").cast("double") + lit(epsilon)) /
-        (nObs.cast("double") + lit(epsilon * buckets))
-      val pBase = lit((baseline.getOrElse(i, 0L) + epsilon) /
-        (totBase + epsilon * buckets))
-      (pObs - pBase) * log(pObs / pBase)
+        (col("__n").cast("double") + lit(epsilon) * col("__nb"))
+      val pBase = lit(baseline.getOrElse(i, 0L).toDouble + epsilon) /
+        (lit(totBase) + lit(epsilon) * col("__nb"))
+      val term = (pObs - pBase) * log(pObs / pBase)
+      if (baseline.contains(i)) term
+      else when(col(s"__c$i") > 0L, term).otherwise(lit(0.0))
     }.reduce(_ + _)
-    hist.select(col("window.start").as("window_start"),
-      col("window.end").as("window_end"),
-      nObs.as("n_rows"), round(psi, 6).as("psi"),
-      (psi <= psiGate).as("pass"))
+    staged.withColumn("__psi", psi)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("__n").as("n_rows"), round(col("__psi"), 6).as("psi"),
+        (col("__psi") <= psiGate).as("pass"))
   }
 }

@@ -312,6 +312,23 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(batchPairs.map(p => (p._1, p._2)) == Set((0L, 1L), (0L, 3L), (1L, 3L)))
     assert(verified.toSet == batchPairs,
       s"streaming end-to-end ${verified.toSet} != batch $batchPairs")
+
+    // freshness-contract escape hatch: a LAGGING corpus snapshot (doc 3
+    // missing) must surface the affected pairs via onUnmatched, not drop
+    // them silently
+    val unmatched = scala.collection.mutable.Set.empty[(Long, Long)]
+    val lagging = corpusDf.where(col("doc_id") =!= 3L)
+    val mem2 = MemoryStream[(Long, String, java.sql.Timestamp)]
+    val q2 = StreamingDedup.verifiedMinhashNearDups(
+      mem2.toDF().toDF("doc_id", "text", "ts"), "text", "doc_id", "ts",
+      watermarkDelayMs = 600000L, corpus = () => lagging, threshold = 0.5,
+      onUnmatched = Some((miss, _) => unmatched.synchronized {
+        unmatched ++= miss.as[(Long, Long)].collect()
+      })) { (_, _) => () }
+    docTexts.foreach { case (id, t) => mem2.addData((id, t, ts("10:00:00"))) }
+    q2.processAllAvailable()
+    q2.stop()
+    assert(unmatched.toSet == Set((0L, 3L), (1L, 3L)), s"got $unmatched")
   }
 
   test("streaming PSI drift alerts: in-distribution window passes, shifted window fails") {
@@ -352,6 +369,29 @@ class CheckpointStreamingSpec extends SparkSpec {
     val (n2, psi2, pass2) = rows(ts("10:10:00"))
     assert(n2 == 8L && psi2 == expected && !pass2, s"got psi=$psi2 expected=$expected")
     assert(psi2 > 0.25)
+
+    // partial-coverage baseline: the aligned-bucket count must match the
+    // batch semantics (buckets in the window OR the baseline; empty-both
+    // buckets contribute nothing) — streaming == Drift.psi on the same maps
+    val mem2 = MemoryStream[(Double, java.sql.Timestamp)]
+    val alerts2 = graft.streaming.StreamingValidator.psiDriftAlerts(
+      mem2.toDF().toDF("value", "ts"), "value", lo = 0, hi = 4, buckets = 4,
+      tsCol = "ts", watermarkDelay = "1 minute", windowLen = "5 minutes",
+      baseline = Map(0 -> 10L, 1 -> 10L))
+    val q2 = alerts2.writeStream.outputMode("append")
+      .format("memory").queryName("drift2").start()
+    (1 to 5).foreach(i => mem2.addData((0.5, ts(f"11:00:${i}%02d"))))
+    (1 to 5).foreach(i => mem2.addData((3.5, ts(f"11:01:${i}%02d"))))
+    mem2.addData((1.5, ts("11:30:00")))
+    q2.processAllAvailable()
+    q2.stop()
+    val psiPartial = spark.table("drift2")
+      .where(col("window_start") === ts("11:00:00"))
+      .select("psi").head().getDouble(0)
+    val driverPsi = graft.checks.Drift.psi(
+      Map(0 -> 5L, 3 -> 5L), Map(0 -> 10L, 1 -> 10L))
+    assert(psiPartial == math.round(driverPsi * 1e6) / 1e6,
+      s"streaming $psiPartial != driver $driverPsi")
   }
 
   test("multimodal: batch feature extraction plumbing with stubbed decode") {

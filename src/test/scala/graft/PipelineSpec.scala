@@ -55,11 +55,14 @@ class PipelineSpec extends SparkSpec {
     val r = Seq(
       (1L, "a b a b a b"),        // grams: ab,ba,ab,ba,ab → total 5, distinct 2 → 0.6
       (2L, "one two three four"), // all distinct → 0
-      (3L, "hello"), (4L, ""), (5L, "x y")
+      (3L, "hello"), (4L, ""), (5L, "x y"),
+      (6L, "a b\nc d"),        // newline separators: 4 words, 3 distinct grams → 0
+      (7L, "a\tb\ta\tb\ta\tb") // tab-separated pure repetition → 0.6, not 0
     ).toDF("doc_id", "text")
       .select(col("doc_id"), TextFunctions.wordRepetitionRatio(col("text")).as("r"))
       .collect().map(row => row.getLong(0) -> row.getDouble(1)).toMap
-    assert(r == Map(1L -> 0.6, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0))
+    assert(r == Map(1L -> 0.6, 2L -> 0.0, 3L -> 0.0, 4L -> 0.0, 5L -> 0.0,
+      6L -> 0.0, 7L -> 0.6))
   }
 
   test("fingerprint: whitespace/case-insensitive exact dedup") {
@@ -348,6 +351,19 @@ class PipelineSpec extends SparkSpec {
     assert(g(1L) == g(1L).distinct.sorted)
     assert(g(1L).intersect(g(2L)).length == 96)
     assert(g(3L).length == 1 && g(3L) == g(4L) && g(3L) != g(5L))
+
+    // null elements are a distinct sentinel, not token 0; wrong element
+    // types fail at analysis, not with a runtime ClassCastException
+    val withNull = Seq((1L, Array[java.lang.Integer](1, null, 3)),
+      (2L, Array[java.lang.Integer](1, 0, 3))).toDF("id", "tokens")
+      .select(col("id"), graft.functions.TextExprs.intGramSet(col("tokens"), 5).as("g"))
+      .collect().map(r => r.getLong(0) -> r.getSeq[Long](1)).toMap
+    assert(withNull(1L) != withNull(2L))
+    val err = intercept[org.apache.spark.sql.AnalysisException] {
+      Seq((1L, Array(1L, 2L))).toDF("id", "tokens")
+        .select(graft.functions.TextExprs.intGramSet(col("tokens"), 5)).collect()
+    }
+    assert(err.getMessage.toLowerCase.contains("type"))
   }
 
   test("tokenExactDedup keeps min-id per identical token array") {

@@ -168,7 +168,7 @@ class SeqValidationSpec extends SparkSpec {
     assert(!plan.contains("Window"), s"unexpected WindowExec in:\n$plan")
     // driver-side scalar == sum of the distributed (unrounded-equivalent)
     // terms — same smoothing and bucket alignment
-    val driver = Drift.psi(Map(0 -> 90L, 1 -> 10L), Map(0 -> 50L, 1 -> 50L), 2)
+    val driver = Drift.psi(Map(0 -> 90L, 1 -> 10L), Map(0 -> 50L, 1 -> 50L))
     assert(math.abs(driver - rows.values.sum) < 2e-6) // terms rounded at 6
   }
 
