@@ -151,6 +151,17 @@ object CheckpointedRun {
           val written = staged.select(dataCols ++ Seq(col("__split"), col("__valid"),
             col("__err.kind").as("violation_kind"),
             graft.rules.Err.code(col("__err")).as("code")): _*)
+          // dynamic overwrite only replaces partitions PRESENT in the
+          // written data: a pending split that is EMPTY in the current
+          // input (possible when a manifest/output dir is reused across
+          // lineages) would otherwise keep a stale partition from the
+          // earlier run, and the count read-back below would record those
+          // rows as current. Pre-delete every partition this pass owns.
+          val rowsRoot = new org.apache.hadoop.fs.Path(s"$out/rows")
+          val fs = rowsRoot.getFileSystem(spark.sparkContext.hadoopConfiguration)
+          passSplits.foreach { s0 =>
+            fs.delete(new org.apache.hadoop.fs.Path(rowsRoot, s"__split=$s0"), true)
+          }
           written
             // bound concurrently-open writers per task; no extra shuffle
             .sortWithinPartitions(col("__split"), col("__valid"))

@@ -639,8 +639,22 @@ final case class ArrayRule(elem: Rule, fastAll: Option[Column => Column] = None)
         val firstBadErr = elemOr.compile(element_at(bad, 1), et, cctx).error
         val typeMsg = ctx.prefixed(concat(PyRepr.repr(in, dtype),
           lit(" should be instance of 'list'")))
+        // the fastAll variant's boolean path rejects null elements outright
+        // (bound functions like array_min are blind to them). Element rules
+        // that reject nulls themselves (IsType etc.) already surface a
+        // proper per-element message through `bad`; for null-PASSING element
+        // rules (Use-family: null ≙ absent at struct level, so their
+        // validCol admits null) the message path must reject here too, or
+        // validCol=false rows would carry a NULL error — invisible to both
+        // `validated` and `violations`
+        val nullElemGuard =
+          if (fastAll.isDefined && !elem.acceptsNull)
+            graft.functions.ArrayExprs.arrayHasNull(in)
+          else lit(false)
         val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))
           .when(size(bad) > 0, firstBadErr)
+          .when(nullElemGuard, Err.one(Err.UnexpectedType,
+            ctx.prefixed(lit("None in array: the fast-validated form rejects null elements"))))
           .otherwise(Err.none)
         val elemOut = elem.compile(element_at(in, 1), et, cctx).dtype
         // identity-transform elision: never rebuild an untransformed array
@@ -741,9 +755,11 @@ final case class MapRule(entries: Seq[(Rule, Rule)],
         // XOR precedence mirrors StructRule: value errors, then only_one,
         // then wrong keys (the reference's reset() raise supersedes the
         // wrong-key path the second matching key would otherwise take)
+        // XOR message deliberately unprefixed — the reference's reset()
+        // raise bypasses _prepend_schema_name (verified with a named schema)
         val xorErr = xorCounts(in, kt, cctx).foldRight(Err.none) { case ((xr, cnt), acc) =>
-          when(cnt > 1, Err.one(Err.OnlyOneAllowed, ctx.prefixed(lit(
-            s"There are multiple keys present from the ${xr.reprStr} condition"))))
+          when(cnt > 1, Err.one(Err.OnlyOneAllowed, lit(
+            s"There are multiple keys present from the ${xr.reprStr} condition")))
             .otherwise(acc)
         }
         val err = when(in.isNull, Err.one(Err.UnexpectedType, typeMsg))

@@ -282,7 +282,10 @@ final case class StructRule(fields: Seq[FieldRule],
       val cnt = members.map { m =>
         if (dataTypes.contains(m)) when(in.getField(m).isNotNull, 1).otherwise(0) else lit(0)
       }.reduceOption(_ + _).getOrElse(lit(0))
-      val msg = ctx.prefixed(lit(s"There are multiple keys present from the $repr condition"))
+      // NOT ctx.prefixed: the reference raises this from Or.reset() outside
+      // the _prepend_schema_name handlers — verified by running it with a
+      // named schema (message stays bare)
+      val msg = lit(s"There are multiple keys present from the $repr condition")
       when(cnt > 1, Err.one(Err.OnlyOneAllowed, msg)).otherwise(Err.none)
     }
 

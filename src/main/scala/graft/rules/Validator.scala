@@ -69,16 +69,23 @@ final class ValidationResult(df: DataFrame, rule: StructRule, ctx: Ctx) {
       .agg(count(lit(1)).as("n_rows"), verdictAggs: _*)
   }
 
-  /** Whole-input `is_valid` — true iff no row violated. One codegen'd agg. */
+  /** Whole-input `is_valid` — true iff no row violated. One codegen'd agg.
+    * NULL validity counts as INVALID (inner coalesce): `min` skips nulls,
+    * so a bare `min(valid)` would silently pass rows that `validated` drops
+    * and `verdicts` counts as failures — one ValidationResult must not give
+    * contradictory answers. Outer coalesce: empty input is valid.
+    */
   def isValid: Boolean = {
     val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
     val valid = rule.validCol(rowCol, df.schema, ctx)
-    df.agg(coalesce(min(valid), lit(true))).head.getBoolean(0)
+    df.agg(coalesce(min(coalesce(valid, lit(false))), lit(true)))
+      .head.getBoolean(0)
   }
 }
 
 object Validator {
-  val metaCols = Seq("__validated", "__error", "__errors", "__valid", "__code")
+  // (a former `metaCols` constant was removed: it was referenced nowhere
+  // and silently omitted the dynamic __hook_<name> columns)
 
   def annotate(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame = {
     val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)

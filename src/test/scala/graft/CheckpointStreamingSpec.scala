@@ -84,6 +84,28 @@ class CheckpointStreamingSpec extends SparkSpec {
     seqs.unpersist()
   }
 
+  test("lineage change with a now-empty split leaves no stale rows partition") {
+    val dir = Files.createTempDirectory("graft-ckpt-stale").toString
+    val mpath = s"$dir/m.jsonl"
+    val out = s"$dir/out"
+    val full = SequenceGen.sequences(spark, 400, 2).cache()
+    val rule = SeqValidation.rule()
+    CheckpointedRun.run(spark, full, rule, "doc_id", 4, mpath, "cfg-A",
+      outputDir = Some(out))
+    // lineage B input is MISSING every row of split 2: dynamic overwrite
+    // alone would keep cfg-A's split-2 partition, and the re-run would
+    // record its stale rows as cfg-B output
+    val split = pmod(xxhash64(col("doc_id")), lit(4)).cast("int")
+    val partial = full.where(split =!= 2).cache()
+    val res = CheckpointedRun.run(spark, partial, rule, "doc_id", 4, mpath, "cfg-B",
+      outputDir = Some(out))
+    val s2 = res.find(_.split == 2).get
+    assert(s2.nRows == 0L && s2.nValid == 0L,
+      s"split 2 must be empty under cfg-B, got ${s2.nRows}")
+    assert(spark.read.parquet(s"$out/rows").count() == partial.count())
+    full.unpersist(); partial.unpersist()
+  }
+
   test("empty splits: tiny input with many splits records (0,0) rows, no crash") {
     val dir = Files.createTempDirectory("graft-ckpt-empty").toString
     val seqs = SequenceGen.sequences(spark, 3, 1)

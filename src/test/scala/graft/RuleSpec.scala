@@ -184,4 +184,28 @@ class RuleSpec extends SparkSpec {
     assert(!validOf(allNull) && one(r, allNull)._2 != null)
     assert(validOf(clean) && one(r, clean)._2 == null)
   }
+
+  test("fastAll array with a null-PASSING element rule: both paths reject null elements") {
+    // Use-family element rules admit null through validCol (null ≙ absent at
+    // struct level), so the fast path's arrayHasNull rejection used to
+    // disagree with the message path — invalid rows with a NULL error,
+    // invisible to both validated and violations
+    val r = arrayOfFast(useCast(org.apache.spark.sql.types.IntegerType, "int"))(_ => lit(true))
+    val withNull = Seq(Seq(Some(1), None, Some(2))).toDF("v")
+    val dt = withNull.schema("v").dataType
+    val row = withNull.select(
+      r.validCol(col("v"), dt, Ctx()).as("ok"),
+      r.compile(col("v"), dt, Ctx()).error.isNotNull.as("hasErr")).head()
+    assert(!row.getBoolean(0) && row.getBoolean(1),
+      "boolean path and message path must agree on null elements")
+  }
+
+  test("isValid treats NULL validity as invalid, like validated/verdicts") {
+    // pred yielding NULL for v <= 0 (when without otherwise)
+    val df = Seq(5, -1).toDF("v")
+    val rule = schema(req("v", and(int, pred("p")(c => when(c > 0, c < 10)))))
+    val res = Validator.run(df, rule)
+    assert(!res.isValid)
+    assert(res.validated.count() == 1) // the NULL-validity row is dropped there too
+  }
 }
