@@ -20,6 +20,14 @@ object GenExprs {
   */
 case class GenTokens(child: Expression, maxLen: Int, vocab: Int)
   extends UnaryExpression with CodegenFallback {
+  require(maxLen > 0, s"maxLen=$maxLen must be positive")
+  require(vocab > 0, s"vocab=$vocab must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"graft_gen_tokens requires a bigint id, got ${other.catalogString}")
+    }
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
 
   override def nullSafeEval(idAny: Any): Any = {

@@ -21,6 +21,24 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 object TextExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  /** Analysis-time STRING check for the SQL-registered text sketches. */
+  private[functions] def checkString(dt: DataType, fn: String): TypeCheckResult =
+    dt match {
+      case StringType => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires a string argument, got ${other.catalogString}")
+    }
+  private[functions] def checkBothString(l: DataType, r: DataType, fn: String): TypeCheckResult = {
+    val cl = checkString(l, fn)
+    if (cl != TypeCheckResult.TypeCheckSuccess) cl else checkString(r, fn)
+  }
+  private[functions] def checkLongArray(dt: DataType, fn: String): TypeCheckResult =
+    dt match {
+      case ArrayType(LongType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<bigint>, got ${other.catalogString}")
+    }
   def minhashSig(text: Column, k: Int, numHashes: Int): Column =
     column(MinHashSig(expression(text), k, numHashes))
   def simhash64(text: Column): Column = column(SimHash64(expression(text)))
@@ -113,6 +131,10 @@ object TextExprs {
   */
 case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"shingle k=$k must be positive")
+  require(numHashes > 0, s"numHashes=$numHashes must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_minhash_sig")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   override def nullSafeEval(s: Any): Any = {
@@ -141,6 +163,8 @@ case class MinHashSig(child: Expression, k: Int, numHashes: Int)
   */
 case class SimHash64(child: Expression)
   extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_simhash64")
   override def dataType: DataType = LongType
 
   override def nullSafeEval(s: Any): Any = {
@@ -178,6 +202,9 @@ case class SimHash64(child: Expression)
   */
 case class JaccardShingles(left: Expression, right: Expression, k: Int)
   extends BinaryExpression with CodegenFallback {
+  require(k > 0, s"shingle k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkBothString(left.dataType, right.dataType, "graft_jaccard_shingles")
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -206,6 +233,9 @@ case class JaccardShingles(left: Expression, right: Expression, k: Int)
   */
 case class ShingleSet(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"shingle k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_shingle_set")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any = {
     val sh = TextExprs.shingles(s.asInstanceOf[UTF8String].getBytes, k)
@@ -220,6 +250,9 @@ case class ShingleSet(child: Expression, k: Int)
   */
 case class WordGramSet(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"gram k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_word_gram_set")
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def nullSafeEval(s: Any): Any = {
     val g = TextExprs.wordGrams(s.asInstanceOf[UTF8String].getBytes, k)
@@ -237,6 +270,7 @@ case class WordGramSet(child: Expression, k: Int)
   */
 case class IntGramSet(child: Expression, k: Int)
   extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"gram k=$k must be positive")
   // analysis-time type check: an array<bigint>/array<string> argument fails
   // with a proper error instead of a runtime ClassCastException deep in eval
   // (ExpectsInputTypes is unusable here — AbstractDataType is sql-private)
@@ -291,6 +325,11 @@ case class IntGramSet(child: Expression, k: Int)
 /** Jaccard of two pre-sorted distinct long arrays: single merge pass. */
 case class SortedArrayJaccard(left: Expression, right: Expression)
   extends BinaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    val cl = TextExprs.checkLongArray(left.dataType, "graft_sorted_jaccard")
+    if (cl != org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess) cl
+    else TextExprs.checkLongArray(right.dataType, "graft_sorted_jaccard")
+  }
   override def dataType: DataType = DoubleType
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[org.apache.spark.sql.catalyst.util.ArrayData]
@@ -316,6 +355,9 @@ case class SortedArrayJaccard(left: Expression, right: Expression)
   */
 case class JaccardWordGrams(left: Expression, right: Expression, k: Int)
   extends BinaryExpression with CodegenFallback {
+  require(k > 0, s"gram k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkBothString(left.dataType, right.dataType, "graft_jaccard_word_grams")
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {

@@ -36,6 +36,11 @@ final class TopKHeap(val k: Int) {
     * O(k) scan per insert; k is small by construction.
     */
   def insert(score: Double, id: Long): Unit = {
+    // full heap + entry no better than the current worst (root): a no-op
+    // even if the id is already stored (its kept score is >= the root's, so
+    // the dedup update could never fire) — skips the O(k) id scan on the
+    // common rejected-candidate path of brute-force top-k
+    if (size == k && !worse(scores(0), ids(0), score, id)) return
     var e = 0
     while (e < size) {
       if (ids(e) == id) {

@@ -21,6 +21,22 @@ object VectorExprs {
   def lshSign(v: Column, bits: Int, seedOffset: Int = 0): Column =
     column(LshSign(expression(v), bits, seedOffset))
 
+  import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+  /** Analysis-time numeric-array check shared by the SQL-registered vector
+    * expressions — a wrong-typed argument must fail analysis, not throw a
+    * raw CCE/IAE per row mid-job.
+    */
+  private[functions] def checkNumericArray(dt: DataType, fn: String): TypeCheckResult =
+    dt match {
+      case ArrayType(FloatType | DoubleType, _) => TypeCheckResult.TypeCheckSuccess
+      case other => TypeCheckResult.TypeCheckFailure(
+        s"$fn requires array<float> or array<double>, got ${other.catalogString}")
+    }
+  private[functions] def checkBoth(l: DataType, r: DataType, fn: String): TypeCheckResult = {
+    val cl = checkNumericArray(l, fn)
+    if (cl != TypeCheckResult.TypeCheckSuccess) cl else checkNumericArray(r, fn)
+  }
+
   private[functions] def elemGetter(dt: DataType, arr: String, i: String): String =
     dt match {
       case ArrayType(FloatType, _) => s"(double)$arr.getFloat($i)"
@@ -41,6 +57,8 @@ object VectorExprs {
   */
 case class DotProduct(left: Expression, right: Expression)
   extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkBoth(left.dataType, right.dataType, "graft_dot")
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -75,6 +93,8 @@ case class DotProduct(left: Expression, right: Expression)
 /** cosine(a, b) in ONE pass: dot, |a|, |b| accumulated together. */
 case class CosineSim(left: Expression, right: Expression)
   extends BinaryExpression {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkBoth(left.dataType, right.dataType, "graft_cosine")
   override def dataType: DataType = DoubleType
 
   override def nullSafeEval(a: Any, b: Any): Any = {
@@ -129,6 +149,8 @@ case class LshSign(child: Expression, bits: Int, seedOffset: Int = 0)
   extends UnaryExpression {
   require(bits > 0 && bits <= 30, "bits in (0, 30]")
   require(seedOffset >= 0, "seedOffset must be non-negative")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    VectorExprs.checkNumericArray(child.dataType, "graft_lsh_sign")
   override def dataType: DataType = IntegerType
 
   override def nullSafeEval(a: Any): Any = {

@@ -193,7 +193,18 @@ object JsonSchemaExport {
     * representable). Every recursive call routes through `sub` so use_refs
     * consing sees each non-main schema node.
     */
-  private def sub(rule: Rule, c: ExportCtx): J = cons(toJson(rule, c), c)
+  private def sub(rule: Rule, c: ExportCtx): J = consFor(rule, toJson(rule, c), c)
+
+  /** Cons `body` unless `rule` is a single-value Or-of-comparable: the
+    * reference's const/null branch RETURNS before _create_or_use_ref
+    * (:731-737), so those stay expanded under use_refs (verified by running
+    * the reference); everything else — direct COMPARABLEs, multi-value
+    * enums — falls through to consing as the reference does (:887).
+    */
+  private def consFor(rule: Rule, body: JObj, c: ExportCtx): J = rule match {
+    case OrRule(Seq(EqLit(_))) => body
+    case _ => cons(body, c)
+  }
 
   private def toJson(rule: Rule, c: ExportCtx): JObj = rule match {
     case IsType(t) => JObj(Vector("type" -> JStr(typeName(t))))
@@ -221,8 +232,10 @@ object JsonSchemaExport {
 
     case AndRule(rules) =>
       val subs = rules.map(sub(_, c)).filter(nonEmptyJ).distinct
-      if (subs.isEmpty) JObj(Vector.empty)
-      else if (subs.size == 1) snapshot(subs.head)
+      // an And of only unrepresentable callables is {"allOf": []} in the
+      // reference (no emptiness special-case, :753-766), matching the
+      // anyOf: [] the Or branch already emits
+      if (subs.size == 1) snapshot(subs.head)
       else JObj(Vector("allOf" -> JArr(subs.toVector)))
 
     case ArrayRule(elem, _) =>
@@ -243,10 +256,18 @@ object JsonSchemaExport {
       sr.fields.foreach { f =>
         // Literal-key metadata goes ON the property schema (:790-828)
         def withKeyMeta(body: JObj): JObj = {
+          // Literal-KEY metadata takes precedence: the reference only adds
+          // the schema's own name/description when the key provides none
+          // (`if schema.name and not title`, :700-702) — keeping both would
+          // emit duplicate JSON keys
+          val stripped = body.fields.filterNot { case (k, _) =>
+            (k == "title" && f.keyTitle.isDefined) ||
+              (k == "description" && f.keyDescription.isDefined)
+          }
           val headed =
             f.keyTitle.map(t => "title" -> (JStr(t): J)).toVector ++
               f.keyDescription.map(d => "description" -> (JStr(d): J)).toVector ++
-              body.fields
+              stripped
           JObj(headed)
         }
         f.kind match {
@@ -256,7 +277,7 @@ object JsonSchemaExport {
             // key metadata sits INSIDE the consed form, like the reference's
             // title=/description= args landing in return_schema before
             // _create_or_use_ref runs
-            props :+= (f.name -> cons(withKeyMeta(toJson(f.rule, c)), c))
+            props :+= (f.name -> consFor(f.rule, withKeyMeta(toJson(f.rule, c)), c))
           case FieldKind.Opt(default, defaultFn) =>
             val base = withKeyMeta(toJson(f.rule, c))
             // callable defaults are invoked for the export, like
@@ -266,7 +287,7 @@ object JsonSchemaExport {
               // a default disables consing for this property (documented
               // deviation: the reference mutates the shared dict, :846-851)
               case Some(d) => JObj(base.fields :+ ("default" -> toJsonValue(d): (String, J)))
-              case None => cons(base, c)
+              case None => consFor(f.rule, base, c)
             }
             props :+= (f.name -> withDefault)
         }

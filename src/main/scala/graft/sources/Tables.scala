@@ -17,13 +17,18 @@ object Tables {
 
   val CorruptCol = "__corrupt"
 
-  /** Infer format from the path suffix; explicit wins. */
-  def formatOf(path: String, format: String = "auto"): String =
-    if (format != "auto") format
-    else if (path.endsWith(".json") || path.endsWith(".jsonl")) "json"
-    else if (path.endsWith(".csv")) "csv"
-    else if (path.endsWith(".orc")) "orc"
+  /** Infer format from the path suffix; explicit wins. A trailing
+    * compression extension is stripped first — `.jsonl.gz` is the standard
+    * shape for large text corpora and must not fall through to parquet.
+    */
+  def formatOf(path: String, format: String = "auto"): String = {
+    if (format != "auto") return format
+    val base = path.replaceAll("\\.(gz|bz2|zst|snappy|lz4|deflate)$", "")
+    if (base.endsWith(".json") || base.endsWith(".jsonl")) "json"
+    else if (base.endsWith(".csv")) "csv"
+    else if (base.endsWith(".orc")) "orc"
     else "parquet"
+  }
 
   /** Read `path` as `format` with the expected `schema`. Text formats get a
     * nullable `__corrupt` column holding the raw malformed record (null for

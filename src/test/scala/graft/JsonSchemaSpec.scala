@@ -127,6 +127,29 @@ class JsonSchemaSpec extends AnyFunSuite {
       s"""{"title": "person", "$$ref": "#/definitions/person", "definitions": {"person": {"title": "person", "type": "object", "properties": {"name": {"type": "string"}, "children": {"type": "array", "items": {"$$ref": "#/definitions/person"}}}, "required": [], "additionalProperties": false}}, $tail}""")
   }
 
+  test("And of only callables exports allOf: [] like the reference (no {} collapse)") {
+    // reference has no emptiness special-case in its And branch — verified
+    // by running it: Schema(And(f, g)).json_schema → {"allOf": []}
+    assert(export(and(pred("f")(c => c), pred("g")(c => c)), "my-id") ==
+      s"""{"allOf": [], $tail}""")
+  }
+
+  test("key title wins over the rule's own name — no duplicate JSON keys") {
+    val f = req("a", graft.rules.NamedRule("Inner", str)).titled("KeyTitle")
+    val out = export(StructRule(Seq(f)), "my-id")
+    assert(!out.contains("\"Inner\""), s"body title must be suppressed: $out")
+    assert("\"title\"".r.findAllIn(out).size == 1, s"exactly one title key: $out")
+  }
+
+  test("use_refs: single-value const is never consed (reference early-return)") {
+    val shared = isin(1) // Or of ONE comparable → const
+    val r = schema(req("a", shared), req("b", shared))
+    val out = export(r, "my-id", useRefs = true)
+    assert(out.contains(""""a": {"const": 1}""") && out.contains(""""b": {"const": 1}"""),
+      s"consts must stay expanded with no $$id/$$ref: $out")
+    assert(!out.contains("$ref"), out)
+  }
+
   // --- use_refs hash-consing (test_schema.py:1681-1703, structural) ---
   test("use_refs: repeated sub-schemas collapse to $id/$ref") {
     val r = schema(req("test1", str), req("test2", str), req("test3", str))

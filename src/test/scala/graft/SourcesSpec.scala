@@ -97,5 +97,9 @@ class SourcesSpec extends SparkSpec {
     assert(res.violations.count() == 1)
     assert(Tables.formatOf(p) == "parquet")
     assert(Tables.formatOf("x.jsonl") == "json" && Tables.formatOf("x.csv", "auto") == "csv")
+    // compressed text corpora must not fall through to parquet
+    assert(Tables.formatOf("docs.jsonl.gz") == "json")
+    assert(Tables.formatOf("docs.json.zst") == "json" && Tables.formatOf("t.csv.bz2") == "csv")
+    assert(Tables.formatOf("data.gz") == "parquet") // no text suffix underneath
   }
 }

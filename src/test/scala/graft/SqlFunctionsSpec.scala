@@ -46,6 +46,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("jt") == 1.0)
   }
 
+  test("wrong-typed SQL arguments fail at analysis, not mid-job") {
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
+    }
+    assert(e1.getMessage.contains("array<float>") || e1.getMessage.contains("DATATYPE"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT graft_simhash64(42)").collect()
+    }
+    assert(e2.getMessage.toLowerCase.contains("string") || e2.getMessage.contains("DATATYPE"))
+    val e3 = intercept[IllegalArgumentException] {
+      spark.sql("SELECT graft_minhash_sig('x', 5, -1)").collect()
+    }
+    assert(e3.getMessage.contains("positive"))
+  }
+
   test("non-literal int argument fails loudly") {
     Seq(Tuple1("x")).toDF("t").createOrReplaceTempView("tt")
     val e = intercept[Exception] {
