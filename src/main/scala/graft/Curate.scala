@@ -119,6 +119,11 @@ object Curate {
     val opts = args.sliding(2, 2).collect {
       case Array(k, v) if k.startsWith("--") => k.drop(2) -> v
     }.toMap
+    // a flag missing its value would silently shift all later arguments
+    require(args.length % 2 == 0 && opts.size == args.length / 2,
+      s"arguments must be --flag value pairs, got: ${args.mkString(" ")}")
+    opts.foreach { case (k, v) =>
+      require(!v.startsWith("--"), s"--$k is missing a value (got '$v')") }
     val input = opts.getOrElse("input", sys.error("--input <path> required"))
     val output = opts.getOrElse("output", input.stripSuffix("/") + "_curated")
     val spark = SparkSession.builder()

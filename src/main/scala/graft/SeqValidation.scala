@@ -41,9 +41,12 @@ object SeqValidation {
 
   def fullReport(spark: SparkSession, df: DataFrame): TableReport = {
     val res = validate(df)
+    // coalesce: sum over an EMPTY verdicts frame is NULL — an empty input
+    // must report zeros, not NPE on getLong
     val verdictAgg = res.verdicts
-      .agg(sum(col("n_rows")).as("n"), sum(col("n_valid")).as("v"),
-        sum((!col("pass")).cast("long")).as("failed"))
+      .agg(coalesce(sum(col("n_rows")), lit(0L)).as("n"),
+        coalesce(sum(col("n_valid")), lit(0L)).as("v"),
+        coalesce(sum((!col("pass")).cast("long")), lit(0L)).as("failed"))
       .head()
     val dups = TableChecks.duplicateKeys(df, "doc_id").count()
     val refs = TableChecks.referentialViolations(

@@ -97,12 +97,19 @@ object TableChecks {
   /** Fixed-width histogram of a numeric column: groupBy(bucket).count — one
     * shuffled agg of at most `buckets` rows after map-side combine.
     */
-  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
-                buckets: Int): DataFrame = {
+  /** Clamped bucket index — the ONE definition of the histogram bucketing,
+    * shared with the streaming PSI path so baselines built here always
+    * align with windows bucketed there.
+    */
+  def bucketCol(c: Column, lo: Double, hi: Double, buckets: Int): Column = {
     val w = (hi - lo) / buckets
-    val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
+    least(greatest(floor((c.cast("double") - lo) / w), lit(0)),
       lit(buckets - 1)).cast("int")
-    df.where(col(c).isNotNull)
-      .groupBy(b.as("bucket")).agg(count(lit(1)).as("cnt"))
   }
+
+  def histogram(df: DataFrame, c: String, lo: Double, hi: Double,
+                buckets: Int): DataFrame =
+    df.where(col(c).isNotNull)
+      .groupBy(bucketCol(col(c), lo, hi, buckets).as("bucket"))
+      .agg(count(lit(1)).as("cnt"))
 }

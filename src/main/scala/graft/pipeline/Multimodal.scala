@@ -85,8 +85,11 @@ object Multimodal {
     * index (the explode-shaped part of a real pipeline).
     */
   def sampleFrames(df: DataFrame, everyNth: Int): DataFrame =
-    df.where(col("kind") === "video")
+    // videos shorter than everyNth have ZERO frames — without the length
+    // guard, greatest(count-1, 0) turned the intended-empty sequence into
+    // sequence(0, 0) and emitted a phantom frame_idx 0
+    df.where(col("kind") === "video" && length(col("bytes")) >= everyNth)
       .withColumn("frame_idx",
         explode(sequence(lit(0),
-          greatest((length(col("bytes")) / everyNth).cast("int") - 1, lit(0)))))
+          (length(col("bytes")) / everyNth).cast("int") - 1)))
 }

@@ -30,9 +30,13 @@ object TextFunctions {
     * stopword presence — the length/punct/stopword-ratio family.
     */
   def qualityScore(text: Column): Column = {
-    val nTok = tokenCount(text).cast("double")
+    // token count over the NORMALIZED text: the raw separator arithmetic
+    // counts 64 spaces as 65 "tokens", maxing the length score for garbage
+    val nTok = tokenCount(normalize(text)).cast("double")
     val lenScore = least(nTok / 64.0, lit(1.0))
-    val alpha = length(regexp_replace(text, "[^a-zA-Z ]", "")).cast("double") /
+    // letters only — counting spaces as "alphabetic" let whitespace-heavy
+    // garbage score like prose (64 spaces scored alpha = 1.0)
+    val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
     val stop = when(text.rlike("\\b(the|a|of|and|to)\\b"), 1.0).otherwise(0.0)
     round(lenScore * 0.4 + alpha * 0.4 + stop * 0.2, 4)

@@ -13,12 +13,31 @@ import graft.rules.{Ctx, StructRule, Validator}
   */
 object StreamingValidator {
 
+  /** Validity over the DATA columns: plumbing columns the HELPER owns
+    * (event-time, ordering) are excluded from the validated struct unless
+    * the rule explicitly declares them — a strict struct rule would
+    * otherwise flag the timestamp as a wrong key on every row.
+    */
+  private def validityOn(df: DataFrame, rule: StructRule,
+                         plumbing: Set[String], ctx: Ctx): Column = {
+    val declared = rule.fields.map(_.name).toSet
+    val keep = df.columns.filterNot(c => plumbing.contains(c) && !declared.contains(c))
+    val rowCol = struct(keep.map(col).toIndexedSeq: _*)
+    val sch = org.apache.spark.sql.types.StructType(
+      df.schema.fields.filter(f => keep.contains(f.name)))
+    coalesce(rule.validCol(rowCol, sch, ctx), lit(false))
+  }
+
   /** Annotate a (possibly streaming) DataFrame with `__valid` — pure
     * stateless projection, no watermark needed.
     */
   def withValidity(df: DataFrame, rule: StructRule, ctx: Ctx = Ctx()): DataFrame = {
     val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
-    df.withColumn("__valid", rule.validCol(rowCol, df.schema, ctx))
+    // coalesce: a NULL validity flag would vanish from BOTH a
+    // `__valid === false` violations filter and a `__valid` validated
+    // filter — align with verdicts/annotate, where null counts as invalid
+    df.withColumn("__valid",
+      coalesce(rule.validCol(rowCol, df.schema, ctx), lit(false)))
   }
 
   /** Violation rows with full message detail (stateless, append-safe). */
@@ -33,10 +52,9 @@ object StreamingValidator {
   def windowedVerdicts(df: DataFrame, rule: StructRule, tsCol: String,
                        watermarkDelay: String, windowLen: String,
                        ctx: Ctx = Ctx()): DataFrame = {
-    val rowCol = struct(df.columns.map(col).toIndexedSeq: _*)
     // null validity counts as invalid — without the coalesce an all-null
     // window yields pass = NULL, invisible to a `pass === false` alert filter
-    val valid = coalesce(rule.validCol(rowCol, df.schema, ctx), lit(false))
+    val valid = validityOn(df, rule, Set(tsCol), ctx)
     df.withWatermark(tsCol, watermarkDelay)
       .groupBy(window(col(tsCol), windowLen))
       .agg(count(lit(1)).as("n_rows"),
@@ -68,11 +86,13 @@ object StreamingValidator {
                           ctx: Ctx = Ctx()): Dataset[KeyQuality] = {
     val spark = df.sparkSession
     import spark.implicits._
-    val flagged = withValidity(df, rule, ctx)
+    val flagged = df
       .select(col(keyCol).cast("string").as("key"),
-        col(orderCol).cast("long").as("ord"),
-        coalesce(col("__valid"), lit(false)).as("ok"))
-      .as[(String, Long, Boolean)]
+        // double, not long: a long cast truncates TimestampType to whole
+        // seconds, letting sub-second events tie and sort nondeterministically
+        col(orderCol).cast("double").as("ord"),
+        validityOn(df, rule, Set(orderCol), ctx).as("ok"))
+      .as[(String, Double, Boolean)]
     flagged.groupByKey(_._1)
       .flatMapGroupsWithState[KeyQuality, KeyQuality](
         OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
@@ -126,9 +146,7 @@ object StreamingValidator {
     require(buckets <= 1024, s"buckets=$buckets: use <= 1024 histogram buckets")
     require(baseline.keys.forall(k => k >= 0 && k < buckets),
       s"baseline keys must lie in [0, $buckets)")
-    val w = (hi - lo) / buckets
-    val b = least(greatest(floor((col(c).cast("double") - lo) / w), lit(0)),
-      lit(buckets - 1)).cast("int")
+    val b = graft.checks.TableChecks.bucketCol(col(c), lo, hi, buckets)
     val counts = (0 until buckets).map(i =>
       sum(when(b === i, 1L).otherwise(0L)).as(s"__c$i"))
     val hist = df.where(col(c).isNotNull)

@@ -159,11 +159,13 @@ class CheckpointStreamingSpec extends SparkSpec {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, java.sql.Timestamp)]
     val df = mem.toDF().toDF("doc_id", "n_tok", "ts")
+    // the rule does NOT declare ts: the helper owns the event-time plumbing
+    // column and must exempt it from strict-struct validation (an
+    // undeclared ts used to wrong-key every row)
     val rule = graft.rules.dsl.schema(
       graft.rules.dsl.req("doc_id", graft.rules.dsl.str),
       graft.rules.dsl.req("n_tok", graft.rules.dsl.and(graft.rules.dsl.int,
-        graft.rules.dsl.pred("pos")(_ > 0))),
-      graft.rules.dsl.opt("ts", graft.rules.dsl.anything))
+        graft.rules.dsl.pred("pos")(_ > 0))))
     val verdicts = StreamingValidator.windowedVerdicts(df, rule, "ts", "1 minute", "1 minute")
     val q = verdicts.writeStream.outputMode("complete")
       .format("memory").queryName("verd").start()

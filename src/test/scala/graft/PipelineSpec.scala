@@ -49,6 +49,12 @@ class PipelineSpec extends SparkSpec {
     val q = docs.select(TextFunctions.qualityScore(col("text")).as("q"))
       .agg(min("q"), max("q")).head()
     assert(q.getDouble(0) >= 0.0 && q.getDouble(1) <= 1.0)
+    // whitespace-only garbage must not score like prose (spaces used to
+    // count as alphabetic: 64 spaces scored 0.4 alpha mass)
+    val junk = Seq(" " * 64, "the quick brown fox jumps over the lazy dog today")
+      .toDF("text").select(TextFunctions.qualityScore(col("text")).as("q"))
+      .collect().map(_.getDouble(0))
+    assert(junk(0) < 0.1 && junk(1) > 0.5, s"junk=${junk(0)} prose=${junk(1)}")
   }
 
   test("wordRepetitionRatio: duplicate 2-gram fraction with short-text edges") {
