@@ -756,10 +756,10 @@ object SparkEntry {
         |FROM s a JOIN s b ON a.id < b.id
         |WHERE bit_count(xor(a.sim, b.sim)) <= 8""".stripMargin,
 
-    // ALL-PAIRS word-3-gram jaccard — the engine's default size-ratio
-    // blocking has recall 1 by construction (every pair >= threshold shares
-    // a log-size bucket) and the verify step gives precision 1, so the
-    // blocked result must equal this quadratic ground truth exactly
+    // ALL-PAIRS word-3-gram jaccard — the engine's default (df-ordered
+    // PREFIX FILTERING) has recall 1 by construction and the verify step
+    // gives precision 1, so the blocked result must equal this quadratic
+    // ground truth exactly
     "q_ngram_jaccard" ->
       """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
         |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM n),

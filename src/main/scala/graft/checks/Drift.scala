@@ -115,9 +115,9 @@ object Drift {
           / col("e"), 6)).as("chi2_term"))
     // pooled marker = NULL bucket: a caller-supplied bucketing scheme may
     // legitimately contain -1, but histogram buckets are never null.
-    // The union's two branches share the join+window subtree — exchange
-    // reuse (on by default) collapses the duplicate upstream scans, and the
-    // post-aggregation row count is ≤ buckets either way.
+    // The union's two branches share the join + broadcast-totals subtree —
+    // exchange reuse (on by default) collapses the duplicate upstream scans,
+    // and the post-aggregation row count is ≤ buckets either way.
     val pooled = withE.where(col("e") < 5.0)
       .agg(sum(col("n_obs")).as("n_obs"), sum(col("n_base")).as("n_base"),
         sum(col("e")).as("pe"))

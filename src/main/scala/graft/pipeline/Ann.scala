@@ -113,27 +113,36 @@ object Ann {
   }
 
   /** Embedding-cosine near-duplicate pairs at threshold, banded-LSH-blocked:
-    * only pairs colliding in ≥1 band are scored. The cosine is evaluated and
-    * THRESHOLDED inside the join stage, so the dedupe shuffle (multi-band
-    * hits of the same pair) carries only passing (id_a, id_b, cos) rows —
-    * 8-byte score instead of two embedding payloads, HashAggregate instead
-    * of the SortAggregate a vector-carrying dropDuplicates compiles to.
-    * Threshold compares the 6dp-rounded cosine so the decision is
-    * reproducible across engines.
+    * only pairs colliding in ≥1 band are scored.
+    *
+    * Candidate/verify split (the same shape as `Dedup.minhashNearDups`): the
+    * banded explode and self-join carry (id, band, bucket) rows ONLY —
+    * ~20 bytes/row — never the embedding, which would otherwise be
+    * duplicated `bands`× into the exchange (a 64-float vector is ~0.5 KB;
+    * at corpus scale the payload, not the keys, IS the shuffle). Candidate
+    * pairs are `distinct`ed down to two 8-byte ids, the vectors join back
+    * by id (each corpus vector moves once per candidate membership, not
+    * once per band), and the cosine is scored once per pair. Threshold
+    * compares the 6dp-rounded cosine so the decision is reproducible
+    * across engines.
     */
   def cosineNearDups(df: DataFrame, threshold: Double, bands: Int = 8,
                      bitsPerBand: Int = 12,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val s = df.select(col(idCol).as("id"), col(vecCol).as("v"),
+    val s = df.select(col(idCol).as("id"),
       explode(bandedBuckets(col(vecCol), bands, bitsPerBand)).as("bk"))
-      .select(col("id"), col("v"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = s.select(col("band"), col("bucket"), col("id").as("id_a"), col("v").as("va"))
-    val b = s.select(col("band"), col("bucket"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("band", "bucket")).where(col("id_a") < col("id_b"))
+      .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val a = s.select(col("band"), col("bucket"), col("id").as("id_a"))
+    val b = s.select(col("band"), col("bucket"), col("id").as("id_b"))
+    val pairs = a.join(b, Seq("band", "bucket"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b")).distinct()
+    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+    pairs
+      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
+      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
       .select(col("id_a"), col("id_b"),
         round(cosine(col("va"), col("vb")), 6).as("cos"))
       .where(col("cos") >= threshold)
-      // a pair collides in several bands → identical cos; first() dedupes
-      .groupBy(col("id_a"), col("id_b")).agg(first(col("cos")).as("cos"))
   }
 }

@@ -118,11 +118,29 @@ object Dedup {
     pairs.select(col("id_a"), col("id_b")).distinct()
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      // size-compatibility prune BEFORE the O(n) set merge: J >= t forces
+      // t·|A| <= |B| <= |A|/t, so pairs violating it (LSH multi-band
+      // coincidences between very different-length docs) skip the merge —
+      // size() is O(1) on the array header. Same bound the prefix-filter
+      // join applies in-join; cannot drop a qualifying pair.
+      .where(size(col("sh_b")) >= ceilT(size(col("sh_a")), threshold) &&
+        size(col("sh_a")) >= ceilT(size(col("sh_b")), threshold))
       .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
         col("sh_a"), col("sh_b")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
+
+  /** Integer-robust `ceil(n * t)`: the double product can round UP past an
+    * exact integer (0.07 * 100 = 7.000000000000001 → ceil 8), which would
+    * shorten a prefix / tighten a size bound by one and silently drop a pair
+    * sitting exactly AT the threshold. Subtracting an epsilon far above
+    * one ulp but far below 1/n for any real set size keeps the bound exact;
+    * when the true product is within 1e-9 BELOW an integer the bound only
+    * LOOSENS (extra candidates, never lost recall).
+    */
+  private[pipeline] def ceilT(n: Column, t: Double): Column =
+    ceil(n * t - lit(1e-9))
 
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
     * single native pass (`TextExprs.SimHash64`).
@@ -198,29 +216,36 @@ object Dedup {
     * pair graph is the CANDIDATE output (≪ corpus; LSH bounds it), labels
     * carry 16 bytes/row, and dedup clusters are near-cliques (LSH emits
     * most intra-cluster pairs), so typical iteration counts stay small.
-    * Each iteration materializes its labels with `localCheckpoint` — without
+    * Each iteration materializes its labels with a checkpoint — without
     * lineage truncation the logical plan doubles per iteration and analysis
-    * blows the driver stack long before the data is the problem. (On a real
-    * cluster with executor churn, swap in reliable `checkpoint` — same
-    * shape, storage-backed.) A convergence count is the per-iteration action.
+    * blows the driver stack long before the data is the problem.
+    * `checkpointDir = None` (local-mode default) uses `localCheckpoint`
+    * (executor-local blocks — fast, but a lost executor aborts the
+    * propagation); on a real cluster pass a reliable storage path and every
+    * iteration checkpoints to it, surviving executor churn. A convergence
+    * count is the per-iteration action either way.
     *
     * Throws if not converged within `maxIter` — silently mis-grouped
     * duplicates are worse than a loud failure; raise `maxIter` for
     * pathological chain-shaped graphs (diameter ≈ chain length).
     */
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
-                maxIter: Int = 20): DataFrame = {
+                maxIter: Int = 20,
+                checkpointDir: Option[String] = None): DataFrame = {
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    // lazy checkpoints: the labelSum action right after materializes the
+    // checkpoint and computes the sum in ONE job (eager would run two)
+    def truncated(df: DataFrame): DataFrame =
+      if (checkpointDir.isDefined) df.checkpoint(eager = false)
+      else df.localCheckpoint(eager = false)
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist()
     // seed: label(v) = min(v, min neighbor) — one groupBy, worth a whole
     // propagation round vs seeding with label(v) = v
-    // lazy checkpoints: the labelSum action right after materializes the
-    // checkpoint and computes the sum in ONE job (eager would run two)
-    var labels = edges.groupBy(col("src").as("id"))
-      .agg(least(min(col("dst")), col("src")).as("group_id"))
-      .localCheckpoint(eager = false)
+    var labels = truncated(edges.groupBy(col("src").as("id"))
+      .agg(least(min(col("dst")), col("src")).as("group_id")))
     // convergence via the label-sum: min-propagation is MONOTONE (labels only
     // ever decrease), so an unchanged sum ⟺ every label unchanged — one
     // cheap aggregate per iteration instead of a join + filtered count.
@@ -247,18 +272,20 @@ object Dedup {
         // label targets are themselves vertices, so the self-join always
         // resolves (left + coalesce guards the root labels pointing at
         // themselves)
-        val next = propagated
+        val next = truncated(propagated
           .join(propagated.select(col("id").as("group_id"),
             col("group_id").as("jumped")), Seq("group_id"), "left")
           .select(col("id"),
             least(col("group_id"), coalesce(col("jumped"), col("group_id")))
-              .as("group_id"))
-          .localCheckpoint(eager = false)
+              .as("group_id")))
         val nextSum = labelSum(next)
         // NOTE: Dataset.unpersist does not free localCheckpoint RDDs (they
         // live outside the CacheManager); dropping the reference is what
         // matters — ContextCleaner reclaims unreachable checkpointed RDDs,
-        // and MEMORY_AND_DISK spills rather than OOMs in the interim
+        // and MEMORY_AND_DISK spills rather than OOMs in the interim.
+        // Reliable-checkpoint files under checkpointDir are likewise
+        // reclaimed by ContextCleaner when
+        // spark.cleaner.referenceTracking.cleanCheckpoints is set
         labels.unpersist()
         labels = next
         converged = nextSum.compareTo(prevSum) == 0
@@ -287,8 +314,9 @@ object Dedup {
     *
     * Two blocking modes:
     *  - DEFAULT `exactBlocking = true`: PREFIX FILTERING (the All-Pairs /
-    *    PPJoin principle — Bayardo et al., WWW'07): gram sets are sorted by
-    *    hash (a global total order), and each doc indexes only its first
+    *    PPJoin principle — Bayardo et al., WWW'07): gram sets are ordered by
+    *    ascending global document frequency (see `jaccardPairsFromSets`), and
+    *    each doc indexes only its first
     *    `|g| - ceil(t*|g|) + 1` grams. If J(A,B) >= t then |A∩B| >= t*|A|,
     *    and were the two prefixes disjoint, every common gram would have to
     *    sit beyond one side's prefix — at most `ceil(t*|A|) - 1` grams —
@@ -311,13 +339,15 @@ object Dedup {
     */
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3,
-                        exactBlocking: Boolean = true): DataFrame = {
+                        exactBlocking: Boolean = true,
+                        dfOrdered: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
-    if (exactBlocking) jaccardPairsFromSets(g.select(col("id"), col("g")), threshold)
+    if (exactBlocking)
+      jaccardPairsFromSets(g.select(col("id"), col("g")), threshold, dfOrdered)
     else {
       val blocks = g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
       val a = blocks.select(col("blk"), col("id").as("id_a"))
@@ -335,20 +365,63 @@ object Dedup {
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold, with
     * RECALL 1 (prefix-filter + size-bound pruning only discard pairs that
     * provably cannot reach the threshold).
+    *
+    * `dfOrdered` (DEFAULT) applies the canonical All-Pairs total order
+    * (Bayardo et al., WWW'07): gram sets are ordered by ASCENDING global
+    * document frequency before the prefix slice, so the rarest grams fill
+    * the prefixes and ubiquitous boilerplate grams sink to the never-indexed
+    * suffix. Recall 1 holds for ANY consistent total order; what df order
+    * changes is the hot-key profile — under hash order a template gram
+    * shared by 100k docs lands in prefixes at natural rates and becomes one
+    * join key with 10^10 candidate pairs, the exact quadratic trap at
+    * 100 TB. Costs one extra short-key aggregation (gram → df) plus the
+    * per-doc reorder; df == 1 prefix grams are dropped post-slice (a gram
+    * unique to one doc can never produce a candidate). `dfOrdered = false`
+    * keeps the zero-extra-shuffle hash order for corpora known to be
+    * boilerplate-free.
     */
-  def jaccardPairsFromSets(g: DataFrame, threshold: Double): DataFrame = {
+  def jaccardPairsFromSets(g: DataFrame, threshold: Double,
+                           dfOrdered: Boolean = true): DataFrame =
+    verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
+
+  /** Candidate (id_a, id_b) pairs from the prefix-filtered inverted-index
+    * join — the pre-verify stage of `jaccardPairsFromSets`, exposed so tests
+    * can measure candidate volume under the two total orders.
+    */
+  private[graft] def prefixCandidates(g: DataFrame, threshold: Double,
+                                      dfOrdered: Boolean): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    val pfxLen = (size(col("g")) - ceil(size(col("g")) * threshold) + 1).cast("int")
-    val idx = g.select(col("id"), size(col("g")).as("sz"),
-      explode(slice(col("g"), lit(1), pfxLen)).as("tok"))
+    // prefix length |g| - ceil(t·|g|) + 1: a qualifying pair shares
+    // >= ceil(t·|A|) grams, which cannot all hide in a suffix shorter than
+    // that — so both prefixes contain a shared gram (recall 1)
+    def pfxLen(sz: Column): Column = (sz - ceilT(sz, threshold) + 1).cast("int")
+    val idx =
+      if (!dfOrdered) {
+        // hash order: g is already sorted — slice directly, no extra shuffle
+        g.select(col("id"), size(col("g")).as("sz"),
+          explode(slice(col("g"), lit(1), pfxLen(size(col("g"))))).as("tok"))
+      } else {
+        // (df asc, gram asc) total order: count global df per gram (two-stage
+        // agg on 8-byte keys), re-sort each doc's set by it, slice the
+        // prefix, then drop df==1 entries — they sort first but join nothing
+        val flat = g.select(col("id"), size(col("g")).as("sz"),
+          explode(col("g")).as("tok"))
+        val dfTab = flat.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+        flat.join(dfTab, Seq("tok"))
+          .groupBy(col("id")).agg(first(col("sz")).as("sz"),
+            sort_array(collect_list(struct(col("df"), col("tok")))).as("dg"))
+          .select(col("id"), col("sz"),
+            explode(slice(col("dg"), lit(1), pfxLen(col("sz")))).as("dt"))
+          .where(col("dt.df") > 1)
+          .select(col("id"), col("sz"), col("dt.tok").as("tok"))
+      }
     val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
     val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    val pairs = a.join(bb, Seq("tok"))
+    a.join(bb, Seq("tok"))
       .where(col("id_a") < col("id_b") &&
-        col("sz_a") >= ceil(col("sz_b") * threshold) &&
-        col("sz_b") >= ceil(col("sz_a") * threshold))
+        col("sz_a") >= ceilT(col("sz_b"), threshold) &&
+        col("sz_b") >= ceilT(col("sz_a"), threshold))
       .select(col("id_a"), col("id_b")).distinct()
-    verifySetPairs(pairs, g, threshold)
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
@@ -363,16 +436,31 @@ object Dedup {
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
-  /** Exact duplicate TOKEN-SEQUENCE dedup — the north-rule payload
-    * (`tokens:array<int32>`) analogue of `exactDedup`: fingerprint =
-    * `xxhash64` over the array (codegen'd structural hash, no
-    * serialization), keep the min-id row per fingerprint. One shuffle on
-    * the 8-byte fingerprint; the token arrays never shuffle.
+  /** TOKEN-SEQUENCE dedup by structural fingerprint — the north-rule payload
+    * (`tokens:array<int32>`) analogue of `exactDedup`: fingerprint = a
+    * 128-bit pair of `xxhash64` passes over the array (codegen'd, no
+    * serialization; the second pass prepends a constant so the array is
+    * hashed under a DIFFERENT chained seed — two independent 64-bit hashes,
+    * not one hash re-finalized), keep the min-id row per fingerprint. One
+    * shuffle on the 16-byte fingerprint; the token arrays never shuffle.
+    *
+    * FINGERPRINT CONTRACT (same as `exactDedup`'s on text): equality is
+    * checked on the hash, not the raw arrays — a full 128-bit collision
+    * between DISTINCT sequences silently drops a non-duplicate row. At
+    * 10^12 sequences that is ~10^24 pairs × 2^-128 ≈ 3·10^-15 expected
+    * collisions (64 bits alone would expect ~10^4 — why the pair). Callers
+    * needing certainty can re-verify survivors' dropped ids by raw-array
+    * equality within fingerprint groups; at that failure probability the
+    * extra array shuffle is not the default.
     */
   def tokenExactDedup(df: DataFrame, tokensCol: String, idCol: String): DataFrame = {
+    // xxhash64(x, lit(1)) would only re-finalize the SAME chained state (a
+    // colliding pair stays colliding); hashing (lit(1), x) changes the seed
+    // the whole array is folded under, giving an independent second hash
     val fp = df.withColumn("__fp", xxhash64(col(tokensCol)))
-    val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
-    fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
+      .withColumn("__fp2", xxhash64(lit(1L), col(tokensCol)))
+    val keep = fp.groupBy(col("__fp"), col("__fp2")).agg(min(col(idCol)).as(idCol))
+    fp.join(keep, Seq("__fp", "__fp2", idCol), "left_semi").drop("__fp", "__fp2")
   }
 
   /** NEAR-duplicate token sequences by k-token-gram Jaccard: `IntGramSet`
@@ -382,9 +470,10 @@ object Dedup {
     * `ngramJaccardPairs`.
     */
   def tokenNgramNearDups(df: DataFrame, tokensCol: String, idCol: String,
-                         k: Int = 5, threshold: Double = 0.7): DataFrame =
+                         k: Int = 5, threshold: Double = 0.7,
+                         dfOrdered: Boolean = true): DataFrame =
     jaccardPairsFromSets(
       df.select(col(idCol).as("id"),
         graft.functions.TextExprs.intGramSet(col(tokensCol), k).as("g")),
-      threshold)
+      threshold, dfOrdered)
 }

@@ -96,6 +96,10 @@ object StreamingDedup {
           bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("ts"),
         col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      // a single row whose id or ts CASTS to null would otherwise NPE the
+      // state function (ts.getTime in the deterministic sort) and kill the
+      // whole streaming query — filter before the stateful stage
+      .where(col("id").isNotNull && col("ts").isNotNull)
       .withWatermark("ts", s"$watermarkDelayMs milliseconds")
       .as[(Long, java.sql.Timestamp, Int, Long)]
 

@@ -525,4 +525,84 @@ class PipelineSpec extends SparkSpec {
     // {0,1,3} collapse to 0; {4,5} to 4; 2 untouched
     assert(kept == Set(0L, 2L, 4L))
   }
+
+  test("prefix filter keeps a pair sitting exactly AT the threshold (ceil ulp jitter)") {
+    // 0.07 * 100 = 7.000000000000001 in doubles: a naive ceil gives 8,
+    // shortening the 100-set's prefix to 93 AND tightening the size bound to
+    // 8 — either alone silently drops this J = 7/100 = exactly-threshold
+    // pair. Worst case: B ⊂ A, |B| = 7, B = A's LAST 7 grams in sort order.
+    val a = (1L to 100L).toArray
+    val b = (94L to 100L).toArray
+    val g = Seq((0L, a), (1L, b)).toDF("id", "g")
+    for (ord <- Seq(true, false)) {
+      val got = Dedup.jaccardPairsFromSets(g, 0.07, dfOrdered = ord)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == Set((0L, 1L, 0.07)),
+        s"dfOrdered=$ord dropped the at-threshold pair: $got")
+    }
+  }
+
+  test("df-ordered prefixes exclude boilerplate grams: fewer candidates, identical pairs") {
+    // 40 docs, each: 10 ubiquitous BOILERPLATE grams (low values → they sort
+    // FIRST under hash order and land inside every prefix) + 20 content
+    // grams. Docs (2i, 2i+1) are siblings sharing 18 content grams
+    // (J = 28/32 = 0.875); cross pairs share only the boilerplate
+    // (J = 10/50 = 0.2 < t). Under hash order every one of the C(40,2) = 780
+    // pairs becomes a candidate through the boilerplate grams; under df
+    // order the df-40 boilerplate sinks to the suffix and only sibling pairs
+    // surface.
+    val boiler = (1L to 10L)
+    val docsG = (0 until 40).map { i =>
+      val base = (0 until 20).map(j => 1000L + (i / 2) * 100 + j)
+      val content = if (i % 2 == 0) base
+      else base.drop(2) ++ Seq(500000L + i, 600000L + i)
+      (i.toLong, (boiler ++ content).sorted.toArray)
+    }.toDF("id", "g")
+    val hashCands = Dedup.prefixCandidates(docsG, 0.5, dfOrdered = false).count()
+    val dfCands = Dedup.prefixCandidates(docsG, 0.5, dfOrdered = true).count()
+    assert(hashCands == 780L, s"hash order should hit all pairs, got $hashCands")
+    assert(dfCands == 20L, s"df order should surface only sibling pairs, got $dfCands")
+    val want = (0 until 20).map(i => (2L * i, 2L * i + 1, 0.875)).toSet
+    for (ord <- Seq(true, false)) {
+      val got = Dedup.jaccardPairsFromSets(docsG, 0.5, dfOrdered = ord)
+        .as[(Long, Long, Double)].collect().toSet
+      assert(got == want, s"dfOrdered=$ord: wrong pair set")
+    }
+  }
+
+  test("dupGroups with a reliable checkpoint dir: identical groups, files on storage") {
+    val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
+    val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
+    try {
+      val g = Dedup.dupGroups(chain, checkpointDir = Some(dir.getAbsolutePath))
+        .as[(Long, Long)].collect().toMap
+      assert(g.size == 101 && g.values.toSet == Set(0L))
+      // the reliable path really wrote checkpoint data (not executor-local)
+      val files = Option(dir.listFiles).map(_.toSeq).getOrElse(Seq.empty)
+      assert(files.nonEmpty, "no reliable checkpoint data written")
+    } finally {
+      def rm(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(rm)); f.delete(); ()
+      }
+      rm(dir)
+    }
+  }
+
+  test("cosineNearDups candidate join carries no embedding payload (pre-distinct)") {
+    import org.apache.spark.sql.catalyst.plans.logical.{Aggregate, Join}
+    import org.apache.spark.sql.types.ArrayType
+    val lp = Ann.cosineNearDups(vecs, threshold = 0.9, bands = 8, bitsPerBand = 2)
+      .queryExecution.optimizedPlan
+    // the only Aggregate is the candidate-pair distinct; every join BELOW it
+    // (the banded self-join) must move ids and bucket keys only — the
+    // vectors join back by id above the distinct
+    val aggs = lp.collect { case agg: Aggregate => agg }
+    assert(aggs.nonEmpty, "expected the candidate-distinct aggregate")
+    val joinsBelow = aggs.flatMap(_.collect { case j: Join => j })
+    assert(joinsBelow.nonEmpty, "expected the banded candidate self-join")
+    joinsBelow.foreach { j =>
+      assert(!j.output.exists(_.dataType.isInstanceOf[ArrayType]),
+        s"embedding payload rides the candidate join: ${j.output}")
+    }
+  }
 }
