@@ -17,6 +17,12 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     [--id-col doc_id] [--text-col text] \
   *     [--minhash-threshold 0.8] [--contam-grams 13]
   *
+  * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
+  * north-rule payload — structural-fingerprint exact dedup, k-token-gram
+  * prefix-filtered near-dups, token-gram decontamination
+  * ([--jaccard-threshold 0.7]); `--eval` then names a parquet of
+  * (doc_id, tokens).
+  *
   * Output layout: `clean/` (surviving annotated rows), `violations/`,
   * `dup_groups/` (id → group), `contaminated/` (train_id, test_id,
   * n_shared — when --eval given), `stats.json` (one line per stage:
@@ -57,6 +63,76 @@ object Curate {
       req(idCol, anything),
       req(textCol, and(str, nonEmptyStr,
         pred("len_le_1m")(t => length(t) <= 1000000)))) ++ extras)
+  }
+
+  /** The default TOKEN-corpus rule (north-rule payload `tokens:array<int>`):
+    * required id, non-empty bounded token array with no null elements —
+    * extras pass through like `defaultRule`. Callers with a vocabulary pass
+    * a rule with in-vocab bounds (e.g. `SeqValidation.rule`).
+    */
+  def defaultTokenRule(docs: DataFrame, idCol: String,
+                       tokensCol: String): rules.StructRule = {
+    import rules.dsl._
+    val extras = docs.columns.filterNot(c => c == idCol || c == tokensCol)
+      .map(c => opt(c, anything)).toSeq
+    rules.StructRule(fields = Seq(
+      req(idCol, anything),
+      req(tokensCol, and(
+        pred("nonempty")(t => size(t) > 0),
+        pred("len_le_1m")(t => size(t) <= 1000000),
+        pred("no_null_tokens")(t => !functions.ArrayExprs.arrayHasNull(t))))) ++ extras)
+  }
+
+  /** The token-sequence funnel — `run` for the north-rule payload: dedup
+    * routes through the STRUCTURAL fingerprint (`Dedup.tokenExactDedup`) and
+    * k-token-gram prefix-filtered jaccard (`Dedup.tokenNgramNearDups`)
+    * instead of text fingerprints/MinHash, and decontamination through the
+    * token-gram `Overlap.contamination`. Annotation is the sequence's own
+    * stats (n_tok); stage layout, stats, and cache discipline are identical
+    * to `run`.
+    */
+  def runTokens(spark: SparkSession, docs: DataFrame, idCol: String,
+                tokensCol: String,
+                rule: Option[rules.StructRule] = None,
+                eval: Option[DataFrame] = None,
+                gramK: Int = 5, jaccardThreshold: Double = 0.7,
+                contamGrams: Int = 13, contamMinShared: Long = 1L,
+                contamStopGramMaxDf: Option[Long] = None): Result = {
+    val stats = Seq.newBuilder[StageStats]
+    val res = rules.Validator.run(docs,
+      rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)))
+    val valid = res.validated.persist()
+    val violations = res.violations.persist()
+    val nValid = valid.count()
+    val nViolations = violations.count()
+    stats += StageStats("validate", nValid + nViolations, nValid)
+
+    val annotated = valid.withColumn("n_tok_actual", size(col(tokensCol)))
+
+    val exact = Dedup.tokenExactDedup(annotated, tokensCol, idCol).persist()
+    val nExact = exact.count()
+    stats += StageStats("exact_dedup", nValid, nExact)
+
+    val pairs = Dedup.tokenNgramNearDups(exact, tokensCol, idCol,
+      k = gramK, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
+    val groups = Dedup.dupGroups(pairs).persist()
+    val survivors = Dedup.nearDupSurvivors(exact, idCol, groups).persist()
+    val nSurv = survivors.count()
+    stats += StageStats("near_dedup", nExact, nSurv)
+
+    val (clean, contaminated) = eval match {
+      case Some(ev) =>
+        val contam = Overlap.contamination(
+          survivors, ev, tokensCol, idCol, contamGrams, contamMinShared,
+          contamStopGramMaxDf).persist()
+        val dec = Overlap.decontaminate(survivors, idCol, contam)
+        val nDec = dec.count()
+        stats += StageStats("decontaminate", nSurv, nDec)
+        (dec, Some(contam))
+      case None => (survivors, None)
+    }
+    Result(clean, violations, groups, contaminated, stats.result(),
+      persisted = Seq(valid, violations, exact, groups, survivors) ++ contaminated)
   }
 
   def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
@@ -134,11 +210,18 @@ object Curate {
 
     val docs = spark.read.parquet(input)
     val eval = opts.get("eval").map(spark.read.parquet(_))
-    val r = run(spark, docs,
-      opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
-      eval = eval,
-      minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
-      contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+    val r = opts.get("tokens-col") match {
+      case Some(tc) => runTokens(spark, docs,
+        opts.getOrElse("id-col", "doc_id"), tc,
+        eval = eval,
+        jaccardThreshold = opts.getOrElse("jaccard-threshold", "0.7").toDouble,
+        contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+      case None => run(spark, docs,
+        opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
+        eval = eval,
+        minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
+        contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+    }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")
     r.violations.write.mode("overwrite").parquet(s"$output/violations")

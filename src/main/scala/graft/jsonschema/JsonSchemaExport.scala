@@ -31,11 +31,16 @@ import graft.rules._
   *    like the reference's: the first parent occurrence (hashed with raw
   *    children) stays expanded, the second (hashed with $ref children)
   *    starts a new cons group — verified against the reference's actual
-  *    output for {"a": sub, "b": sub, "c": sub}. Deviations: (a) ids are
-  *    murmur3 of the canonical rendering, not CPython `hash()`
-  *    (unreproducible cross-language); (b) an Optional default on a consed
-  *    property disables consing for that property instead of mutating the
-  *    shared dict the way :846-851 does.
+  *    output for {"a": sub, "b": sub, "c": sub}. An Optional default on a
+  *    consed property is appended by MUTATION after consing, exactly like
+  *    :846-851 (`expanded_schema[key_name]["default"] = ...` on whatever
+  *    _json_schema returned): on a first occurrence the default lands in
+  *    the shared definition (and leaks to later $ref users — the cons key
+  *    was hashed BEFORE the default existed); on a later occurrence it
+  *    rides next to the `$ref`. Verified against the reference's actual
+  *    output for both orderings. The one deviation: ids are murmur3 of the
+  *    canonical rendering, not CPython `hash()` (unreproducible
+  *    cross-language).
   *  - main schema stamped with $id/$schema (:872-880)
   *
   * Key ORDER inside objects is ours (title, description, body); JSON object
@@ -60,6 +65,14 @@ object JsonSchemaExport {
     private[jsonschema] def addId(id: String): Unit =
       if (!target.fields.exists(_._1 == "$id"))
         target = JObj(target.fields :+ ("$id" -> (JStr(id): J)))
+    /** In-place field append — the analog of the reference mutating the
+      * shared dict it already handed out (`expanded_schema[key]["default"]
+      * = ...`, schema/__init__.py:846-851). The `seen` key was computed
+      * before, so the mutation is invisible to later cons lookups — exactly
+      * the reference's aliasing.
+      */
+    private[jsonschema] def addField(f: (String, J)): Unit =
+      target = JObj(target.fields :+ f)
   }
 
   def render(j: J): String = j match {
@@ -283,11 +296,21 @@ object JsonSchemaExport {
             // callable defaults are invoked for the export, like
             // _invoke_with_optional_kwargs at :856-860 (no kwargs here)
             val dflt = defaultFn.map(fn => fn(Map.empty)).orElse(default)
+            // cons FIRST (the hash never sees the default), then append the
+            // default to whatever came back — the shared box on a first
+            // occurrence (the default leaks into the shared definition, as
+            // the reference's dict mutation does), the {"$ref"} stub on a
+            // later one (:846-851)
+            val consed = consFor(f.rule, base, c)
             val withDefault: J = dflt match {
-              // a default disables consing for this property (documented
-              // deviation: the reference mutates the shared dict, :846-851)
-              case Some(d) => JObj(base.fields :+ ("default" -> toJsonValue(d): (String, J)))
-              case None => consFor(f.rule, base, c)
+              case Some(d) =>
+                val fld = "default" -> (toJsonValue(d): J)
+                consed match {
+                  case box: JBox => box.addField(fld); box
+                  case o: JObj => JObj(o.fields :+ fld)
+                  case other => other
+                }
+              case None => consed
             }
             props :+= (f.name -> withDefault)
         }

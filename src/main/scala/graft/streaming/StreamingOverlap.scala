@@ -1,0 +1,71 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.pipeline.Overlap
+
+/** Ingest-time train/test contamination checks — the streaming face of
+  * `pipeline.Overlap`. Decontamination is the one curation stage every batch
+  * pipeline runs that, without this, has no ingest-time form: a stream of
+  * training sequences should be screened against the evaluation sets AS IT
+  * ARRIVES, not in a nightly sweep after contaminated rows already landed.
+  *
+  * Shape: contamination is STATELESS per training row (each doc is checked
+  * independently against the eval gram index), so no stream state or
+  * watermark is needed — each micro-batch runs the exact batch operator
+  * (`Overlap.contamination`: gram projection → broadcast eval index join →
+  * partial count) via `foreachBatch`, the same wiring as
+  * `StreamingDedup.verifiedMinhashNearDups`'s verify stage. Per-batch cost
+  * is O(batch grams); the eval index is re-resolved every batch from the
+  * `test` snapshot provider.
+  *
+  * FRESHNESS CONTRACT (mirror of `verifiedMinhashNearDups`'s): a training
+  * row is checked ONCE, against the eval snapshot current at its batch — an
+  * eval set extended LATER does not retro-flag rows from earlier batches.
+  * When eval sets grow, re-run the batch `Overlap.contamination` over the
+  * accumulated corpus for the delta (the batch and streaming operators are
+  * the same code, so the results compose). Rows re-delivered by source
+  * retries re-emit: the sink must be idempotent on (train_id, test_id), the
+  * standard streaming-upsert contract.
+  */
+object StreamingOverlap {
+
+  /** Per-micro-batch contamination of a token-sequence stream against an
+    * evaluation set: every batch's (train_id, test_id, n_shared) rows —
+    * training docs sharing >= `minShared` distinct token k-grams with one
+    * eval doc — go to `sink`. `test` is a snapshot provider (re-evaluated
+    * per batch, like `verifiedMinhashNearDups`'s `corpus`); pass
+    * `stopGramMaxDf` to drop eval grams too common across EVAL docs to be
+    * evidence. Returns the started query; the caller owns stop/await.
+    */
+  def contaminationStream(df: DataFrame, tokensCol: String, idCol: String,
+                          test: () => DataFrame, k: Int, minShared: Long,
+                          stopGramMaxDf: Option[Long] = None,
+                          checkpointDir: Option[String] = None)
+                         (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Overlap.contamination(batch, test(), tokensCol, idCol, k,
+          minShared, stopGramMaxDf), batchId)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+
+  /** `contaminationStream` over raw TEXT (normalized word k-grams) — the
+    * streaming face of `Overlap.textContamination`, same contract.
+    */
+  def textContaminationStream(df: DataFrame, textCol: String, idCol: String,
+                              test: () => DataFrame, k: Int, minShared: Long,
+                              stopGramMaxDf: Option[Long] = None,
+                              checkpointDir: Option[String] = None)
+                             (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    val writer = df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        sink(Overlap.textContamination(batch, test(), textCol, idCol, k,
+          minShared, stopGramMaxDf), batchId)
+      }
+    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
+  }
+}

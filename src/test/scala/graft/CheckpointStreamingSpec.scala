@@ -449,4 +449,35 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(hits.forall { case (q, r, n, c) =>
       q != n && r >= 1 && r <= 3 && c >= -1.0 && c <= 1.0 })
   }
+
+  test("streaming contamination per micro-batch == batch Overlap.contamination") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingOverlap
+    // train docs 0 and 2 share 5-gram spans with eval doc 10; 1 and 3 are
+    // clean (disjoint token ranges, incl. vs eval doc 11)
+    val trainRows = Seq(
+      (0L, (1 to 30).toArray), (1L, (100 to 140).toArray),
+      (2L, (5 to 40).toArray), (3L, (200 to 230).toArray))
+    val testDf = Seq((10L, (1 to 30).toArray), (11L, (300 to 320).toArray))
+      .toDF("id", "tokens")
+    val got = scala.collection.mutable.Set.empty[(Long, Long, Long)]
+    val mem = MemoryStream[(Long, Array[Int])]
+    val q = StreamingOverlap.contaminationStream(
+      mem.toDF().toDF("id", "tokens"), "tokens", "id",
+      test = () => testDf, k = 5, minShared = 1L) { (batch, _) =>
+      got.synchronized { got ++= batch.as[(Long, Long, Long)].collect() }
+    }
+    // two micro-batches: the flagged rows arrive in different batches
+    mem.addData(trainRows.take(2): _*)
+    q.processAllAvailable()
+    mem.addData(trainRows.drop(2): _*)
+    q.processAllAvailable()
+    q.stop()
+    val batchResult = pipeline.Overlap.contamination(
+      trainRows.toDF("id", "tokens"), testDf, "tokens", "id",
+      k = 5, minShared = 1L).as[(Long, Long, Long)].collect().toSet
+    assert(batchResult == Set((0L, 10L, 26L), (2L, 10L, 22L)))
+    assert(got.toSet == batchResult,
+      s"streaming ${got.toSet} != batch $batchResult")
+  }
 }

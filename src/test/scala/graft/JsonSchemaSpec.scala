@@ -184,4 +184,46 @@ class JsonSchemaSpec extends AnyFunSuite {
     assert(("\"a\": \\{\"type\": \"object\", \"properties\": \\{\"x\": \\{\"type\": " +
       "\"integer\", \"\\$id\": \"#" + ids.head + "\"\\}\\}").r.findFirstIn(out).isDefined)
   }
+
+  test("use_refs + Optional default: the reference's dict-mutation semantics") {
+    // Reference-observed (run against /root/reference/schema, 2026-08-17,
+    // sub = {"x": int, "y": str}): the default is appended by MUTATION to
+    // whatever _json_schema returned, AFTER the cons hash was taken.
+    val sub = schema(req("x", int), req("y", str))
+
+    // Ordering 1: {"a": sub, Optional("b", default): sub, "c": sub} —
+    // b is a LATER parent occurrence (ref-children group): it keeps the
+    // expanded ref-children body + default + the parent $id, and c $refs
+    // it — i.e. the default LEAKS into the shared definition, exactly as
+    // the reference's `expanded_schema[key]["default"] = ...` does.
+    val out1 = export(
+      schema(req("a", sub), optDefault("b", sub, 5), req("c", sub)),
+      "my-id", useRefs = true)
+    val ids1 = "\"\\$id\": \"#(\\d+)\"".r.findAllMatchIn(out1).map(_.group(1)).toSeq
+    assert(ids1.size == 3, s"2 child ids + 1 parent id expected: $out1")
+    val pid1 = ids1.last
+    assert(out1.contains("\"c\": {\"$ref\": \"#" + pid1 + "\"}"), out1)
+    assert("\"default\": 5".r.findAllIn(out1).size == 1, s"default exactly once: $out1")
+    val bBlock1 = out1.substring(out1.indexOf("\"b\":"), out1.indexOf("\"c\":"))
+    assert(bBlock1.contains("\"default\": 5"), s"default must sit on b: $out1")
+    assert(bBlock1.contains("\"$id\": \"#" + pid1 + "\""),
+      s"b must carry the shared parent id despite the default: $out1")
+    assert(bBlock1.contains("$ref"), s"b's children must stay consed: $out1")
+
+    // Ordering 2: {Optional("b", default): sub, "a": sub, "c": sub} — b is
+    // the FIRST parent occurrence (raw-children group, never re-hit): the
+    // default sits in b's expanded body with NO parent $id; a (ref-children)
+    // starts the cons group that c refs.
+    val out2 = export(
+      schema(optDefault("b", sub, 5), req("a", sub), req("c", sub)),
+      "my-id", useRefs = true)
+    val ids2 = "\"\\$id\": \"#(\\d+)\"".r.findAllMatchIn(out2).map(_.group(1)).toSeq
+    assert(ids2.size == 3, s"2 child ids + 1 parent id expected: $out2")
+    val pid2 = ids2.last
+    assert(out2.contains("\"c\": {\"$ref\": \"#" + pid2 + "\"}"), out2)
+    val bBlock2 = out2.substring(out2.indexOf("\"b\":"), out2.indexOf("\"a\":"))
+    assert(bBlock2.contains("\"default\": 5"), out2)
+    assert(!bBlock2.contains("\"$id\": \"#" + pid2 + "\""),
+      s"b's singleton raw-children group must not carry the parent id: $out2")
+  }
 }

@@ -515,6 +515,32 @@ class PipelineSpec extends SparkSpec {
       Seq((2L, 100L, 6L))) // 6 shared word-3-grams of the 8-word text
   }
 
+  test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
+    // 6 sequences: 1 = exact dup of 0; 2 = near-dup of 0 (suffix edit,
+    // 5-gram J = 96/99 ≈ 0.97); 3 clean; 4 invalid (empty); 6 contaminated
+    // (token span copied into the eval set). Funnel: validate 6→5, exact
+    // dedup 5→4, near-dup groups 4→3, decontaminate 3→2 → clean {0, 3}
+    val input = Seq(
+      (0L, (1 to 100).toArray),
+      (1L, (1 to 100).toArray),
+      (2L, ((1 to 100) ++ Seq(200, 201, 202)).toArray),
+      (3L, (1000 to 1100).toArray),
+      (4L, Array.empty[Int]),
+      (6L, (5000 to 5030).toArray)
+    ).toDF("doc_id", "tokens")
+    val evalSeqs = Seq((100L, (5000 to 5030).toArray)).toDF("doc_id", "tokens")
+    val r = Curate.runTokens(spark, input, "doc_id", "tokens",
+      eval = Some(evalSeqs), gramK = 5, jaccardThreshold = 0.7, contamGrams = 5)
+    assert(r.stats.map(s => (s.stage, s.rowsIn, s.rowsOut)) == Seq(
+      ("validate", 6L, 5L), ("exact_dedup", 5L, 4L),
+      ("near_dedup", 4L, 3L), ("decontaminate", 3L, 2L)))
+    assert(r.clean.select("doc_id").as[Long].collect().toSet == Set(0L, 3L))
+    assert(r.clean.columns.contains("n_tok_actual"))
+    assert(r.groups.as[(Long, Long)].collect().toMap == Map(0L -> 0L, 2L -> 0L))
+    assert(r.contaminated.get.select("train_id").as[Long].collect().toSeq == Seq(6L))
+    r.unpersist()
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
