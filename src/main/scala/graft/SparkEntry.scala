@@ -294,6 +294,28 @@ object SparkEntry {
         "q_contam_test")
       Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10)
     }),
+    "q_decontaminate" -> ((s, dir) => {
+      // decontamination end-to-end: the contamination check (broadcast eval
+      // gram index) feeding the anti-join filter — the composition Curate
+      // runs. Same planted-overlap fixture as q_contamination under its own
+      // materialized paths; the oracle recomputes flagged ids from raw
+      // token slices and anti-joins in SQL.
+      val V = graft.gen.SequenceGen.Vocab
+      val train = materialize(s,
+        s.range(0, 400, 1, 8).select(col("id"),
+          graft.functions.GenExprs.genTokens(col("id"), 120, V).as("tokens")),
+        "q_decon_train", files = 4)
+      val test = materialize(s,
+        s.range(0, 20, 1, 2).select(col("id"),
+          concat(
+            slice(graft.functions.GenExprs.genTokens(
+              pmod(col("id") * 17, lit(400L)), 120, V), 1, 60),
+            graft.functions.GenExprs.genTokens(col("id") + 7777, 24, V)).as("tokens")),
+        "q_decon_test")
+      Overlap.decontaminate(train, "id",
+        Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10))
+        .select(col("id"))
+    }),
 
     // --- time windows over events (streaming-shaped agg, batch oracle) ---
     "q_events_hourly" -> ((s, dir) => {
@@ -349,6 +371,26 @@ object SparkEntry {
         "doc_id", shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
         .select(col("id_a"), col("id_b"))
       Dedup.dupGroups(materialize(s, pairs, "q_dup_pairs"))
+    }),
+    "q_dedup_survivors" -> ((s, dir) => {
+      // the FULL near-dup funnel tail in one oracle-checked composition:
+      // prefix-filtered token near-dup pairs → transitive groups → survivor
+      // filter. 80 bases × 5 variants (shared 200-token base, 16-token
+      // unique tail, gram J ≈ 0.86 between siblings) ⇒ every base collapses
+      // to its min id: 80 survivors. Inputs + pairs materialized so DuckDB
+      // recomputes closure (recursive CTE) + anti-join independently.
+      val seqs = s.range(0, 400, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(80L)), 200, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id"), 16, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      val stored = materialize(s, seqs, "q_surv_seqs", files = 4)
+      val pairs = Dedup.tokenNgramNearDups(stored, "tokens", "id",
+        k = 5, threshold = 0.5).select(col("id_a"), col("id_b"))
+      Dedup.nearDupSurvivors(stored, "id",
+        Dedup.dupGroups(materialize(s, pairs, "q_surv_pairs")))
+        .select(col("id"))
     }),
     "q_token_dedup" -> ((s, dir) => {
       // exact dedup of TOKEN SEQUENCES (north-rule payload): deterministic
@@ -682,6 +724,24 @@ object SparkEntry {
         |)
         |SELECT id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
 
+    // survivor filter over transitive closure: keep rows whose id is not a
+    // non-survivor (id <> its component's min id) — closure recomputed with
+    // a recursive CTE from the materialized pair list, filter as anti-join
+    "q_dedup_survivors" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM read_parquet('/root/repo/target/graft_oracle/q_surv_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b, id_a FROM read_parquet('/root/repo/target/graft_oracle/q_surv_pairs/*.parquet')
+        |),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id)
+        |SELECT s.id FROM read_parquet('/root/repo/target/graft_oracle/q_surv_seqs/*.parquet') s
+        |WHERE s.id NOT IN (SELECT id FROM g WHERE id <> group_id)""".stripMargin,
+
     // PSI terms with epsilon=0.5 pseudo-count smoothing per bucket
     "q_drift_psi" ->
       """WITH h AS (
@@ -727,6 +787,23 @@ object SparkEntry {
         |SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM trg JOIN teg USING (gram)
         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+
+    // decontaminate = contamination (recomputed from raw token slices) +
+    // anti-join — the flagged-id set independent of the engine's hashing
+    "q_decontaminate" ->
+      """WITH tr AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_decon_train/*.parquet')),
+        |te AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_decon_test/*.parquet')),
+        |trg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM tr),
+        |trg AS (SELECT DISTINCT id, gram FROM trg0),
+        |teg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM te),
+        |teg AS (SELECT DISTINCT id, gram FROM teg0),
+        |flagged AS (SELECT trg.id AS id FROM trg JOIN teg USING (gram)
+        |            GROUP BY trg.id, teg.id HAVING count(*) >= 10)
+        |SELECT id FROM tr WHERE id NOT IN (SELECT id FROM flagged)""".stripMargin,
 
     // exact token-sequence dedup survivors: group by the raw token LIST —
     // independent of the engine's structural hash fingerprint

@@ -172,4 +172,33 @@ class PropertySpec extends SparkSpec {
       assert(got == want)
     }
   }
+
+  test("prefix-filtered similarity join law: both total orders == driver brute force") {
+    // RECALL/PRECISION 1 of jaccardPairsFromSets under BOTH the df-ascending
+    // and hash total orders, on random set corpora at random thresholds —
+    // the algebraic claim behind every *NearDups operator. Small gram values
+    // (1..60) force heavy cross-set overlap, so candidates actually flow.
+    import spark.implicits._
+    val genCase = Gen.zip(
+      Gen.choose(8, 16).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.choose(1L, 60L)).map(_.distinct.sorted))),
+      Gen.oneOf(0.07, 0.2, 0.33, 0.5, 0.75))
+    forAll(genCase) { case (sets, t) =>
+      val rows = sets.zipWithIndex.map { case (s, i) => (i.toLong, s.toArray) }
+      val expect = (for {
+        i <- rows.indices; j <- (i + 1) until rows.size
+        a = rows(i)._2.toSet; b = rows(j)._2.toSet
+        inter = (a intersect b).size.toDouble
+        jac = inter / (a.size + b.size - inter)
+        if jac >= t
+      } yield (rows(i)._1, rows(j)._1,
+        BigDecimal(jac).setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)).toSet
+      val df = rows.toDF("id", "g")
+      for (ord <- Seq(true, false)) {
+        val got = graft.pipeline.Dedup.jaccardPairsFromSets(df, t, dfOrdered = ord)
+          .as[(Long, Long, Double)].collect().toSet
+        assert(got == expect, s"dfOrdered=$ord t=$t: $got != $expect")
+      }
+    }
+  }
 }
