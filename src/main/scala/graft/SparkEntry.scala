@@ -97,6 +97,15 @@ object SparkEntry {
       TableChecks.columnStatsExact(T(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
     }),
+    "q_hot_keys" -> ((s, dir) => {
+      // pre-shuffle skew diagnostic: the 5 hottest join-key values with
+      // their row share (salted two-stage count + TakeOrdered)
+      TableChecks.hotKeys(T(s, dir, "events"), "user_id", k = 5)
+    }),
+    "q_key_skew" -> ((s, dir) => {
+      // one-row skew summary: max key count vs mean key count
+      TableChecks.keySkewStats(T(s, dir, "events"), "user_id")
+    }),
 
     // --- rule engine over VECTOR data: dims / norm-bounds / label checks
     //     (the validation vocabulary composed with the native vector exprs) ---
@@ -530,6 +539,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
         |       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+
+    // deterministic top-5 by (cnt DESC, key ASC) — the salted two-stage
+    // count must agree with a plain GROUP BY
+    "q_hot_keys" ->
+      """WITH c AS (SELECT user_id, CAST(count(*) AS BIGINT) AS cnt FROM events GROUP BY 1),
+        |t AS (SELECT CAST(count(*) AS DOUBLE) AS tot FROM events)
+        |SELECT user_id, cnt, round(cnt / tot, 6) AS share
+        |FROM c, t ORDER BY cnt DESC, user_id ASC LIMIT 5""".stripMargin,
+
+    "q_key_skew" ->
+      """WITH c AS (SELECT user_id, count(*) AS cnt FROM events GROUP BY 1)
+        |SELECT CAST(sum(cnt) AS BIGINT) AS n_rows, CAST(count(*) AS BIGINT) AS n_keys,
+        |       CAST(max(cnt) AS BIGINT) AS max_cnt,
+        |       round(max(cnt) / (CAST(sum(cnt) AS DOUBLE) / count(*)), 4) AS skew_ratio
+        |FROM c""".stripMargin,
 
     "q_validate_embeddings" ->
       """SELECT vec_id,

@@ -112,4 +112,57 @@ object TableChecks {
     df.where(col(c).isNotNull)
       .groupBy(bucketCol(col(c), lo, hi, buckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
+
+  /** Top-`k` hottest values of a prospective join/partition key with their
+    * row share — the pre-shuffle diagnostic for a 100 TB table: before
+    * shuffling on `key`, this answers "does one value own 10% of the rows?"
+    * (→ salt it, or route it through AQE skew handling), the same question
+    * `duplicateKeys` answers for uniqueness and salting answers for aggs.
+    *
+    * Plan: salted two-stage count (a hot key must not bottleneck its own
+    * diagnostic) → TakeOrderedAndProject on (cnt DESC, key ASC) — only k
+    * rows cross to the driver side of the sort, never the key universe.
+    * `share` is the value's fraction of ALL rows (null keys count — a 40%
+    * null key is exactly the skew one needs to know about).
+    */
+  def hotKeys(df: DataFrame, key: String, k: Int,
+              saltBuckets: Int = 64): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val salted = df.select(col(key),
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltBuckets)).as("__salt"))
+    val counts = salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
+    // total derived from the SAME per-key-count subtree (broadcast one-row
+    // aggregate, the Drift totals pattern) — a df.count() here would be a
+    // second full input scan; exchange reuse collapses the shared subtree
+    val total = counts.agg(sum(col("cnt")).as("__tot"))
+    counts
+      .orderBy(col("cnt").desc, col(key).asc_nulls_last)
+      .limit(k)
+      .crossJoin(broadcast(total))
+      .select(col(key), col("cnt"),
+        round(col("cnt").cast("double") / col("__tot").cast("double"), 6).as("share"))
+  }
+
+  /** One-row skew summary of a key: row/key counts, the heaviest key's count,
+    * and `skew_ratio` = max key count / mean key count (1.0 = perfectly
+    * uniform; a ratio of 10⁴ means the hottest reducer gets 10⁴× the average
+    * — shuffle on this key only with salting or AQE skew-join). One pass for
+    * the per-key counts + one tiny aggregate over them.
+    */
+  def keySkewStats(df: DataFrame, key: String,
+                   saltBuckets: Int = 64): DataFrame = {
+    val salted = df.select(col(key),
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltBuckets)).as("__salt"))
+    salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
+      .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
+        max(col("cnt")).as("max_cnt"))
+      .select(col("n_rows"), col("n_keys"), col("max_cnt"),
+        round(col("max_cnt").cast("double") /
+          (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
+          .as("skew_ratio"))
+  }
 }

@@ -117,6 +117,24 @@ class SeqValidationSpec extends SparkSpec {
     assert(rows.count() == 4) // 2×k1 + 2×null
   }
 
+  test("hotKeys + keySkewStats: skew diagnostics, null keys, deterministic tiebreaks") {
+    // 24 rows / 6 keys: hot×10, warm×5, warm2×5, null×2, c1, c2 — mean
+    // key count 4.0, so skew_ratio = 10/4 = 2.5
+    val df = (Seq.fill(10)(Some("hot")) ++ Seq.fill(5)(Some("warm")) ++
+      Seq.fill(5)(Some("warm2")) ++ Seq(None, None, Some("c1"), Some("c2")))
+      .toDF("k")
+    val hot = TableChecks.hotKeys(df, "k", k = 4).collect()
+      .map(r => (Option(r.getString(0)), r.getLong(1), r.getDouble(2)))
+    assert(hot.toSeq == Seq(
+      (Some("hot"), 10L, 0.416667),   // ties break on key ASC, nulls last
+      (Some("warm"), 5L, 0.208333),
+      (Some("warm2"), 5L, 0.208333),
+      (None, 2L, 0.083333)))
+    val stats = TableChecks.keySkewStats(df, "k").head()
+    assert((stats.getLong(0), stats.getLong(1), stats.getLong(2),
+      stats.getDouble(3)) == ((24L, 6L, 10L, 2.5)))
+  }
+
   test("drift: distributed chi2Terms equals the driver-side compare statistic") {
     val base = SequenceGen.sequences(spark, 4000, 4, maxLen = 2048, clean = true)
     val obs = SequenceGen.sequences(spark, 4000, 8, maxLen = 1024, clean = true)
