@@ -133,16 +133,18 @@ object TableChecks {
         lit(saltBuckets)).as("__salt"))
     val counts = salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
-    // total derived from the SAME per-key-count subtree (broadcast one-row
-    // aggregate, the Drift totals pattern) — a df.count() here would be a
-    // second full input scan; exchange reuse collapses the shared subtree
-    val total = counts.agg(sum(col("cnt")).as("__tot"))
+    // total via a SEPARATE count(): the salt is a nondeterministic
+    // expression, which defeats exchange reuse — deriving the total from
+    // the counts subtree (the Drift broadcast-totals pattern) recomputes
+    // the whole salted aggregation per consumer (measured: 3 input scans).
+    // count() is the cheaper second pass: column-pruned to nothing (empty
+    // ReadSchema on a parquet scan) and shuffle-free partial counts.
+    val total = df.count()
     counts
       .orderBy(col("cnt").desc, col(key).asc_nulls_last)
       .limit(k)
-      .crossJoin(broadcast(total))
       .select(col(key), col("cnt"),
-        round(col("cnt").cast("double") / col("__tot").cast("double"), 6).as("share"))
+        round(col("cnt").cast("double") / lit(total.toDouble), 6).as("share"))
   }
 
   /** One-row skew summary of a key: row/key counts, the heaviest key's count,

@@ -381,8 +381,68 @@ object Dedup {
     * boilerplate-free.
     */
   def jaccardPairsFromSets(g: DataFrame, threshold: Double,
-                           dfOrdered: Boolean = true): DataFrame =
-    verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
+                           dfOrdered: Boolean = true): DataFrame = {
+    require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    if (!dfOrdered)
+      verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
+    else {
+      // ONE shared base frame (id, sz, g, dg) carries both the df-ordered
+      // prefix source AND the verify payload: every downstream consumer
+      // (the two index sides, the two verify joins) hangs off the same
+      // groupBy(id) exchange, so Spark's exchange reuse computes the
+      // expensive scan → gram → df-join → regroup subtree ONCE and the
+      // other consumers read shuffle files. Verifying against the input
+      // `g` instead would re-derive that subtree per join (measured: 9
+      // input scans at sf0.01 before this shape).
+      val base = dfOrderedBase(g)
+      verifySetPairs(candidatesFromBase(base, threshold), base, threshold)
+    }
+  }
+
+  /** The df-order shared frame: per id, the set size, the hash-sorted set
+    * `g` (rebuilt in the same aggregate — byte-identical to the input set),
+    * and the (df asc, gram asc)-sorted struct array `dg`.
+    */
+  private def dfOrderedBase(g: DataFrame): DataFrame = {
+    // (df asc, gram asc) total order: count global df per gram (two-stage
+    // agg on 8-byte keys), re-sort each doc's set by it
+    val flat = g.select(col("id"), size(col("g")).as("sz"),
+      explode(col("g")).as("tok"))
+    val dfTab = flat.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    flat.join(dfTab, Seq("tok"))
+      .groupBy(col("id")).agg(first(col("sz")).as("sz"),
+        sort_array(collect_list(col("tok"))).as("g"),
+        sort_array(collect_list(struct(col("df"), col("tok")))).as("dg"))
+  }
+
+  /** Prefix index + inverted-index self-join over a `dfOrderedBase` frame:
+    * slice the prefix from the df-ordered array, drop df==1 entries — they
+    * sort first but join nothing.
+    */
+  private def candidatesFromBase(base: DataFrame, threshold: Double): DataFrame = {
+    def pfxLen(sz: Column): Column = (sz - ceilT(sz, threshold) + 1).cast("int")
+    val idx = base
+      .select(col("id"), col("sz"),
+        explode(slice(col("dg"), lit(1), pfxLen(col("sz")))).as("dt"))
+      .where(col("dt.df") > 1)
+      .select(col("id"), col("sz"), col("dt.tok").as("tok"))
+    joinIndex(idx, threshold)
+  }
+
+  /** The shared inverted-index self-join with the size-compatibility bound
+    * applied in-join; prefix length |g| - ceil(t·|g|) + 1: a qualifying
+    * pair shares >= ceil(t·|A|) grams, which cannot all hide in a suffix
+    * shorter than that — so both prefixes contain a shared gram (recall 1).
+    */
+  private def joinIndex(idx: DataFrame, threshold: Double): DataFrame = {
+    val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
+    val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
+    a.join(bb, Seq("tok"))
+      .where(col("id_a") < col("id_b") &&
+        col("sz_a") >= ceilT(col("sz_b"), threshold) &&
+        col("sz_b") >= ceilT(col("sz_a"), threshold))
+      .select(col("id_a"), col("id_b")).distinct()
+  }
 
   /** Candidate (id_a, id_b) pairs from the prefix-filtered inverted-index
     * join — the pre-verify stage of `jaccardPairsFromSets`, exposed so tests
@@ -391,37 +451,14 @@ object Dedup {
   private[graft] def prefixCandidates(g: DataFrame, threshold: Double,
                                       dfOrdered: Boolean): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    // prefix length |g| - ceil(t·|g|) + 1: a qualifying pair shares
-    // >= ceil(t·|A|) grams, which cannot all hide in a suffix shorter than
-    // that — so both prefixes contain a shared gram (recall 1)
-    def pfxLen(sz: Column): Column = (sz - ceilT(sz, threshold) + 1).cast("int")
-    val idx =
-      if (!dfOrdered) {
-        // hash order: g is already sorted — slice directly, no extra shuffle
-        g.select(col("id"), size(col("g")).as("sz"),
-          explode(slice(col("g"), lit(1), pfxLen(size(col("g"))))).as("tok"))
-      } else {
-        // (df asc, gram asc) total order: count global df per gram (two-stage
-        // agg on 8-byte keys), re-sort each doc's set by it, slice the
-        // prefix, then drop df==1 entries — they sort first but join nothing
-        val flat = g.select(col("id"), size(col("g")).as("sz"),
-          explode(col("g")).as("tok"))
-        val dfTab = flat.groupBy(col("tok")).agg(count(lit(1)).as("df"))
-        flat.join(dfTab, Seq("tok"))
-          .groupBy(col("id")).agg(first(col("sz")).as("sz"),
-            sort_array(collect_list(struct(col("df"), col("tok")))).as("dg"))
-          .select(col("id"), col("sz"),
-            explode(slice(col("dg"), lit(1), pfxLen(col("sz")))).as("dt"))
-          .where(col("dt.df") > 1)
-          .select(col("id"), col("sz"), col("dt.tok").as("tok"))
-      }
-    val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(bb, Seq("tok"))
-      .where(col("id_a") < col("id_b") &&
-        col("sz_a") >= ceilT(col("sz_b"), threshold) &&
-        col("sz_b") >= ceilT(col("sz_a"), threshold))
-      .select(col("id_a"), col("id_b")).distinct()
+    if (dfOrdered) candidatesFromBase(dfOrderedBase(g), threshold)
+    else {
+      def pfxLen(sz: Column): Column = (sz - ceilT(sz, threshold) + 1).cast("int")
+      // hash order: g is already sorted — slice directly, no extra shuffle
+      joinIndex(g.select(col("id"), size(col("g")).as("sz"),
+        explode(slice(col("g"), lit(1), pfxLen(size(col("g"))))).as("tok")),
+        threshold)
+    }
   }
 
   /** Exact-Jaccard verification of (id_a, id_b) candidate pairs against a
