@@ -83,13 +83,66 @@ object Curate {
         pred("no_null_tokens")(t => !functions.ArrayExprs.arrayHasNull(t))))) ++ extras)
   }
 
+  /** The shared funnel skeleton: validate → annotate → exact dedup →
+    * near-dup pairs → transitive groups → survivors → optional
+    * decontamination, with the stage OPERATORS injected by the text/token
+    * fronts — one place owns the persist/count/stats/Result discipline, so
+    * cache-release and stats fixes cannot drift between modes.
+    *
+    * rows_in for validate is derived from the two stage outputs (survivors
+    * + failures) instead of a dedicated docs.count() — no extra full-input
+    * scan, and the violation count is a stat worth having anyway.
+    */
+  private def funnel(docs: DataFrame, idCol: String, rule: rules.StructRule,
+                     annotate: DataFrame => DataFrame,
+                     exactDedup: DataFrame => DataFrame,
+                     nearDupPairs: DataFrame => DataFrame,
+                     contaminationOf: Option[DataFrame => DataFrame]): Result = {
+    val stats = Seq.newBuilder[StageStats]
+    // 1. validate (rule compiled into the scan; violations carry messages)
+    val res = rules.Validator.run(docs, rule)
+    val valid = res.validated.persist()
+    val violations = res.violations.persist() // counted here, written by main
+    val nValid = valid.count()
+    val nViolations = violations.count()
+    stats += StageStats("validate", nValid + nViolations, nValid)
+
+    // 2. annotate — pure per-row columns
+    val annotated = annotate(valid)
+
+    // 3. exact dedup
+    val exact = exactDedup(annotated).persist()
+    val nExact = exact.count()
+    stats += StageStats("exact_dedup", nValid, nExact)
+
+    // 4. near-dup pairs → transitive groups → survivors
+    val pairs = nearDupPairs(exact).select(col("id_a"), col("id_b"))
+    val groups = Dedup.dupGroups(pairs).persist()
+    val survivors = Dedup.nearDupSurvivors(exact, idCol, groups).persist()
+    val nSurv = survivors.count()
+    stats += StageStats("near_dedup", nExact, nSurv)
+
+    // 5. optional decontamination against the eval set
+    val (clean, contaminated) = contaminationOf match {
+      case Some(contamOf) =>
+        val contam = contamOf(survivors).persist()
+        val dec = Overlap.decontaminate(survivors, idCol, contam)
+        val nDec = dec.count()
+        stats += StageStats("decontaminate", nSurv, nDec)
+        (dec, Some(contam))
+      case None => (survivors, None)
+    }
+    Result(clean, violations, groups, contaminated, stats.result(),
+      persisted = Seq(valid, violations, exact, groups, survivors) ++ contaminated)
+  }
+
   /** The token-sequence funnel — `run` for the north-rule payload: dedup
     * routes through the STRUCTURAL fingerprint (`Dedup.tokenExactDedup`) and
     * k-token-gram prefix-filtered jaccard (`Dedup.tokenNgramNearDups`)
     * instead of text fingerprints/MinHash, and decontamination through the
     * token-gram `Overlap.contamination`. Annotation is the sequence's own
-    * stats (n_tok); stage layout, stats, and cache discipline are identical
-    * to `run`.
+    * stats (n_tok); stage layout, stats, and cache discipline come from the
+    * shared `funnel`.
     */
   def runTokens(spark: SparkSession, docs: DataFrame, idCol: String,
                 tokensCol: String,
@@ -97,99 +150,36 @@ object Curate {
                 eval: Option[DataFrame] = None,
                 gramK: Int = 5, jaccardThreshold: Double = 0.7,
                 contamGrams: Int = 13, contamMinShared: Long = 1L,
-                contamStopGramMaxDf: Option[Long] = None): Result = {
-    val stats = Seq.newBuilder[StageStats]
-    val res = rules.Validator.run(docs,
-      rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)))
-    val valid = res.validated.persist()
-    val violations = res.violations.persist()
-    val nValid = valid.count()
-    val nViolations = violations.count()
-    stats += StageStats("validate", nValid + nViolations, nValid)
-
-    val annotated = valid.withColumn("n_tok_actual", size(col(tokensCol)))
-
-    val exact = Dedup.tokenExactDedup(annotated, tokensCol, idCol).persist()
-    val nExact = exact.count()
-    stats += StageStats("exact_dedup", nValid, nExact)
-
-    val pairs = Dedup.tokenNgramNearDups(exact, tokensCol, idCol,
-      k = gramK, threshold = jaccardThreshold).select(col("id_a"), col("id_b"))
-    val groups = Dedup.dupGroups(pairs).persist()
-    val survivors = Dedup.nearDupSurvivors(exact, idCol, groups).persist()
-    val nSurv = survivors.count()
-    stats += StageStats("near_dedup", nExact, nSurv)
-
-    val (clean, contaminated) = eval match {
-      case Some(ev) =>
-        val contam = Overlap.contamination(
-          survivors, ev, tokensCol, idCol, contamGrams, contamMinShared,
-          contamStopGramMaxDf).persist()
-        val dec = Overlap.decontaminate(survivors, idCol, contam)
-        val nDec = dec.count()
-        stats += StageStats("decontaminate", nSurv, nDec)
-        (dec, Some(contam))
-      case None => (survivors, None)
-    }
-    Result(clean, violations, groups, contaminated, stats.result(),
-      persisted = Seq(valid, violations, exact, groups, survivors) ++ contaminated)
-  }
+                contamStopGramMaxDf: Option[Long] = None): Result =
+    funnel(docs, idCol,
+      rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)),
+      annotate = _.withColumn("n_tok_actual", size(col(tokensCol))),
+      exactDedup = Dedup.tokenExactDedup(_, tokensCol, idCol),
+      nearDupPairs = Dedup.tokenNgramNearDups(_, tokensCol, idCol,
+        k = gramK, threshold = jaccardThreshold),
+      contaminationOf = eval.map(ev => (survivors: DataFrame) =>
+        Overlap.contamination(survivors, ev, tokensCol, idCol, contamGrams,
+          contamMinShared, contamStopGramMaxDf)))
 
   def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
           rule: Option[rules.StructRule] = None,
           eval: Option[DataFrame] = None,
           minhashThreshold: Double = 0.8,
           contamGrams: Int = 13, contamMinShared: Long = 1L,
-          contamStopGramMaxDf: Option[Long] = None): Result = {
-    val stats = Seq.newBuilder[StageStats]
-
-    // 1. validate (rule compiled into the scan; violations carry messages).
-    // rows_in is derived from the two stage outputs (survivors + failures)
-    // instead of a dedicated docs.count() — no extra full-input scan, and
-    // the violation count is a stat worth having anyway
-    val res = rules.Validator.run(docs,
-      rule.getOrElse(defaultRule(docs, idCol, textCol)))
-    val valid = res.validated.persist()
-    val violations = res.violations.persist() // counted here, written by main
-    val nValid = valid.count()
-    val nViolations = violations.count()
-    stats += StageStats("validate", nValid + nViolations, nValid)
-
-    // 2. annotate: language, quality, token counts — pure codegen columns
-    val annotated = valid
-      .withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
-      .withColumn("quality", pipeline.TextFunctions.qualityScore(col(textCol)))
-      .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
-      .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol)))
-
-    // 3. exact dedup on the normalized-text fingerprint
-    val exact = Dedup.exactDedup(annotated, textCol, idCol).persist()
-    val nExact = exact.count()
-    stats += StageStats("exact_dedup", nValid, nExact)
-
-    // 4. near-dup pairs → transitive groups → survivors
-    val pairs = Dedup.minhashNearDups(exact, textCol, idCol,
-      threshold = minhashThreshold).select(col("id_a"), col("id_b"))
-    val groups = Dedup.dupGroups(pairs).persist()
-    val survivors = Dedup.nearDupSurvivors(exact, idCol, groups).persist()
-    val nSurv = survivors.count()
-    stats += StageStats("near_dedup", nExact, nSurv)
-
-    // 5. optional decontamination against the eval set
-    val (clean, contaminated) = eval match {
-      case Some(ev) =>
-        val contam = Overlap.textContamination(
-          survivors, ev, textCol, idCol, contamGrams, contamMinShared,
-          contamStopGramMaxDf).persist()
-        val dec = Overlap.decontaminate(survivors, idCol, contam)
-        val nDec = dec.count()
-        stats += StageStats("decontaminate", nSurv, nDec)
-        (dec, Some(contam))
-      case None => (survivors, None)
-    }
-    Result(clean, violations, groups, contaminated, stats.result(),
-      persisted = Seq(valid, violations, exact, groups, survivors) ++ contaminated)
-  }
+          contamStopGramMaxDf: Option[Long] = None): Result =
+    funnel(docs, idCol,
+      rule.getOrElse(defaultRule(docs, idCol, textCol)),
+      // language, quality, token counts — pure codegen columns
+      annotate = _.withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
+        .withColumn("quality", pipeline.TextFunctions.qualityScore(col(textCol)))
+        .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
+        .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol))),
+      exactDedup = Dedup.exactDedup(_, textCol, idCol),
+      nearDupPairs = Dedup.minhashNearDups(_, textCol, idCol,
+        threshold = minhashThreshold),
+      contaminationOf = eval.map(ev => (survivors: DataFrame) =>
+        Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
+          contamMinShared, contamStopGramMaxDf)))
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -202,6 +192,18 @@ object Curate {
       require(!v.startsWith("--"), s"--$k is missing a value (got '$v')") }
     val input = opts.getOrElse("input", sys.error("--input <path> required"))
     val output = opts.getOrElse("output", input.stripSuffix("/") + "_curated")
+    // flags are validated against the ACTIVE mode: a typo'd or
+    // wrong-mode flag (e.g. --minhash-threshold with --tokens-col) must
+    // fail loudly, not silently run the other mode's default threshold
+    val common = Set("input", "output", "eval", "id-col", "contam-grams")
+    val allowed =
+      if (opts.contains("tokens-col")) common ++ Set("tokens-col", "jaccard-threshold")
+      else common ++ Set("text-col", "minhash-threshold")
+    val unknown = opts.keySet.diff(allowed)
+    require(unknown.isEmpty,
+      s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
+        s"mode: ${unknown.toSeq.sorted.map("--" + _).mkString(", ")} " +
+        s"(allowed: ${allowed.toSeq.sorted.map("--" + _).mkString(", ")})")
     val spark = SparkSession.builder()
       .appName("graft-curate")
       .config("spark.sql.session.timeZone", "UTC")

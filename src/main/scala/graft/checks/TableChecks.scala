@@ -63,14 +63,10 @@ object TableChecks {
     *   stage 2: groupBy(key) sum(count)   — tiny input (distinct keys×salt).
     * Returns (key, dup_count) for keys with count > 1.
     */
-  def duplicateKeys(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame = {
-    val salted = df.select(col(key),
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
-        lit(saltBuckets)).as("__salt"))
-    salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(key)).agg(sum(col("__c")).as("dup_count"))
-      .where(col("dup_count") > 1)
-  }
+  def duplicateKeys(df: DataFrame, key: String, saltBuckets: Int = 64): DataFrame =
+    saltedKeyCounts(df, key, saltBuckets)
+      .where(col("cnt") > 1)
+      .withColumnRenamed("cnt", "dup_count")
 
   /** Rows whose `key` is duplicated — the uniqueness violation-rows Dataset
     * (the reference builds this check from
@@ -125,26 +121,36 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Salted two-stage per-key counts — the shared engine of `duplicateKeys`,
+    * `hotKeys`, and `keySkewStats`: salt spreads a hot key over
+    * `saltBuckets` reducers in stage 1, stage 2 sums the tiny partials.
+    */
+  private def saltedKeyCounts(df: DataFrame, key: String,
+                              saltBuckets: Int): DataFrame =
+    df.select(col(key),
+      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
+        lit(saltBuckets)).as("__salt"))
+      .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
+      .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
+
   def hotKeys(df: DataFrame, key: String, k: Int,
               saltBuckets: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be positive")
-    val salted = df.select(col(key),
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
-        lit(saltBuckets)).as("__salt"))
-    val counts = salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
-    // total via a SEPARATE count(): the salt is a nondeterministic
-    // expression, which defeats exchange reuse — deriving the total from
-    // the counts subtree (the Drift broadcast-totals pattern) recomputes
+    val counts = saltedKeyCounts(df, key, saltBuckets)
+    // total via a SEPARATE lazy aggregate over the RAW input, not the
+    // counts subtree: the nondeterministic salt defeats exchange reuse, so
+    // re-consuming counts (the Drift broadcast-totals pattern) recomputes
     // the whole salted aggregation per consumer (measured: 3 input scans).
-    // count() is the cheaper second pass: column-pruned to nothing (empty
-    // ReadSchema on a parquet scan) and shuffle-free partial counts.
-    val total = df.count()
+    // A bare count over df is column-pruned to nothing and shuffle-free —
+    // and staying LAZY keeps DataFrame construction action-free and the
+    // total in the same execution as the counts (no snapshot skew).
+    val total = df.agg(count(lit(1)).cast("double").as("__tot"))
     counts
       .orderBy(col("cnt").desc, col(key).asc_nulls_last)
       .limit(k)
+      .crossJoin(broadcast(total))
       .select(col(key), col("cnt"),
-        round(col("cnt").cast("double") / lit(total.toDouble), 6).as("share"))
+        round(col("cnt").cast("double") / col("__tot"), 6).as("share"))
   }
 
   /** One-row skew summary of a key: row/key counts, the heaviest key's count,
@@ -154,17 +160,12 @@ object TableChecks {
     * the per-key counts + one tiny aggregate over them.
     */
   def keySkewStats(df: DataFrame, key: String,
-                   saltBuckets: Int = 64): DataFrame = {
-    val salted = df.select(col(key),
-      pmod(xxhash64(monotonically_increasing_id(), spark_partition_id()),
-        lit(saltBuckets)).as("__salt"))
-    salted.groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
-      .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
+                   saltBuckets: Int = 64): DataFrame =
+    saltedKeyCounts(df, key, saltBuckets)
       .agg(sum(col("cnt")).as("n_rows"), count(lit(1)).as("n_keys"),
         max(col("cnt")).as("max_cnt"))
       .select(col("n_rows"), col("n_keys"), col("max_cnt"),
         round(col("max_cnt").cast("double") /
           (col("n_rows").cast("double") / col("n_keys").cast("double")), 4)
           .as("skew_ratio"))
-  }
 }

@@ -232,19 +232,31 @@ object Dedup {
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                 maxIter: Int = 20,
                 checkpointDir: Option[String] = None): DataFrame = {
-    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
+    val sc = pairs.sparkSession.sparkContext
+    // NOTE: the checkpoint dir is GLOBAL SparkContext state (Spark has no
+    // per-job dir); set only when it differs, and concurrent jobs in one
+    // session should share a dir rather than race on it
+    checkpointDir.filter(d => !sc.getCheckpointDir.contains(d))
+      .foreach(sc.setCheckpointDir)
     // lazy checkpoints: the labelSum action right after materializes the
-    // checkpoint and computes the sum in ONE job (eager would run two)
-    def truncated(df: DataFrame): DataFrame =
-      if (checkpointDir.isDefined) df.checkpoint(eager = false)
-      else df.localCheckpoint(eager = false)
+    // checkpoint and computes the sum in ONE job (eager would run two).
+    // Reliable path: persist BEFORE checkpoint — the checkpoint-write job
+    // re-iterates the RDD, which without the cache would recompute the
+    // whole iteration from the previous checkpoint (the documented
+    // RDD.checkpoint recompute trap); the cache is released by the caller
+    // via the returned release handle once the write has happened
+    def truncated(df: DataFrame): (DataFrame, () => Unit) =
+      if (checkpointDir.isDefined) {
+        val cached = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        (cached.checkpoint(eager = false), () => { cached.unpersist(); () })
+      } else (df.localCheckpoint(eager = false), () => ())
     val edges = pairs.select(col(idA).as("src"), col(idB).as("dst"))
       .union(pairs.select(col(idB).as("src"), col(idA).as("dst")))
       .distinct()
       .persist()
     // seed: label(v) = min(v, min neighbor) — one groupBy, worth a whole
     // propagation round vs seeding with label(v) = v
-    var labels = truncated(edges.groupBy(col("src").as("id"))
+    var (labels, releaseLabels) = truncated(edges.groupBy(col("src").as("id"))
       .agg(least(min(col("dst")), col("src")).as("group_id")))
     // convergence via the label-sum: min-propagation is MONOTONE (labels only
     // ever decrease), so an unchanged sum ⟺ every label unchanged — one
@@ -272,13 +284,16 @@ object Dedup {
         // label targets are themselves vertices, so the self-join always
         // resolves (left + coalesce guards the root labels pointing at
         // themselves)
-        val next = truncated(propagated
+        val (next, releaseNext) = truncated(propagated
           .join(propagated.select(col("id").as("group_id"),
             col("group_id").as("jumped")), Seq("group_id"), "left")
           .select(col("id"),
             least(col("group_id"), coalesce(col("jumped"), col("group_id")))
               .as("group_id")))
         val nextSum = labelSum(next)
+        // the labelSum action materialized next's checkpoint — the
+        // PREVIOUS iteration's pre-checkpoint cache can go now
+        releaseLabels()
         // NOTE: Dataset.unpersist does not free localCheckpoint RDDs (they
         // live outside the CacheManager); dropping the reference is what
         // matters — ContextCleaner reclaims unreachable checkpointed RDDs,
@@ -288,11 +303,15 @@ object Dedup {
         // spark.cleaner.referenceTracking.cleanCheckpoints is set
         labels.unpersist()
         labels = next
+        releaseLabels = releaseNext
         converged = nextSum.compareTo(prevSum) == 0
         prevSum = nextSum
         iter += 1
       }
-    } finally edges.unpersist() // also on a mid-loop failure
+    } finally {
+      edges.unpersist() // also on a mid-loop failure
+      releaseLabels() // final iteration's checkpoint is materialized by now
+    }
     if (!converged)
       throw new IllegalStateException(
         s"dupGroups did not converge in $maxIter iterations — the pair graph " +
@@ -361,7 +380,10 @@ object Dedup {
   /** Prefix-filtered exact-Jaccard SELF-JOIN over any precomputed
     * sorted-distinct hash-set column `(id, g)` — the engine underneath
     * `ngramJaccardPairs` (word grams) and `tokenNgramNearDups` (token
-    * grams); callable directly on a materialized sketch table. Returns
+    * grams); callable directly on a materialized sketch table. `id` MUST be
+    * unique — it names the result pairs, so duplicate ids are ill-defined
+    * in both modes (and the df-ordered regroup would silently merge their
+    * gram sets). Returns
     * (id_a, id_b, jaccard) with id_a < id_b and jaccard >= threshold, with
     * RECALL 1 (prefix-filter + size-bound pruning only discard pairs that
     * provably cannot reach the threshold).

@@ -43,14 +43,10 @@ object StreamingOverlap {
                           stopGramMaxDf: Option[Long] = None,
                           checkpointDir: Option[String] = None)
                          (sink: (DataFrame, Long) => Unit)
-      : org.apache.spark.sql.streaming.StreamingQuery = {
-    val writer = df.writeStream
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(Overlap.contamination(batch, test(), tokensCol, idCol, k,
-          minShared, stopGramMaxDf), batchId)
-      }
-    checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
-  }
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    perBatch(df, checkpointDir, sink)(batch =>
+      Overlap.contamination(batch, test(), tokensCol, idCol, k,
+        minShared, stopGramMaxDf))
 
   /** `contaminationStream` over raw TEXT (normalized word k-grams) — the
     * streaming face of `Overlap.textContamination`, same contract.
@@ -60,11 +56,21 @@ object StreamingOverlap {
                               stopGramMaxDf: Option[Long] = None,
                               checkpointDir: Option[String] = None)
                              (sink: (DataFrame, Long) => Unit)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    perBatch(df, checkpointDir, sink)(batch =>
+      Overlap.textContamination(batch, test(), textCol, idCol, k,
+        minShared, stopGramMaxDf))
+
+  /** Shared foreachBatch wiring: run `check` on each micro-batch, hand the
+    * result to `sink`.
+    */
+  private def perBatch(df: DataFrame, checkpointDir: Option[String],
+                       sink: (DataFrame, Long) => Unit)
+                      (check: DataFrame => DataFrame)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     val writer = df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        sink(Overlap.textContamination(batch, test(), textCol, idCol, k,
-          minShared, stopGramMaxDf), batchId)
+        sink(check(batch), batchId)
       }
     checkpointDir.fold(writer)(d => writer.option("checkpointLocation", d)).start()
   }
