@@ -267,6 +267,15 @@ object SparkEntry {
         TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
         TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
     }),
+    "q_drift_jsd" -> ((s, dir) => {
+      // Jensen–Shannon terms over the same parity-split histograms —
+      // bounded symmetric drift, no smoothing (the mixture denominator is
+      // never zero on an aligned bucket)
+      val d = T(s, dir, "documents")
+      graft.checks.Drift.jsdTerms(
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
+    }),
 
     // --- boilerplate token-gram detection over generated sequences ---
     "q_boilerplate_grams" -> ((s, dir) => {
@@ -782,6 +791,22 @@ object SparkEntry {
         |  FROM h)
         |SELECT bucket, n_obs, n_base,
         |       round((p_obs - p_base) * ln(p_obs / p_base), 6) AS psi_term
+        |FROM t""".stripMargin,
+
+    "q_drift_jsd" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |t AS (
+        |  SELECT bucket, n_obs, n_base,
+        |         CAST(n_obs AS DOUBLE) / sum(n_obs) OVER () AS p,
+        |         CAST(n_base AS DOUBLE) / sum(n_base) OVER () AS q
+        |  FROM h)
+        |SELECT bucket, n_obs, n_base,
+        |       round((CASE WHEN p > 0 THEN 0.5 * p * ln(p / ((p + q) / 2)) ELSE 0 END) +
+        |             (CASE WHEN q > 0 THEN 0.5 * q * ln(q / ((p + q) / 2)) ELSE 0 END), 6) AS jsd_term
         |FROM t""".stripMargin,
 
     // grams recomputed as raw token-list slices (per-doc distinct, short

@@ -179,4 +179,50 @@ object Drift {
       .select(col("bucket"), col("n_obs"), col("n_base"),
         round((pObs - pBase) * log(pObs / pBase), 6).as("psi_term"))
   }
+
+  /** Driver-side Jensen–Shannon divergence between two snapshot histograms —
+    * the bounded, symmetric companion of `psi`: JSD = ½·KL(p‖m) + ½·KL(q‖m)
+    * with m = ½(p+q), natural log, so the value lives in [0, ln 2] and a
+    * bucket empty on one side contributes a FINITE term (KL against the
+    * mixture never divides by zero — the reason JSD needs no epsilon
+    * smoothing where PSI does). Same union-of-keys bucket alignment as
+    * `psi`; agrees with the distributed `jsdTerms` to the last double.
+    */
+  def jsd(observed: Map[Int, Long], baseline: Map[Int, Long]): Double = {
+    val aligned = (observed.keySet ++ baseline.keySet).toSeq.sorted
+    val totObs = observed.values.sum.toDouble
+    val totBase = baseline.values.sum.toDouble
+    aligned.map { b =>
+      val p = if (totObs > 0) observed.getOrElse(b, 0L) / totObs else 0.0
+      val q = if (totBase > 0) baseline.getOrElse(b, 0L) / totBase else 0.0
+      val m = (p + q) / 2
+      (if (p > 0) 0.5 * p * math.log(p / m) else 0.0) +
+        (if (q > 0) 0.5 * q * math.log(q / m) else 0.0)
+    }.sum
+  }
+
+  /** Distributed per-bucket Jensen–Shannon terms between two histogram
+    * frames (`(bucket, cnt)`): `sum(jsd_term)` is the JSD statistic.
+    * Same plan shape as `psiTerms`/`chi2Terms`: full-outer bucket align,
+    * totals from ONE broadcast one-row aggregate, per-bucket math map-side.
+    */
+  def jsdTerms(observed: DataFrame, baseline: DataFrame): DataFrame = {
+    val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
+    val b = baseline.select(col("bucket"), col("cnt").as("n_base"))
+    val j = o.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"))
+    val totals = j.agg(sum(col("n_obs")).as("tot_obs"),
+      sum(col("n_base")).as("tot_base"))
+    val p = col("n_obs").cast("double") / col("tot_obs").cast("double")
+    val q = col("n_base").cast("double") / col("tot_base").cast("double")
+    val m = (p + q) / lit(2.0)
+    val term =
+      when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +
+        when(q > 0, lit(0.5) * q * log(q / m)).otherwise(lit(0.0))
+    j.crossJoin(broadcast(totals))
+      .select(col("bucket"), col("n_obs"), col("n_base"),
+        round(term, 6).as("jsd_term"))
+  }
 }

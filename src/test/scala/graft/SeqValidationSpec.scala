@@ -117,6 +117,28 @@ class SeqValidationSpec extends SparkSpec {
     assert(rows.count() == 4) // 2×k1 + 2×null
   }
 
+  test("drift: JSD — distributed terms == driver scalar, bounded, finite on one-sided buckets") {
+    import spark.implicits._
+    // bucket 3 is observed-only, bucket 4 baseline-only: JSD must stay
+    // finite WITHOUT smoothing (the mixture denominator is never zero)
+    val obs = Map(0 -> 10L, 1 -> 30L, 2 -> 10L, 3 -> 5L)
+    val base = Map(0 -> 20L, 1 -> 10L, 2 -> 10L, 4 -> 8L)
+    val terms = graft.checks.Drift.jsdTerms(
+      obs.toSeq.toDF("bucket", "cnt"), base.toSeq.toDF("bucket", "cnt"))
+      .collect().map(r => r.getInt(0) -> r.getDouble(3)).toMap
+    val distributed = terms.values.sum
+    val driver = graft.checks.Drift.jsd(obs, base)
+    assert(math.abs(distributed - driver) < 1e-5,
+      s"distributed=$distributed driver=$driver")
+    assert(driver > 0 && driver <= math.log(2.0) + 1e-12)
+    assert(terms.values.forall(v => !v.isNaN && !v.isInfinite))
+    // identical distributions → exactly zero
+    assert(graft.checks.Drift.jsd(obs, obs) == 0.0)
+    // disjoint supports → the maximum, ln 2
+    assert(math.abs(graft.checks.Drift.jsd(Map(0 -> 5L), Map(1 -> 9L))
+      - math.log(2.0)) < 1e-12)
+  }
+
   test("hotKeys + keySkewStats: skew diagnostics, null keys, deterministic tiebreaks") {
     // 24 rows / 6 keys: hot×10, warm×5, warm2×5, null×2, c1, c2 — mean
     // key count 4.0, so skew_ratio = 10/4 = 2.5
