@@ -239,6 +239,23 @@ object SparkEntry {
         when(col("text").rlike("(^| )(the|a|of)( |$)"), "en")
           .otherwise("und").as("pred_lang"))
     }),
+    "q_quality_filter" -> ((s, dir) => {
+      // the composed curation gate a corpus team actually applies: English
+      // + quality score ≥ 0.5 + word-repetition ≤ 0.2. Each component
+      // function is independently oracle-pinned (q_lang_id family,
+      // q_text_quality, q_word_repetition); this checks their COMPOSITION
+      // — the Curate annotate stage feeding a filter — with the full
+      // formulas replicated in SQL
+      val t = col("text")
+      T(s, dir, "documents")
+        .select(col("doc_id"),
+          TextFunctions.langId(t).as("lang_id"),
+          TextFunctions.qualityScore(t).as("quality"),
+          TextFunctions.wordRepetitionRatio(t).as("rep_ratio"))
+        .where(col("lang_id") === "en" && col("quality") >= 0.5 &&
+          col("rep_ratio") <= 0.2)
+        .select(col("doc_id"), col("quality"), col("rep_ratio"))
+    }),
 
     // --- scalar functions: JSON extraction from events.props ---
     "q_use_json" -> ((s, dir) => {
@@ -673,6 +690,37 @@ object SparkEntry {
         |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
         |            ELSE 'und' END AS pred_lang
         |FROM documents""".stripMargin,
+
+    // full replicas of qualityScore (normalized-token length score + raw
+    // letters-only alpha + stopword marker), the langId cascade, and the
+    // word-repetition ratio, composed into the same boolean gate
+    "q_quality_filter" ->
+      """WITH n AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |tok AS (SELECT doc_id, text, t,
+        |          CASE WHEN t = '' THEN 0 ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok
+        |        FROM n),
+        |q AS (SELECT doc_id, t, ntok,
+        |        round(least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |               CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
+        |              (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality,
+        |        CASE WHEN regexp_matches(text, '(^| )(the|and|of|with)( |$)') THEN 'en'
+        |             WHEN regexp_matches(text, '(^| )(le|la|les|et|avec)( |$)') THEN 'fr'
+        |             WHEN regexp_matches(text, '(^| )(der|die|das|und|mit)( |$)') THEN 'de'
+        |             WHEN regexp_matches(text, '(^| )(el|los|las|con)( |$)') THEN 'es'
+        |             ELSE 'und' END AS lang_id
+        |      FROM tok),
+        |r AS (SELECT doc_id,
+        |        CASE WHEN ntok - 1 <= 0 THEN 0.0
+        |             ELSE round(1.0 - CAST(nd AS DOUBLE) / (ntok - 1), 4) END AS rep_ratio
+        |      FROM (SELECT doc_id, ntok,
+        |              CASE WHEN len(string_split(t, ' ')) <= 2 THEN 1
+        |                   ELSE len(list_distinct([string_split(t, ' ')[i] || ' ' || string_split(t, ' ')[i+1]
+        |                                           for i in generate_series(1, len(string_split(t, ' ')) - 1)])) END AS nd
+        |            FROM tok))
+        |SELECT q.doc_id, q.quality, r.rep_ratio
+        |FROM q JOIN r USING (doc_id)
+        |WHERE q.lang_id = 'en' AND q.quality >= 0.5 AND r.rep_ratio <= 0.2""".stripMargin,
 
     "q_use_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k
