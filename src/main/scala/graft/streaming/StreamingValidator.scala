@@ -175,4 +175,65 @@ object StreamingValidator {
         col("__n").as("n_rows"), round(col("__psi"), 6).as("psi"),
         (col("__psi") <= psiGate).as("pass"))
   }
+
+  /** A duplicate-key arrival: `n_seen` is the arrival's ordinal for its key
+    * (2 = first duplicate). */
+  final case class DupAlert(key: String, ts: java.sql.Timestamp, nSeen: Long)
+
+  /** Per-key arrival count. Public for the state encoder's generated code
+    * (same Janino constraint as `StreamingDedup.BucketState`). */
+  final case class KeyCountState(nSeen: Long)
+
+  /** Streaming UNIQUENESS alerts — the streaming face of the north rule's
+    * doc_id uniqueness check, and the COMPLEMENT of
+    * `StreamingDedup.dedupExact`: instead of silently dropping re-arrivals,
+    * EMIT one alert row per duplicate arrival (key, event time, ordinal) the
+    * moment it lands — feeding a quarantine sink or a paging rule while the
+    * deduped stream continues elsewhere.
+    *
+    * State & eviction: one counter per key, evicted by event-time timeout
+    * once the watermark passes the key's last arrival + `watermarkDelayMs` —
+    * a duplicate arriving later than the horizon is NOT flagged (bounded
+    * state; the same contract as `dedupExact` and the batch
+    * `TableChecks.duplicateKeys` run that backstops it). Within a
+    * micro-batch, arrivals are ordered by (ts, then input order is
+    * irrelevant — the ordinal is per-key) before counting so `n_seen` is
+    * deterministic.
+    */
+  def duplicateKeyAlerts(df: DataFrame, keyCol: String, tsCol: String,
+                         watermarkDelayMs: Long): Dataset[DupAlert] = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val typed = df
+      .select(col(keyCol).cast("string").as("key"),
+        col(tsCol).cast("timestamp").as("ts"))
+      // a null key/ts would NPE the state function's sort; and a null key
+      // is a validation failure, not a duplicate
+      .where(col("key").isNotNull && col("ts").isNotNull)
+      .withWatermark("ts", s"$watermarkDelayMs milliseconds")
+      .as[(String, java.sql.Timestamp)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[KeyCountState, DupAlert](
+        OutputMode.Append(), GroupStateTimeout.EventTimeTimeout()) {
+        case (key, rows, state: GroupState[KeyCountState]) =>
+          if (state.hasTimedOut) {
+            state.remove()
+            Iterator.empty
+          } else {
+            var n = state.getOption.map(_.nSeen).getOrElse(0L)
+            val out = Vector.newBuilder[DupAlert]
+            var maxTs = Long.MinValue
+            rows.toSeq.sortBy(_._2.getTime).foreach { case (_, t) =>
+              val ts = t.getTime
+              if (ts > maxTs) maxTs = ts
+              n += 1
+              if (n > 1) out += DupAlert(key, t, n)
+            }
+            state.update(KeyCountState(n))
+            state.setTimeoutTimestamp(
+              math.max(maxTs + watermarkDelayMs, state.getCurrentWatermarkMs + 1))
+            out.result().iterator
+          }
+      }
+  }
 }

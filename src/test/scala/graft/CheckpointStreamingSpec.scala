@@ -450,6 +450,37 @@ class CheckpointStreamingSpec extends SparkSpec {
       q != n && r >= 1 && r <= 3 && c >= -1.0 && c <= 1.0 })
   }
 
+  test("streaming uniqueness alerts: duplicates emit with ordinals, clean keys stay silent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingValidator
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(String, java.sql.Timestamp)]
+    val alerts = StreamingValidator.duplicateKeyAlerts(
+      mem.toDF().toDF("doc_id", "ts"), "doc_id", "ts",
+      watermarkDelayMs = 600000L)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("dupalerts").start()
+    // batch 1: d1 twice (in-batch dup), d2 once
+    mem.addData(("d1", ts("10:00:00")), ("d1", ts("10:00:05")), ("d2", ts("10:00:10")))
+    q.processAllAvailable()
+    // batch 2: d1 again (cross-batch dup, state survives), d2 again, d3 clean
+    mem.addData(("d1", ts("10:01:00")), ("d2", ts("10:01:10")), ("d3", ts("10:01:20")))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("dupalerts")
+      .select("key", "ts", "nSeen")
+      .collect().map(r => (r.getString(0), r.getTimestamp(1), r.getLong(2))).toSet
+    assert(got == Set(
+      ("d1", ts("10:00:05"), 2L), // first duplicate, in-batch
+      ("d1", ts("10:01:00"), 3L), // cross-batch ordinal continues
+      ("d2", ts("10:01:10"), 2L)))
+    // the batch uniqueness check over the same rows agrees on WHICH keys dup
+    val batchDups = graft.checks.TableChecks.duplicateKeys(
+      Seq("d1", "d1", "d2", "d1", "d2", "d3").toDF("doc_id"), "doc_id")
+      .select("doc_id").as[String].collect().toSet
+    assert(batchDups == got.map(_._1))
+  }
+
   test("streaming contamination per micro-batch == batch Overlap.contamination") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOverlap
