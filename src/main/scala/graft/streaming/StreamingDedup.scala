@@ -130,9 +130,13 @@ object StreamingDedup {
             }
             state.update(s)
             // evict once the watermark passes this bucket's last arrival +
-            // the dedup horizon (must stay above the current watermark)
+            // the dedup horizon (must stay above the current watermark).
+            // Batch execution has no watermark — reading it throws; fall
+            // back to MinValue so the candidate logic also runs on batch
+            // frames (timeouts never fire there anyway)
+            val wm = scala.util.Try(state.getCurrentWatermarkMs).getOrElse(Long.MinValue)
             state.setTimeoutTimestamp(
-              math.max(maxTs + watermarkDelayMs, state.getCurrentWatermarkMs + 1))
+              math.max(maxTs + watermarkDelayMs, wm + 1))
             out.result().iterator
           }
       }

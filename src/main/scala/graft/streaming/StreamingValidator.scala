@@ -230,8 +230,11 @@ object StreamingValidator {
               if (n > 1) out += DupAlert(key, t, n)
             }
             state.update(KeyCountState(n))
-            state.setTimeoutTimestamp(
-              math.max(maxTs + watermarkDelayMs, state.getCurrentWatermarkMs + 1))
+            // batch execution (the helper runs on batch frames too —
+            // timeouts never fire there) has no watermark: reading it
+            // throws, so fall back to MinValue and let maxTs win
+            val wm = scala.util.Try(state.getCurrentWatermarkMs).getOrElse(Long.MinValue)
+            state.setTimeoutTimestamp(math.max(maxTs + watermarkDelayMs, wm + 1))
             out.result().iterator
           }
       }
