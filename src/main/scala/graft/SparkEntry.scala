@@ -97,6 +97,13 @@ object SparkEntry {
       TableChecks.columnStatsExact(T(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
     }),
+    "q_numeric_profile" -> ((s, dir) => {
+      // exact percentile profile (one agg pass, all columns): Spark's
+      // `percentile` linear interpolation == SQL quantile_cont, so the
+      // oracle recomputes the same quantiles independently
+      TableChecks.numericProfile(T(s, dir, "lineitem"),
+        Seq("l_quantity", "l_extendedprice", "l_discount"))
+    }),
     "q_hot_keys" -> ((s, dir) => {
       // pre-shuffle skew diagnostic: the 5 hottest join-key values with
       // their row share (salted two-stage count + TakeOrdered)
@@ -565,6 +572,21 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
         |       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+
+    // quantile_cont == Spark's exact percentile (both: sort + linear
+    // interpolation at rank p·(n−1)); percentile list CAST to DOUBLE[] so
+    // the p column types agree across engines
+    "q_numeric_profile" ->
+      """WITH ps AS (SELECT CAST([0.25, 0.5, 0.75, 0.95] AS DOUBLE[]) AS l)
+        |SELECT col_name, p, round(v, 6) AS value FROM (
+        |  SELECT 'l_quantity' AS col_name, unnest((SELECT l FROM ps)) AS p,
+        |         unnest(quantile_cont(l_quantity, [0.25, 0.5, 0.75, 0.95])) AS v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', unnest((SELECT l FROM ps)),
+        |         unnest(quantile_cont(l_extendedprice, [0.25, 0.5, 0.75, 0.95])) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_discount', unnest((SELECT l FROM ps)),
+        |         unnest(quantile_cont(l_discount, [0.25, 0.5, 0.75, 0.95])) FROM lineitem)""".stripMargin,
 
     // deterministic top-5 by (cnt DESC, key ASC) — the salted two-stage
     // count must agree with a plain GROUP BY

@@ -109,18 +109,47 @@ object TableChecks {
       .groupBy(bucketCol(col(c), lo, hi, buckets).as("bucket"))
       .agg(count(lit(1)).as("cnt"))
 
-  /** Top-`k` hottest values of a prospective join/partition key with their
-    * row share — the pre-shuffle diagnostic for a 100 TB table: before
-    * shuffling on `key`, this answers "does one value own 10% of the rows?"
-    * (→ salt it, or route it through AQE skew handling), the same question
-    * `duplicateKeys` answers for uniqueness and salting answers for aggs.
-    *
-    * Plan: salted two-stage count (a hot key must not bottleneck its own
-    * diagnostic) → TakeOrderedAndProject on (cnt DESC, key ASC) — only k
-    * rows cross to the driver side of the sort, never the key universe.
-    * `share` is the value's fraction of ALL rows (null keys count — a 40%
-    * null key is exactly the skew one needs to know about).
+  /** EXACT percentile profile of numeric columns — long format
+    * (col_name, p, value), one aggregation pass for ALL columns. Uses
+    * Spark's exact `percentile` (sort + linear interpolation at index
+    * p·(n−1) — the same continuous-quantile definition as SQL
+    * `quantile_cont`, which is what makes it oracle-checkable). Exact
+    * percentiles buffer the column's values per partial aggregate: right
+    * for profiling runs and the correctness gate; at 100 TB use
+    * `approxNumericProfile`.
     */
+  def numericProfile(df: DataFrame, cols: Seq[String],
+                     ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95)): DataFrame =
+    profileWith(df, cols, ps,
+      c => percentile(col(c).cast("double"), typedLit(ps)))
+
+  /** Approximate percentile profile — same shape via the
+    * `percentile_approx` sketch (bounded state per partial aggregate,
+    * mergeable across partitions): the 100 TB path. `accuracy` trades
+    * memory for error (1/accuracy relative rank error).
+    */
+  def approxNumericProfile(df: DataFrame, cols: Seq[String],
+                           ps: Seq[Double] = Seq(0.25, 0.5, 0.75, 0.95),
+                           accuracy: Int = 10000): DataFrame =
+    profileWith(df, cols, ps,
+      c => percentile_approx(col(c).cast("double"), typedLit(ps), lit(accuracy))
+        .cast("array<double>"))
+
+  private def profileWith(df: DataFrame, cols: Seq[String], ps: Seq[Double],
+                          agg: String => Column): DataFrame = {
+    require(cols.nonEmpty && ps.nonEmpty, "need at least one column and percentile")
+    require(ps.forall(p => p >= 0 && p <= 1), s"percentiles in [0,1]: $ps")
+    val aggs = cols.map(c => agg(c).as(s"${c}__p"))
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    cols.map { c =>
+      wide.select(lit(c).as("col_name"),
+          posexplode(col(s"${c}__p")).as(Seq("i", "v")))
+        .select(col("col_name"),
+          element_at(typedLit(ps), col("i") + 1).as("p"),
+          round(col("v"), 6).as("value"))
+    }.reduce(_ unionByName _)
+  }
+
   /** Salted two-stage per-key counts — the shared engine of `duplicateKeys`,
     * `hotKeys`, and `keySkewStats`: salt spreads a hot key over
     * `saltBuckets` reducers in stage 1, stage 2 sums the tiny partials.
@@ -133,6 +162,18 @@ object TableChecks {
       .groupBy(col(key), col("__salt")).agg(count(lit(1)).as("__c"))
       .groupBy(col(key)).agg(sum(col("__c")).as("cnt"))
 
+  /** Top-`k` hottest values of a prospective join/partition key with their
+    * row share — the pre-shuffle diagnostic for a 100 TB table: before
+    * shuffling on `key`, this answers "does one value own 10% of the rows?"
+    * (→ salt it, or route it through AQE skew handling), the same question
+    * `duplicateKeys` answers for uniqueness and salting answers for aggs.
+    *
+    * Plan: salted two-stage count (a hot key must not bottleneck its own
+    * diagnostic) → TakeOrderedAndProject on (cnt DESC, key ASC) — only k
+    * rows cross to the driver side of the sort, never the key universe.
+    * `share` is the value's fraction of ALL rows (null keys count — a 40%
+    * null key is exactly the skew one needs to know about).
+    */
   def hotKeys(df: DataFrame, key: String, k: Int,
               saltBuckets: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be positive")

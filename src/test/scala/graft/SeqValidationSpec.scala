@@ -139,6 +139,19 @@ class SeqValidationSpec extends SparkSpec {
       - math.log(2.0)) < 1e-12)
   }
 
+  test("numericProfile: exact interpolated quantiles; approx lands on a near-rank value") {
+    import spark.implicits._
+    val df = (1 to 100).map(_.toDouble).toDF("v")
+    val exact = TableChecks.numericProfile(df, Seq("v"), Seq(0.25, 0.5)).collect()
+      .map(r => r.getDouble(1) -> r.getDouble(2)).toMap
+    // linear interpolation at rank p·(n−1): p25 → 24.75 → 25.75; median 50.5
+    assert(exact == Map(0.25 -> 25.75, 0.5 -> 50.5))
+    // the sketch returns an actual data value near the target rank
+    val approx = TableChecks.approxNumericProfile(df, Seq("v"), Seq(0.5))
+      .head().getDouble(2)
+    assert(math.abs(approx - 50.5) <= 1.0, s"approx median $approx")
+  }
+
   test("hotKeys + keySkewStats: skew diagnostics, null keys, deterministic tiebreaks") {
     // 24 rows / 6 keys: hot×10, warm×5, warm2×5, null×2, c1, c2 — mean
     // key count 4.0, so skew_ratio = 10/4 = 2.5
