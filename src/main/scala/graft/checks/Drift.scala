@@ -215,8 +215,13 @@ object Drift {
         coalesce(col("n_base"), lit(0L)).as("n_base"))
     val totals = j.agg(sum(col("n_obs")).as("tot_obs"),
       sum(col("n_base")).as("tot_base"))
-    val p = col("n_obs").cast("double") / col("tot_obs").cast("double")
-    val q = col("n_base").cast("double") / col("tot_base").cast("double")
+    // an EMPTY side (new source, empty window) has total 0: its rate is 0
+    // everywhere, exactly like the driver scalar's `if (tot > 0)` guard —
+    // an unguarded division would throw under Spark's ANSI default
+    val p = when(col("tot_obs") > 0,
+      col("n_obs").cast("double") / col("tot_obs").cast("double")).otherwise(lit(0.0))
+    val q = when(col("tot_base") > 0,
+      col("n_base").cast("double") / col("tot_base").cast("double")).otherwise(lit(0.0))
     val m = (p + q) / lit(2.0)
     val term =
       when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0)) +

@@ -141,9 +141,14 @@ object TableChecks {
     require(ps.forall(p => p >= 0 && p <= 1), s"percentiles in [0,1]: $ps")
     val aggs = cols.map(c => agg(c).as(s"${c}__p"))
     val wide = df.agg(aggs.head, aggs.tail: _*)
+    // an all-NULL column (or an empty frame) aggregates to a NULL array;
+    // posexplode would silently DROP the column from the profile — the one
+    // pathology a profiler must surface — so substitute an all-null value
+    // array and emit explicit (col_name, p, null) rows instead
+    val nulls = typedLit(ps.map(_ => null.asInstanceOf[java.lang.Double]))
     cols.map { c =>
       wide.select(lit(c).as("col_name"),
-          posexplode(col(s"${c}__p")).as(Seq("i", "v")))
+          posexplode(coalesce(col(s"${c}__p"), nulls)).as(Seq("i", "v")))
         .select(col("col_name"),
           element_at(typedLit(ps), col("i") + 1).as("p"),
           round(col("v"), 6).as("value"))

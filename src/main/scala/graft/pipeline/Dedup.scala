@@ -232,12 +232,12 @@ object Dedup {
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                 maxIter: Int = 20,
                 checkpointDir: Option[String] = None): DataFrame = {
-    val sc = pairs.sparkSession.sparkContext
     // NOTE: the checkpoint dir is GLOBAL SparkContext state (Spark has no
-    // per-job dir); set only when it differs, and concurrent jobs in one
-    // session should share a dir rather than race on it
-    checkpointDir.filter(d => !sc.getCheckpointDir.contains(d))
-      .foreach(sc.setCheckpointDir)
+    // per-job dir, and it stores a fresh UUID SUBDIRECTORY of the path you
+    // set — the raw path is not recoverable for an already-set check):
+    // last caller wins; concurrent jobs in one session should pass the
+    // SAME dir, which is safe — each set() mints its own subdirectory
+    checkpointDir.foreach(pairs.sparkSession.sparkContext.setCheckpointDir)
     // lazy checkpoints: the labelSum action right after materializes the
     // checkpoint and computes the sum in ONE job (eager would run two).
     // Reliable path: persist BEFORE checkpoint — the checkpoint-write job
@@ -405,25 +405,20 @@ object Dedup {
   def jaccardPairsFromSets(g: DataFrame, threshold: Double,
                            dfOrdered: Boolean = true): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    if (!dfOrdered)
-      verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
-    else {
-      // ONE shared base frame (id, sz, g, dg) carries both the df-ordered
-      // prefix source AND the verify payload: every downstream consumer
-      // (the two index sides, the two verify joins) hangs off the same
-      // groupBy(id) exchange, so Spark's exchange reuse computes the
-      // expensive scan → gram → df-join → regroup subtree ONCE and the
-      // other consumers read shuffle files. Verifying against the input
-      // `g` instead would re-derive that subtree per join (measured: 9
-      // input scans at sf0.01 before this shape).
-      val base = dfOrderedBase(g)
-      verifySetPairs(candidatesFromBase(base, threshold), base, threshold)
-    }
+    // verification reads the INPUT sets directly: the verify joins then
+    // cost a scan + gram projection each, with NO shuffle — routing them
+    // through the df-ordered regroup instead was measured to backfire
+    // (column pruning rewrites each consumer's copy of the shared frame
+    // into a canonically different aggregate, so neither ReuseExchange nor
+    // AQE stage reuse ever merges them, and verification inherits the
+    // df-count join + regroup it never needed). For repeated or very large
+    // runs, materialize the (id, g) sketch table first — the oracle
+    // queries and Curate do — so every branch reads parquet, not lineage.
+    verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
   }
 
-  /** The df-order shared frame: per id, the set size, the hash-sorted set
-    * `g` (rebuilt in the same aggregate — byte-identical to the input set),
-    * and the (df asc, gram asc)-sorted struct array `dg`.
+  /** The df-order index source: per id, the set size and the
+    * (df asc, gram asc)-sorted struct array `dg`.
     */
   private def dfOrderedBase(g: DataFrame): DataFrame = {
     // (df asc, gram asc) total order: count global df per gram (two-stage
@@ -433,7 +428,6 @@ object Dedup {
     val dfTab = flat.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     flat.join(dfTab, Seq("tok"))
       .groupBy(col("id")).agg(first(col("sz")).as("sz"),
-        sort_array(collect_list(col("tok"))).as("g"),
         sort_array(collect_list(struct(col("df"), col("tok")))).as("dg"))
   }
 

@@ -137,6 +137,16 @@ class SeqValidationSpec extends SparkSpec {
     // disjoint supports → the maximum, ln 2
     assert(math.abs(graft.checks.Drift.jsd(Map(0 -> 5L), Map(1 -> 9L))
       - math.log(2.0)) < 1e-12)
+    // an EMPTY observed side (new source / empty window): finite ln2/2,
+    // distributed == driver — an unguarded total division would throw
+    // under ANSI mode
+    val emptyObs = Seq.empty[(Int, Long)].toDF("bucket", "cnt")
+    val oneSided = graft.checks.Drift.jsdTerms(
+      emptyObs, base.toSeq.toDF("bucket", "cnt"))
+      .agg(sum(col("jsd_term"))).head().getDouble(0)
+    val oneSidedDriver = graft.checks.Drift.jsd(Map.empty, base)
+    assert(math.abs(oneSided - oneSidedDriver) < 1e-5 &&
+      math.abs(oneSidedDriver - math.log(2.0) / 2) < 1e-6)
   }
 
   test("numericProfile: exact interpolated quantiles; approx lands on a near-rank value") {
@@ -150,6 +160,14 @@ class SeqValidationSpec extends SparkSpec {
     val approx = TableChecks.approxNumericProfile(df, Seq("v"), Seq(0.5))
       .head().getDouble(2)
     assert(math.abs(approx - 50.5) <= 1.0, s"approx median $approx")
+    // an all-NULL column must SURFACE as explicit null rows, not vanish
+    // from the profile (the degenerate column is what a profiler exists
+    // to flag)
+    val withNull = Seq((Some(1.0), Option.empty[Double]),
+      (Some(2.0), Option.empty[Double])).toDF("a", "b")
+    val prof = TableChecks.numericProfile(withNull, Seq("a", "b"), Seq(0.5))
+      .collect().map(r => r.getString(0) -> Option(r.get(2))).toMap
+    assert(prof == Map("a" -> Some(1.5), "b" -> None), s"got $prof")
   }
 
   test("hotKeys + keySkewStats: skew diagnostics, null keys, deterministic tiebreaks") {
