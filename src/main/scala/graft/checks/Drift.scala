@@ -15,11 +15,16 @@ import org.apache.spark.sql.functions._
   */
 object Drift {
 
+  /** `psi`/`jsd` are INFORMATIONAL (reported, not gated — their
+    * conventional thresholds are caller policy; `pass` stays
+    * χ²-KS-newMass so existing gates are unchanged).
+    */
   final case class DriftReport(chi2: Double, chi2Dof: Int, ksD: Double,
                                nObserved: Long, nBaseline: Long,
                                chi2Pass: Boolean, ksPass: Boolean,
                                newMassRatio: Double = 0.0,
-                               newMassPass: Boolean = true) {
+                               newMassPass: Boolean = true,
+                               psi: Double = 0.0, jsd: Double = 0.0) {
     def pass: Boolean = chi2Pass && ksPass && newMassPass
   }
 
@@ -76,7 +81,8 @@ object Drift {
     val newMassRatio = newMass.toDouble / nObs
     DriftReport(chi2, dofAdj, ksD, nObs, nBase,
       chi2Pass = chi2 / dofAdj <= chi2PerDof, ksPass = ksD <= ksThreshold,
-      newMassRatio = newMassRatio, newMassPass = newMassRatio <= newMassTol)
+      newMassRatio = newMassRatio, newMassPass = newMassRatio <= newMassTol,
+      psi = psi(observed, baseline), jsd = jsd(observed, baseline))
   }
 
   def check(df: DataFrame, c: String, lo: Double, hi: Double, buckets: Int,

@@ -103,9 +103,12 @@ class SeqValidationSpec extends SparkSpec {
     val r = Drift.compare(observed, baseline, 32)
     assert(!r.newMassPass && r.newMassRatio > 0.04)
     assert(!r.pass)
-    // identical distributions still pass all three gates
+    // identical distributions still pass all three gates; the
+    // informational PSI/JSD fields sit at their zero points
     val same = Drift.compare(baseline, baseline, 32)
     assert(same.pass && same.newMassRatio == 0.0)
+    assert(same.psi == 0.0 && same.jsd == 0.0)
+    assert(r.jsd > 0.0 && r.psi > 0.0) // the drifted report carries both
   }
 
   test("duplicateRows surfaces duplicated NULL keys like duplicateKeys") {
