@@ -434,6 +434,26 @@ object SparkEntry {
         Dedup.dupGroups(materialize(s, pairs, "q_surv_pairs")))
         .select(col("id"))
     }),
+    "q_survivors_best" -> ((s, dir) => {
+      // quality-aware survivor selection: per dup group keep the
+      // max-preference row (min id on ties) — the curation choice, not the
+      // min-id default. Same 80×5 near-dup fixture as q_dedup_survivors
+      // under its own paths, plus a deterministic pref column the oracle
+      // can read back
+      val seqs = s.range(0, 400, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(80L)), 200, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id"), 16, graft.gen.SequenceGen.Vocab)).as("tokens"),
+        pmod(col("id") * 37, lit(101L)).cast("double").as("pref"))
+      val stored = materialize(s, seqs, "q_survb_seqs", files = 4)
+      val pairs = Dedup.tokenNgramNearDups(stored, "tokens", "id",
+        k = 5, threshold = 0.5).select(col("id_a"), col("id_b"))
+      Dedup.nearDupSurvivorsBy(stored, "id",
+        Dedup.dupGroups(materialize(s, pairs, "q_survb_pairs")), "pref")
+        .select(col("id"))
+    }),
     "q_token_dedup" -> ((s, dir) => {
       // exact dedup of TOKEN SEQUENCES (north-rule payload): deterministic
       // table where ids >= 2400 repeat the token array of id % 2400 —
@@ -923,6 +943,29 @@ object SparkEntry {
         |flagged AS (SELECT trg.id AS id FROM trg JOIN teg USING (gram)
         |            GROUP BY trg.id, teg.id HAVING count(*) >= 10)
         |SELECT id FROM tr WHERE id NOT IN (SELECT id FROM flagged)""".stripMargin,
+
+    // closure via recursive CTE, then per-group winner = max pref
+    // (min id among ties), then the double anti-join
+    "q_survivors_best" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM read_parquet('/root/repo/target/graft_oracle/q_survb_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b, id_a FROM read_parquet('/root/repo/target/graft_oracle/q_survb_pairs/*.parquet')
+        |),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |s AS (SELECT id, pref FROM read_parquet('/root/repo/target/graft_oracle/q_survb_seqs/*.parquet')),
+        |m AS (SELECT s.id, s.pref, g.group_id FROM s JOIN g USING (id)),
+        |best AS (SELECT group_id, max(pref) AS maxp FROM m GROUP BY group_id),
+        |w AS (SELECT m.group_id, min(m.id) AS id FROM m JOIN best
+        |        ON m.group_id = best.group_id AND m.pref = best.maxp
+        |      GROUP BY m.group_id),
+        |nonw AS (SELECT id FROM g WHERE id NOT IN (SELECT id FROM w))
+        |SELECT id FROM s WHERE id NOT IN (SELECT id FROM nonw)""".stripMargin,
 
     // exact token-sequence dedup survivors: group by the raw token LIST —
     // independent of the engine's structural hash fingerprint

@@ -329,6 +329,35 @@ object Dedup {
       groups.where(col("id") =!= col("group_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Survivor filter keeping the BEST row per dup group by a caller-chosen
+    * preference column (quality score, recency, length …) instead of the
+    * min id — what a curation pipeline actually wants: when five near-dups
+    * collapse, keep the highest-quality copy, not the lexicographically
+    * first. Deterministic: max `prefCol` wins, ties break on min id; a
+    * group whose preferences are all null falls back to min id. Rows
+    * absent from the group table pass through untouched.
+    *
+    * Plan shape: group ids join onto member rows by the 8-byte id; winner
+    * selection is two short-key aggregates on group_id (max-pref, then
+    * min-id among the tied); the final filter is a left-anti on the
+    * non-winner member set. Only (id, group_id, pref) ever shuffles.
+    */
+  def nearDupSurvivorsBy(df: DataFrame, idCol: String, groups: DataFrame,
+                         prefCol: String): DataFrame = {
+    val members = df.select(col(idCol).as("id"), col(prefCol).as("__pref"))
+      .join(groups, Seq("id"))
+    val best = members.groupBy(col("group_id")).agg(max(col("__pref")).as("__maxp"))
+    val winners = members.join(best, Seq("group_id"))
+      // null-safe: an all-null-pref group has __maxp null — <=> keeps it
+      .where(col("__pref") <=> col("__maxp"))
+      .groupBy(col("group_id")).agg(min(col("id")).as("id"))
+      .select(col("id"))
+    val nonWinners = groups.select(col("id"))
+      .join(winners, Seq("id"), "left_anti")
+      .select(col("id").as(idCol))
+    df.join(nonWinners, Seq(idCol), "left_anti")
+  }
+
   /** Word n-gram Jaccard similarity pairs — the non-LSH exact baseline.
     *
     * Two blocking modes:

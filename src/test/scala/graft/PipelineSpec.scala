@@ -552,6 +552,23 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L))
   }
 
+  test("nearDupSurvivorsBy: best-pref wins, min id on ties, null prefs fall back") {
+    val rows = Seq((0L, Some(0.5)), (1L, Some(0.9)), (2L, Some(0.9)),
+      (3L, Some(0.2)), (4L, Some(0.7))).toDF("id", "q")
+    val groups = Seq((0L, 0L), (1L, 0L), (2L, 0L)).toDF("id", "group_id")
+    val kept = Dedup.nearDupSurvivorsBy(rows, "id", groups, "q")
+      .select("id").as[Long].collect().toSet
+    // group {0,1,2}: 1 and 2 tie at 0.9 → min id 1; ungrouped 3, 4 pass
+    assert(kept == Set(1L, 3L, 4L))
+    // a group whose preferences are ALL null falls back to min id
+    val rowsN = Seq((0L, Option.empty[Double]), (1L, Option.empty[Double]),
+      (5L, Some(1.0))).toDF("id", "q")
+    val keptN = Dedup.nearDupSurvivorsBy(rowsN, "id",
+      Seq((0L, 0L), (1L, 0L)).toDF("id", "group_id"), "q")
+      .select("id").as[Long].collect().toSet
+    assert(keptN == Set(0L, 5L))
+  }
+
   test("prefix filter keeps a pair sitting exactly AT the threshold (ceil ulp jitter)") {
     // 0.07 * 100 = 7.000000000000001 in doubles: a naive ceil gives 8,
     // shortening the 100-set's prefix to 93 AND tightening the size bound to
