@@ -246,6 +246,25 @@ object SparkEntry {
         when(col("text").rlike("(^| )(the|a|of)( |$)"), "en")
           .otherwise("und").as("pred_lang"))
     }),
+    "q_pii_redact" -> ((s, dir) => {
+      // PII scrub audit: planted emails / IPv4s / long digit runs at known
+      // ids, materialized so the oracle re-runs the SAME regex cascade in
+      // RE2 — the patterns are restricted to the Java∩RE2 regex subset
+      val base = s.range(0, 600, 1, 8).select(col("id"),
+        concat(
+          lit("doc body starts "),
+          when(col("id") % 3 === 0, concat(lit("contact user"),
+            col("id").cast("string"), lit("@example.com "))).otherwise(lit("")),
+          when(col("id") % 4 === 0, concat(lit("from 10.0."),
+            pmod(col("id"), lit(256L)).cast("string"), lit(".7 "))).otherwise(lit("")),
+          when(col("id") % 5 === 0, concat(lit("ref 9988776"),
+            col("id").cast("string"), lit(" "))).otherwise(lit("")),
+          lit("and ends")).as("text"))
+      val stored = materialize(s, base, "q_pii_docs", files = 4)
+      val (ne, ni, nn) = TextFunctions.piiCounts(col("text"))
+      stored.select(col("id"), ne.as("n_emails"), ni.as("n_ips"),
+        nn.as("n_nums"), TextFunctions.redactPii(col("text")).as("redacted"))
+    }),
     "q_quality_filter" -> ((s, dir) => {
       // the composed curation gate a corpus team actually applies: English
       // + quality score ≥ 0.5 + word-repetition ≤ 0.2. Each component
@@ -732,6 +751,20 @@ object SparkEntry {
         |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
         |            ELSE 'und' END AS pred_lang
         |FROM documents""".stripMargin,
+
+    // the identical three-stage redaction cascade in RE2; counts taken at
+    // each cascade stage (emails on raw, IPs after email-redaction, digit
+    // runs after IP-redaction) exactly as piiCounts does
+    "q_pii_redact" ->
+      """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_pii_docs/*.parquet')),
+        |r1 AS (SELECT id, text, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d),
+        |r2 AS (SELECT id, text, t1, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM r1)
+        |SELECT id,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
+        |       CAST(len(regexp_extract_all(t2, '\b[0-9]{7,}\b')) AS INT) AS n_nums,
+        |       regexp_replace(t2, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted
+        |FROM r2""".stripMargin,
 
     // full replicas of qualityScore (normalized-token length score + raw
     // letters-only alpha + stopword marker), the langId cascade, and the

@@ -104,4 +104,40 @@ object TextFunctions {
         sequence(lit(0), size(words) - k),
         i => abs(xxhash64(array_join(slice(words, i + 1, lit(k)), " "))))))
   }
+
+  // PII patterns — deliberately restricted to a regex subset Java regex and
+  // RE2 (the DuckDB oracle) interpret identically: char classes, bounded
+  // repetition, \b word boundaries; no backrefs or lookaround
+  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private val LongNumRe = "\\b[0-9]{7,}\\b"
+
+  /** PII redaction (the scrubbing stage every training-data pipeline runs
+    * before release): emails → `<EMAIL>`, IPv4 literals → `<IP>`, long
+    * digit runs (phone/account/SSN-shaped, ≥7 digits) → `<NUM>`. Pure
+    * codegen'd regexp_replace cascade — order matters: emails first (they
+    * contain dots and digits), then IPs, then bare digit runs. Pattern-
+    * match PII detection is inherently heuristic; these three classes are
+    * the high-precision core — extend the cascade per corpus policy.
+    */
+  def redactPii(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(text, EmailRe, "<EMAIL>"),
+        Ipv4Re, "<IP>"),
+      LongNumRe, "<NUM>")
+
+  /** Per-class PII match counts (email, ipv4, long-number) — the audit
+    * companion of `redactPii`: gate or quarantine on counts, redact on
+    * release. Counted on the SAME cascade order (IPs counted before digit
+    * runs would double-count otherwise: each class is counted on the text
+    * with the previous classes already redacted).
+    */
+  def piiCounts(text: Column): (Column, Column, Column) = {
+    val afterEmail = regexp_replace(text, EmailRe, "<EMAIL>")
+    val afterIp = regexp_replace(afterEmail, Ipv4Re, "<IP>")
+    (regexp_count(text, lit(EmailRe)),
+      regexp_count(afterEmail, lit(Ipv4Re)),
+      regexp_count(afterIp, lit(LongNumRe)))
+  }
 }

@@ -552,6 +552,17 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L))
   }
 
+  test("PII redaction + counts: emails, IPv4, long digit runs; short numbers untouched") {
+    val df = Seq((1L, "mail a.b@x.co ip 10.1.2.3 num 12345678 short 123 v2.0 fine"))
+      .toDF("id", "text")
+    val (ne, ni, nn) = TextFunctions.piiCounts(col("text"))
+    val r = df.select(ne.as("e"), ni.as("i"), nn.as("n"),
+      TextFunctions.redactPii(col("text")).as("t")).head()
+    assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
+    // version strings and short numbers survive; the three PII classes don't
+    assert(r.getString(3) == "mail <EMAIL> ip <IP> num <NUM> short 123 v2.0 fine")
+  }
+
   test("nearDupSurvivorsBy: best-pref wins, min id on ties, null prefs fall back") {
     val rows = Seq((0L, Some(0.5)), (1L, Some(0.9)), (2L, Some(0.9)),
       (3L, Some(0.2)), (4L, Some(0.7))).toDF("id", "q")
