@@ -166,8 +166,9 @@ object Curate {
           eval: Option[DataFrame] = None,
           minhashThreshold: Double = 0.8,
           contamGrams: Int = 13, contamMinShared: Long = 1L,
-          contamStopGramMaxDf: Option[Long] = None): Result =
-    funnel(docs, idCol,
+          contamStopGramMaxDf: Option[Long] = None,
+          redactPii: Boolean = false): Result = {
+    val base = funnel(docs, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
       // language, quality, token counts — pure codegen columns
       annotate = _.withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
@@ -180,6 +181,19 @@ object Curate {
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
+    // PII scrub on the RELEASED rows only (after every filter stage — the
+    // dropped rows never need scrubbing); pure projection, no extra scan
+    // or stage count. Dedup/contamination above intentionally ran on the
+    // RAW text: redaction collapses distinct PII into one token, which
+    // would manufacture false near-dup matches
+    if (!redactPii) base
+    else base.copy(clean = base.clean
+      .withColumn("pii_redactions",
+        pipeline.TextFunctions.piiCounts(col(textCol)) match {
+          case (e, i, n) => e + i + n
+        })
+      .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))))
+  }
 
   def main(args: Array[String]): Unit = {
     val opts = args.sliding(2, 2).collect {
@@ -198,7 +212,7 @@ object Curate {
     val common = Set("input", "output", "eval", "id-col", "contam-grams")
     val allowed =
       if (opts.contains("tokens-col")) common ++ Set("tokens-col", "jaccard-threshold")
-      else common ++ Set("text-col", "minhash-threshold")
+      else common ++ Set("text-col", "minhash-threshold", "redact-pii")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -222,7 +236,8 @@ object Curate {
         opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
         eval = eval,
         minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
-        contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+        contamGrams = opts.getOrElse("contam-grams", "13").toInt,
+        redactPii = opts.getOrElse("redact-pii", "false").toBoolean)
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

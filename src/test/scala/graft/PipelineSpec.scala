@@ -515,6 +515,19 @@ class PipelineSpec extends SparkSpec {
       Seq((2L, 100L, 6L))) // 6 shared word-3-grams of the 8-word text
   }
 
+  test("Curate.run with redactPii scrubs the released text only") {
+    val input = Seq(
+      (0L, "the quick brown fox writes to admin@corp.example every day"),
+      (1L, "completely different content about catalyst optimizer internals"))
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text", redactPii = true)
+    val byId = r.clean.select("doc_id", "text", "pii_redactions")
+      .collect().map(x => x.getLong(0) -> ((x.getString(1), x.getInt(2)))).toMap
+    assert(byId(0L)._1.contains("<EMAIL>") && !byId(0L)._1.contains("admin@"))
+    assert(byId(0L)._2 == 1 && byId(1L)._2 == 0)
+    r.unpersist()
+  }
+
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
     // 6 sequences: 1 = exact dup of 0; 2 = near-dup of 0 (suffix edit,
     // 5-gram J = 96/99 ≈ 0.97); 3 clean; 4 invalid (empty); 6 contaminated
