@@ -355,6 +355,22 @@ object SparkEntry {
         "q_contam_test")
       Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10)
     }),
+    "q_strip_boilerplate" -> ((s, dir) => {
+      // line-level boilerplate removal: NAV + FOOTER in every doc, a
+      // COOKIE banner in half, two unique body lines each; maxDf=20
+      // strips the three ubiquitous lines and keeps bodies (and the
+      // df=1 'extra' line) in original order
+      val docs = s.range(0, 200, 1, 4).select(col("id"),
+        concat_ws("\n",
+          lit("NAV HOME ABOUT CONTACT"),
+          concat(lit("body line alpha "), col("id").cast("string")),
+          when(col("id") % 2 === 0, lit("ACCEPT COOKIES BANNER"))
+            .otherwise(concat(lit("extra "), col("id").cast("string"))),
+          concat(lit("body line beta "), col("id").cast("string")),
+          lit("COPYRIGHT 2026 FOOTER")).as("text"))
+      val stored = materialize(s, docs, "q_boiler_docs", files = 4)
+      Overlap.stripBoilerplateLines(stored, "text", "id", maxDf = 20)
+    }),
     "q_decontaminate" -> ((s, dir) => {
       // decontamination end-to-end: the contamination check (broadcast eval
       // gram index) feeding the anti-join filter — the composition Curate
@@ -959,6 +975,21 @@ object SparkEntry {
         |SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM trg JOIN teg USING (gram)
         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+
+    // line split via comprehension (generate_series is not lateral in
+    // DuckDB 1.0), per-line df over DISTINCT docs, NOT-IN strip, ordered
+    // string_agg reassembly — checks the engine's hash-keyed anti-join +
+    // struct-sorted rebuild end-to-end on raw strings
+    "q_strip_boilerplate" ->
+      """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_boiler_docs/*.parquet')),
+        |ls AS (SELECT id, string_split(text, chr(10)) AS l FROM d),
+        |u0 AS (SELECT id, unnest([{'pos': i, 'line': l[i]} for i in generate_series(1, len(l))]) AS u FROM ls),
+        |lines AS (SELECT id, u.pos AS pos, u.line AS line FROM u0),
+        |dfc AS (SELECT line, count(DISTINCT id) AS df FROM lines GROUP BY line),
+        |hot AS (SELECT line FROM dfc WHERE df > 20),
+        |kept AS (SELECT * FROM lines WHERE line NOT IN (SELECT line FROM hot)),
+        |rb AS (SELECT id, string_agg(line, chr(10) ORDER BY pos) AS stripped FROM kept GROUP BY id)
+        |SELECT d.id, COALESCE(rb.stripped, '') AS text FROM d LEFT JOIN rb USING (id)""".stripMargin,
 
     // decontaminate = contamination (recomputed from raw token slices) +
     // anti-join — the flagged-id set independent of the engine's hashing

@@ -88,6 +88,47 @@ object Overlap {
       .where(col("n_shared") >= minShared)
   }
 
+  /** LINE-level boilerplate stripping (the CCNet/RefinedWeb-style cleanup):
+    * remove every line that appears in MORE than `maxDf` distinct documents
+    * — navigation menus, cookie banners, copyright footers — and reassemble
+    * each document's remaining lines in their original order. The text
+    * column is REPLACED in place; other columns pass through. A document
+    * whose every line is boilerplate comes back with empty text (left join
+    * + coalesce — the row is not silently dropped; pair with a min-length
+    * quality gate downstream).
+    *
+    * Scale shape: lines explode to (id, pos, line-hash + line); the df
+    * count shuffles per-doc-DISTINCT 8-byte line hashes (a line repeated
+    * inside one doc counts that doc once, mirroring `boilerplateGrams`);
+    * the hot-line set (df > maxDf) is small by construction and joins the
+    * line table as a broadcast-able anti-join; reassembly is one groupBy
+    * on the 8-byte id with a sort_array over (pos, line) structs. Blank
+    * lines are lines too — ubiquitous blanks exceed `maxDf` and are
+    * stripped like any other boilerplate. Hot-line membership is tested on
+    * the 64-bit line hash (8-byte keys end-to-end); a collision with a hot
+    * line would strip an innocent line — at ~10^10 distinct lines that is
+    * a handful of expected collisions corpus-wide, the same trade as
+    * `exactDedup`'s fingerprint contract.
+    */
+  def stripBoilerplateLines(df: DataFrame, textCol: String, idCol: String,
+                            maxDf: Long): DataFrame = {
+    val lines = df.select(col(idCol).as("id"),
+      posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
+    val hot = lines.select(col("id"), xxhash64(col("line")).as("lh")).distinct()
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .select(col("lh"))
+    val kept = lines.join(hot,
+      xxhash64(col("line")) === col("lh"), "left_anti")
+    val rebuilt = kept.groupBy(col("id"))
+      .agg(concat_ws("\n", transform(
+        sort_array(collect_list(struct(col("pos"), col("line")))),
+        s => s.getField("line"))).as("__stripped"))
+    df.join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
+      .withColumn(textCol, coalesce(col("__stripped"), lit("")))
+      .drop("__stripped")
+  }
+
   /** Decontamination filter: drop every training row flagged by a
     * contamination check. `contaminated` is the (train_id, test_id,
     * n_shared) output of `contamination`/`textContamination`; the distinct

@@ -565,6 +565,24 @@ class PipelineSpec extends SparkSpec {
     assert(kept == Set(0L, 2L, 4L))
   }
 
+  test("stripBoilerplateLines: hot lines go, order survives, all-boilerplate doc stays (empty)") {
+    val docsL = Seq(
+      (0L, "MENU\nunique zero\nFOOTER"),
+      (1L, "MENU\nunique one a\nunique one b\nFOOTER"),
+      (2L, "MENU\nunique two\nFOOTER"),
+      (3L, "MENU\nFOOTER")).toDF("id", "text")
+    val out = pipeline.Overlap.stripBoilerplateLines(docsL, "text", "id", maxDf = 2)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(out == Map(
+      0L -> "unique zero", 1L -> "unique one a\nunique one b",
+      2L -> "unique two", 3L -> "")) // all-boilerplate doc kept, emptied
+    // in-doc repetition counts once: a line in 2 DOCS (maxDf=2) survives
+    val twoDocs = Seq((0L, "dup\ndup\nbody"), (1L, "dup\nother")).toDF("id", "text")
+    val out2 = pipeline.Overlap.stripBoilerplateLines(twoDocs, "text", "id", maxDf = 2)
+      .select("id", "text").as[(Long, String)].collect().toMap
+    assert(out2 == Map(0L -> "dup\ndup\nbody", 1L -> "dup\nother"))
+  }
+
   test("PII redaction + counts: emails, IPv4, long digit runs; short numbers untouched") {
     val df = Seq((1L, "mail a.b@x.co ip 10.1.2.3 num 12345678 short 123 v2.0 fine"))
       .toDF("id", "text")
