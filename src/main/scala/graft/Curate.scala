@@ -15,7 +15,7 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     --input <parquet of (doc_id, text, lang?, source?, ...)> \
   *     --output <dir> [--eval <parquet of (doc_id, text)>] \
   *     [--id-col doc_id] [--text-col text] \
-  *     [--minhash-threshold 0.8] [--contam-grams 13]
+  *     [--minhash-threshold 0.8] [--contam-grams 13] [--redact-pii true]
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram

@@ -346,6 +346,10 @@ object Dedup {
                          prefCol: String): DataFrame = {
     val members = df.select(col(idCol).as("id"), col(prefCol).as("__pref"))
       .join(groups, Seq("id"))
+    // two aggregates rather than one max(struct(pref, -id)) arg-max:
+    // ids are arbitrary orderable types (doc_id is a STRING in the north
+    // rule) with no generic negation, so "max pref then MIN id" cannot
+    // ride a single struct ordering
     val best = members.groupBy(col("group_id")).agg(max(col("__pref")).as("__maxp"))
     val winners = members.join(best, Seq("group_id"))
       // null-safe: an all-null-pref group has __maxp null — <=> keeps it

@@ -97,9 +97,14 @@ object Overlap {
     * + coalesce — the row is not silently dropped; pair with a min-length
     * quality gate downstream).
     *
-    * Scale shape: lines explode to (id, pos, line-hash + line); the df
-    * count shuffles per-doc-DISTINCT 8-byte line hashes (a line repeated
-    * inside one doc counts that doc once, mirroring `boilerplateGrams`);
+    * `idCol` MUST be unique — it keys the reassembly groupBy, so duplicate
+    * ids would interleave two documents' lines into one merged text (same
+    * contract as `jaccardPairsFromSets`).
+    *
+    * Scale shape: the df count builds each doc's DISTINCT line-hash set
+    * MAP-SIDE (`array_distinct` over the split — a line repeated inside
+    * one doc counts that doc once) and shuffles ONLY bare 8-byte hashes
+    * in a single count aggregate, the exact `boilerplateGrams` pattern;
     * the hot-line set (df > maxDf) is small by construction and joins the
     * line table as a broadcast-able anti-join; reassembly is one groupBy
     * on the 8-byte id with a sort_array over (pos, line) structs. Blank
@@ -114,7 +119,8 @@ object Overlap {
                             maxDf: Long): DataFrame = {
     val lines = df.select(col(idCol).as("id"),
       posexplode(split(col(textCol), "\n")).as(Seq("pos", "line")))
-    val hot = lines.select(col("id"), xxhash64(col("line")).as("lh")).distinct()
+    val hot = df.select(explode(array_distinct(
+        transform(split(col(textCol), "\n"), l => xxhash64(l)))).as("lh"))
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select(col("lh"))
