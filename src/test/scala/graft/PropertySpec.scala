@@ -173,6 +173,29 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("boilerplate line stripping law: engine == driver reference on random corpora") {
+    // random documents over a tiny line vocabulary (heavy cross-doc line
+    // sharing) at random df thresholds: the hash-keyed distributed strip
+    // must equal a direct driver-side computation, including empty lines
+    // and trailing-empty splits
+    import spark.implicits._
+    val genCase = Gen.zip(
+      Gen.choose(3, 8).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(Gen.oneOf("nav", "foot", "", "a", "b", "c", "d")))),
+      Gen.choose(1, 4))
+    forAll(genCase) { case (docs, maxDf) =>
+      val rows = docs.zipWithIndex.map { case (ls, i) => (i.toLong, ls.mkString("\n")) }
+      val dfc = rows.flatMap { case (_, t) => t.split("\n", -1).distinct }
+        .groupBy(identity).view.mapValues(_.size).toMap
+      val expect = rows.map { case (id, t) =>
+        id -> t.split("\n", -1).filter(l => dfc(l) <= maxDf).mkString("\n") }.toMap
+      val got = graft.pipeline.Overlap.stripBoilerplateLines(
+        rows.toDF("id", "text"), "text", "id", maxDf.toLong)
+        .select("id", "text").as[(Long, String)].collect().toMap
+      assert(got == expect, s"maxDf=$maxDf docs=$docs")
+    }
+  }
+
   test("prefix-filtered similarity join law: both total orders == driver brute force") {
     // RECALL/PRECISION 1 of jaccardPairsFromSets under BOTH the df-ascending
     // and hash total orders, on random set corpora at random thresholds —
