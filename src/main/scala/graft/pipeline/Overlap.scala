@@ -135,6 +135,41 @@ object Overlap {
       .drop("__stripped")
   }
 
+  /** The 100 TB shape of `stripBoilerplateLines`: identical semantics, ZERO
+    * text shuffle. Pass 1 computes the hot-line hashes exactly as the
+    * shuffle variant does (bare 8-byte hashes) and COLLECTS them — the hot
+    * set is small by construction (every member appears in > maxDf docs, so
+    * |hot| ≤ total line occurrences / maxDf), and `maxHotLines` makes the
+    * assumption LOUD instead of letting a pathological corpus OOM the
+    * driver. Pass 2 strips map-side: split → filter against the sorted hot
+    * array → rejoin, a pure per-row projection — the document text never
+    * enters an exchange, where the shuffle variant moves the whole corpus
+    * through the reassembly groupBy.
+    *
+    * Trades: the HOF filter is CodegenFallback (interpreted per line) and
+    * membership is a linear probe of the hot array — fine for the typical
+    * thousands-of-boilerplate-lines case; prefer the shuffle variant when
+    * the hot set is genuinely huge. Two input scans (count + strip), like
+    * every two-pass profile in this engine.
+    */
+  def stripBoilerplateLinesMapSide(df: DataFrame, textCol: String,
+                                   maxDf: Long,
+                                   maxHotLines: Int = 100000): DataFrame = {
+    val hotRows = df.select(explode(array_distinct(
+        transform(split(col(textCol), "\n"), l => xxhash64(l)))).as("lh"))
+      .groupBy(col("lh")).agg(count(lit(1)).as("df"))
+      .where(col("df") > maxDf)
+      .limit(maxHotLines + 1)
+      .collect()
+    require(hotRows.length <= maxHotLines,
+      s"hot-line set exceeds maxHotLines=$maxHotLines — lower maxDf, raise " +
+        "the cap, or use stripBoilerplateLines (shuffle reassembly)")
+    val hot = typedLit(hotRows.map(_.getLong(0)).sorted.toSeq)
+    df.withColumn(textCol,
+      array_join(filter(split(col(textCol), "\n"),
+        l => !array_contains(hot, xxhash64(l))), "\n"))
+  }
+
   /** Decontamination filter: drop every training row flagged by a
     * contamination check. `contaminated` is the (train_id, test_id,
     * n_shared) output of `contamination`/`textContamination`; the distinct

@@ -581,6 +581,17 @@ class PipelineSpec extends SparkSpec {
     val out2 = pipeline.Overlap.stripBoilerplateLines(twoDocs, "text", "id", maxDf = 2)
       .select("id", "text").as[(Long, String)].collect().toMap
     assert(out2 == Map(0L -> "dup\ndup\nbody", 1L -> "dup\nother"))
+    // the zero-text-shuffle map-side variant agrees on both fixtures
+    for ((fixture, want) <- Seq(docsL -> out, twoDocs -> out2)) {
+      val ms = pipeline.Overlap.stripBoilerplateLinesMapSide(fixture, "text", maxDf = 2)
+        .select("id", "text").as[(Long, String)].collect().toMap
+      assert(ms == want, "map-side variant diverged from shuffle variant")
+    }
+    // the hot-set cap fails loudly, never silently truncates
+    intercept[IllegalArgumentException] {
+      pipeline.Overlap.stripBoilerplateLinesMapSide(docsL, "text",
+        maxDf = 2, maxHotLines = 1)
+    }
   }
 
   test("PII redaction + counts: emails, IPv4, long digit runs; short numbers untouched") {

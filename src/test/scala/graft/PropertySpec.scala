@@ -193,6 +193,10 @@ class PropertySpec extends SparkSpec {
         rows.toDF("id", "text"), "text", "id", maxDf.toLong)
         .select("id", "text").as[(Long, String)].collect().toMap
       assert(got == expect, s"maxDf=$maxDf docs=$docs")
+      val gotMs = graft.pipeline.Overlap.stripBoilerplateLinesMapSide(
+        rows.toDF("id", "text"), "text", maxDf.toLong)
+        .select("id", "text").as[(Long, String)].collect().toMap
+      assert(gotMs == expect, s"map-side: maxDf=$maxDf docs=$docs")
     }
   }
 
