@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal, Lower, RegExpReplace, StringTrim}
 import org.apache.spark.sql.types.IntegerType
 import graft.functions._
 
@@ -75,5 +75,19 @@ object GraftExtensions {
       (es: Seq[Expression]) => SortedArrayJaccard(es(0), es(1))),
     ("graft_gen_tokens", "graft_gen_tokens(id, maxLen, vocab) - deterministic synthetic token array",
       (es: Seq[Expression]) => GenTokens(es(0),
-        intLit(es(1), "graft_gen_tokens", 1), intLit(es(2), "graft_gen_tokens", 2))))
+        intLit(es(1), "graft_gen_tokens", 1), intLit(es(2), "graft_gen_tokens", 2))),
+    // compositions of built-in expressions, registered so the SQL face
+    // matches the Scala API byte-for-byte (TextFunctions.normalize /
+    // redactPii build the same trees through the Column DSL)
+    ("graft_normalize", "graft_normalize(text) - trim + collapse whitespace + lowercase (the dedup-normalization)",
+      (es: Seq[Expression]) =>
+        Lower(StringTrim(RegExpReplace(es(0), Literal("\\s+"), Literal(" "))))),
+    ("graft_redact_pii", "graft_redact_pii(text) - scrub emails, IPv4 literals, and 7+-digit runs",
+      (es: Seq[Expression]) =>
+        RegExpReplace(
+          RegExpReplace(
+            RegExpReplace(es(0),
+              Literal(graft.pipeline.TextFunctions.EmailRe), Literal("<EMAIL>")),
+            Literal(graft.pipeline.TextFunctions.Ipv4Re), Literal("<IP>")),
+          Literal(graft.pipeline.TextFunctions.LongNumRe), Literal("<NUM>"))))
 }

@@ -108,9 +108,9 @@ object TextFunctions {
   // PII patterns — deliberately restricted to a regex subset Java regex and
   // RE2 (the DuckDB oracle) interpret identically: char classes, bounded
   // repetition, \b word boundaries; no backrefs or lookaround
-  private val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
-  private val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
-  private val LongNumRe = "\\b[0-9]{7,}\\b"
+  private[graft] val EmailRe = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private[graft] val Ipv4Re = "\\b([0-9]{1,3}\\.){3}[0-9]{1,3}\\b"
+  private[graft] val LongNumRe = "\\b[0-9]{7,}\\b"
 
   /** PII redaction (the scrubbing stage every training-data pipeline runs
     * before release): emails → `<EMAIL>`, IPv4 literals → `<IP>`, long

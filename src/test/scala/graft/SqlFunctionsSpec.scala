@@ -46,6 +46,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getAs[Double]("jt") == 1.0)
   }
 
+  test("graft_normalize / graft_redact_pii from SQL equal the Column API") {
+    val raw = "  Mail A.b@x.co  IP 10.1.2.3\tnum 12345678  "
+    val r = spark.sql(
+      s"SELECT graft_normalize('${raw.replace("\t", "\\t")}') AS n, " +
+        s"graft_redact_pii('${raw.replace("\t", "\\t")}') AS p").head()
+    val api = Seq(raw).toDF("t").select(
+      pipeline.TextFunctions.normalize(col("t")).as("n"),
+      pipeline.TextFunctions.redactPii(col("t")).as("p")).head()
+    assert(r.getString(0) == api.getString(0))
+    assert(r.getString(1) == api.getString(1))
+    assert(r.getString(0) == "mail a.b@x.co ip 10.1.2.3 num 12345678")
+    assert(r.getString(1).contains("<EMAIL>") && r.getString(1).contains("<IP>")
+      && r.getString(1).contains("<NUM>"))
+  }
+
   test("wrong-typed SQL arguments fail at analysis, not mid-job") {
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
