@@ -23,15 +23,19 @@ object TableChecks {
         approx_count_distinct(col(c), 0.01).as(s"${c}__approx_distinct"))
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    val stacked = cols.map { c =>
-      wide.select(lit(c).as("col_name"),
+    // long format via ONE explode over the one-row aggregate — NOT a union
+    // of per-column selects: column pruning specializes each union branch
+    // into a canonically different aggregate (the same ReuseExchange-defeat
+    // documented in Dedup), so the union shape re-scans the input once per
+    // column. One plan ⇒ one scan regardless of |cols|.
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
         col(s"${c}__nulls").as("null_count"),
         (col(s"${c}__nulls").cast("double") / col("__n")).as("null_rate"),
-        col(s"${c}__approx_distinct").as("approx_distinct"))
-    }
-    stacked.reduce(_ unionByName _)
+        col(s"${c}__approx_distinct").as("approx_distinct"))): _*)).as("r"))
+      .select(col("r.*"))
   }
 
   /** Exact stats variant (exact distinct instead of HLL) for oracle parity
@@ -45,13 +49,14 @@ object TableChecks {
         count_distinct(col(c)).as(s"${c}__distinct"))
     } :+ count(lit(1)).as("__n")
     val wide = df.agg(aggs.head, aggs.tail: _*)
-    cols.map { c =>
-      wide.select(lit(c).as("col_name"),
+    // same one-explode long format as columnStats (one scan, not |cols|)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
         col(s"${c}__min").as("min_value"),
         col(s"${c}__max").as("max_value"),
         col(s"${c}__nulls").as("null_count"),
-        col(s"${c}__distinct").as("distinct_count"))
-    }.reduce(_ unionByName _)
+        col(s"${c}__distinct").as("distinct_count"))): _*)).as("r"))
+      .select(col("r.*"))
   }
 
   /** Keys violating uniqueness, via SALTED two-stage aggregation (north rule:
@@ -144,15 +149,22 @@ object TableChecks {
     // an all-NULL column (or an empty frame) aggregates to a NULL array;
     // posexplode would silently DROP the column from the profile — the one
     // pathology a profiler must surface — so substitute an all-null value
-    // array and emit explicit (col_name, p, null) rows instead
+    // array and emit explicit (col_name, p, null) rows instead.
+    // Long format from ONE plan over the one-row aggregate (explode of a
+    // (col_name, values) struct array, then posexplode of the inner array)
+    // — a union of per-column selects gets each branch pruned into a
+    // canonically different aggregate and re-scans the input once per
+    // profiled column: N scans of a 100 TB table on the path advertised
+    // for 100 TB.
     val nulls = typedLit(ps.map(_ => null.asInstanceOf[java.lang.Double]))
-    cols.map { c =>
-      wide.select(lit(c).as("col_name"),
-          posexplode(coalesce(col(s"${c}__p"), nulls)).as(Seq("i", "v")))
-        .select(col("col_name"),
-          element_at(typedLit(ps), col("i") + 1).as("p"),
-          round(col("v"), 6).as("value"))
-    }.reduce(_ unionByName _)
+    wide.select(explode(array(cols.map(c => struct(
+        lit(c).as("col_name"),
+        coalesce(col(s"${c}__p"), nulls).as("vals"))): _*)).as("r"))
+      .select(col("r.col_name").as("col_name"),
+        posexplode(col("r.vals")).as(Seq("i", "v")))
+      .select(col("col_name"),
+        element_at(typedLit(ps), col("i") + 1).as("p"),
+        round(col("v"), 6).as("value"))
   }
 
   /** Salted two-stage per-key counts — the shared engine of `duplicateKeys`,

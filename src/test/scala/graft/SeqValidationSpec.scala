@@ -173,6 +173,22 @@ class SeqValidationSpec extends SparkSpec {
     assert(prof == Map("a" -> Some(1.5), "b" -> None), s"got $prof")
   }
 
+  test("profiles scan their input ONCE (long format is one plan, not a per-column union)") {
+    // a union of per-column selects over the shared wide aggregate gets each
+    // branch pruned into a canonically different aggregate — N scans of the
+    // input for N profiled columns (the ReuseExchange-defeat pathology);
+    // the explode-based long format must keep exactly one scan
+    val dir = java.nio.file.Files.createTempDirectory("graft_profile_scan").toString
+    seqs.limit(200).write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans(TableChecks.columnStats(stored, Seq("n_tok", "doc_id", "source"))) == 1)
+    assert(scans(TableChecks.columnStatsExact(stored, Seq("n_tok", "doc_id"))) == 1)
+    assert(scans(TableChecks.numericProfile(stored, Seq("n_tok"), Seq(0.5))) == 1)
+    assert(scans(TableChecks.approxNumericProfile(stored, Seq("n_tok"), Seq(0.5))) == 1)
+  }
+
   test("hotKeys + keySkewStats: skew diagnostics, null keys, deterministic tiebreaks") {
     // 24 rows / 6 keys: hot×10, warm×5, warm2×5, null×2, c1, c2 — mean
     // key count 4.0, so skew_ratio = 10/4 = 2.5
