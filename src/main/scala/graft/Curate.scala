@@ -167,13 +167,19 @@ object Curate {
           minhashThreshold: Double = 0.8,
           contamGrams: Int = 13, contamMinShared: Long = 1L,
           contamStopGramMaxDf: Option[Long] = None,
-          redactPii: Boolean = false): Result = {
+          redactPii: Boolean = false,
+          subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab): Result = {
     val base = funnel(docs, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
-      // language, quality, token counts — pure codegen columns
+      // language, quality, token counts — pure per-row columns. n_subwords
+      // is the vocab-driven greedy segmentation count (pass the
+      // deployment's real BPE/wordpiece vocab via subwordVocab — DemoVocab
+      // is a deterministic stand-in vocabulary, not a stand-in algorithm)
       annotate = _.withColumn("lang_id", pipeline.TextFunctions.langId(col(textCol)))
         .withColumn("quality", pipeline.TextFunctions.qualityScore(col(textCol)))
         .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
+        .withColumn("n_subwords",
+          pipeline.TextFunctions.subwordCountVocab(col(textCol), subwordVocab))
         .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol))),
       exactDedup = Dedup.exactDedup(_, textCol, idCol),
       nearDupPairs = Dedup.minhashNearDups(_, textCol, idCol,
@@ -189,10 +195,32 @@ object Curate {
     if (!redactPii) base
     else base.copy(clean = base.clean
       .withColumn("pii_redactions",
-        pipeline.TextFunctions.piiCounts(col(textCol)) match {
-          case (e, i, n) => e + i + n
-        })
-      .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))))
+        pipeline.TextFunctions.piiCounts(col(textCol)).total)
+      .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
+      // violations are persisted output too — a run that asked for PII
+      // scrubbing must not land raw emails/phones on disk via the
+      // quarantine path (round-4 advice). Scrub the text column AND the
+      // message columns: error messages embed Python-style value reprs
+      // (PyRepr), so a failing text value leaks into `code`/`autos`/`errors`
+      violations = scrubViolations(base.violations, textCol))
+  }
+
+  /** PII-scrub a violations frame: the text column plus every
+    * message-bearing column (`code`, `autos`, `errors`, `all_codes` when
+    * present — error messages embed value reprs, so PII in a FAILING text
+    * value surfaces there too). Missing columns are skipped: callers may
+    * pass custom rules whose violations carry a different shape.
+    */
+  private[graft] def scrubViolations(violations: DataFrame,
+                                     textCol: String): DataFrame = {
+    val scrub = pipeline.TextFunctions.redactPii(_)
+    val cols = violations.columns.toSet
+    var out = violations
+    if (cols(textCol)) out = out.withColumn(textCol, scrub(col(textCol)))
+    if (cols("code")) out = out.withColumn("code", scrub(col("code")))
+    for (c <- Seq("autos", "errors", "all_codes") if cols(c))
+      out = out.withColumn(c, transform(col(c), e => scrub(e)))
+    out
   }
 
   def main(args: Array[String]): Unit = {

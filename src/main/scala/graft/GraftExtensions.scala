@@ -82,12 +82,16 @@ object GraftExtensions {
     ("graft_normalize", "graft_normalize(text) - trim + collapse whitespace + lowercase (the dedup-normalization)",
       (es: Seq[Expression]) =>
         Lower(StringTrim(RegExpReplace(es(0), Literal("\\s+"), Literal(" "))))),
-    ("graft_redact_pii", "graft_redact_pii(text) - scrub emails, IPv4 literals, and 7+-digit runs",
+    ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(
           RegExpReplace(
-            RegExpReplace(es(0),
-              Literal(graft.pipeline.TextFunctions.EmailRe), Literal("<EMAIL>")),
-            Literal(graft.pipeline.TextFunctions.Ipv4Re), Literal("<IP>")),
+            RegExpReplace(
+              RegExpReplace(
+                RegExpReplace(es(0),
+                  Literal(graft.pipeline.TextFunctions.UrlRe), Literal("<URL>")),
+                Literal(graft.pipeline.TextFunctions.EmailRe), Literal("<EMAIL>")),
+              Literal(graft.pipeline.TextFunctions.Ipv4Re), Literal("<IP>")),
+            Literal(graft.pipeline.TextFunctions.PhoneRe), Literal("<PHONE>")),
           Literal(graft.pipeline.TextFunctions.LongNumRe), Literal("<NUM>"))))
 }

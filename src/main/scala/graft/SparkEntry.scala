@@ -221,6 +221,24 @@ object SparkEntry {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_regex_tokens"))
     }),
 
+    "q_subword_vocab" -> ((s, dir) => {
+      // VOCAB-DRIVEN greedy longest-match segmentation (wordpiece-style,
+      // replacing the length/4 stand-in): the vocab is materialized so the
+      // DuckDB oracle replays the exact greedy walk step by step with a
+      // recursive CTE + longest-match lateral probe over the SAME table.
+      // Output carries the joined pieces, so every match decision on every
+      // row is hash-checked, not just the counts. doc_id%10 subset keeps
+      // the oracle's nested-loop walk cheap at sf0.1.
+      import s.implicits._
+      materialize(s, TextFunctions.DemoVocab.toDF("tok"), "q_subword_vocab_tab")
+      T(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        .select(col("doc_id"),
+          TextFunctions.subwordPiecesVocab(col("text"),
+            TextFunctions.DemoVocab).as("p"))
+        .select(col("doc_id"), size(col("p")).as("n_pieces"),
+          array_join(col("p"), "|").as("pieces"))
+    }),
+
     // --- quality scoring (single division + round for float safety) ---
     "q_word_repetition" -> ((s, dir) => {
       // duplicate word-2-gram fraction: gram hashing (WordGramSet) checked
@@ -228,6 +246,25 @@ object SparkEntry {
       T(s, dir, "documents").select(col("doc_id"),
         TextFunctions.wordRepetitionRatio(col("text")).as("rep_ratio"))
     }),
+    "q_gopher_quality" -> ((s, dir) => {
+      // the Gopher repetition/symbol battery. The documents table is
+      // single-line, so the LINE metric runs over translate(text,'e','\n')
+      // — a deterministic multi-line derivation both engines compute
+      // identically (no regex backreference divergence) that plants
+      // duplicate and empty lines wherever 'e's cluster
+      val t = col("text")
+      val multiline = translate(t, "e", "\n")
+      T(s, dir, "documents").select(col("doc_id"),
+          TextFunctions.duplicateLineFraction(multiline).as("dup_line_frac"),
+          TextFunctions.topNgramCharShare(t, 2).as("top2gram_share"),
+          TextFunctions.symbolWordRatio(t).as("symbol_ratio"),
+          TextFunctions.meanWordLength(t).as("mean_word_len"))
+        .withColumn("gopher_ok",
+          col("dup_line_frac") <= 0.30 && col("top2gram_share") <= 0.20 &&
+            col("symbol_ratio") <= 0.10 &&
+            col("mean_word_len").between(3.0, 10.0))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
       val nTok = TextFunctions.tokenCount(t)
@@ -247,9 +284,12 @@ object SparkEntry {
           .otherwise("und").as("pred_lang"))
     }),
     "q_pii_redact" -> ((s, dir) => {
-      // PII scrub audit: planted emails / IPv4s / long digit runs at known
-      // ids, materialized so the oracle re-runs the SAME regex cascade in
-      // RE2 — the patterns are restricted to the Java∩RE2 regex subset
+      // PII scrub audit: planted URLs / emails / IPv4s / separator-formatted
+      // phones / long digit runs at known ids, materialized so the oracle
+      // re-runs the SAME regex cascade in RE2 — the patterns are restricted
+      // to the Java∩RE2 regex subset. The URL embeds an email-shaped
+      // userinfo (u=aXX@ex.co) so cascade ORDER is itself under test: it
+      // must count as URL only, never double as an email.
       val base = s.range(0, 600, 1, 8).select(col("id"),
         concat(
           lit("doc body starts "),
@@ -259,11 +299,21 @@ object SparkEntry {
             pmod(col("id"), lit(256L)).cast("string"), lit(".7 "))).otherwise(lit("")),
           when(col("id") % 5 === 0, concat(lit("ref 9988776"),
             col("id").cast("string"), lit(" "))).otherwise(lit("")),
+          when(col("id") % 7 === 0, concat(lit("call (555) 123 4"),
+            lpad(pmod(col("id"), lit(1000L)).cast("string"), 3, "0"),
+            lit(" "))).otherwise(lit("")),
+          when(col("id") % 2 === 0, concat(lit("alt 555-014-"),
+            lpad(pmod(col("id"), lit(10000L)).cast("string"), 4, "0"),
+            lit(" "))).otherwise(lit("")),
+          when(col("id") % 11 === 0, concat(lit("see https://ex.ample.com/p/"),
+            col("id").cast("string"), lit("?u=a"),
+            col("id").cast("string"), lit("@ex.co "))).otherwise(lit("")),
           lit("and ends")).as("text"))
       val stored = materialize(s, base, "q_pii_docs", files = 4)
-      val (ne, ni, nn) = TextFunctions.piiCounts(col("text"))
-      stored.select(col("id"), ne.as("n_emails"), ni.as("n_ips"),
-        nn.as("n_nums"), TextFunctions.redactPii(col("text")).as("redacted"))
+      val a = TextFunctions.piiCounts(col("text"))
+      stored.select(col("id"), a.urls.as("n_urls"), a.emails.as("n_emails"),
+        a.ips.as("n_ips"), a.phones.as("n_phones"), a.nums.as("n_nums"),
+        TextFunctions.redactPii(col("text")).as("redacted"))
     }),
     "q_quality_filter" -> ((s, dir) => {
       // the composed curation gate a corpus team actually applies: English
@@ -428,6 +478,24 @@ object SparkEntry {
       Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"))
     }),
+    "q_nfc_dedup" -> ((s, dir) => {
+      // Unicode-aware exact dedup (the nfc flag ON): composed é, decomposed
+      // e+combining-acute, spacing and case variants all collapse to one
+      // group; plain-ascii "cafe" must NOT merge. The flag-off default path
+      // stays pinned byte-identical by q_dedup_fingerprint and the whole
+      // dedup family.
+      import s.implicits._
+      val variants = Seq(
+        (0L, "caf\u00e9 au lait"),        // composed \u00e9
+        (1L, "cafe\u0301 au lait"),       // decomposed e + combining acute
+        (2L, "  caf\u00e9   au  lait "),  // spacing variant
+        (3L, "completely different text"),
+        (4L, "CAF\u00c9 AU LAIT"),        // case variant
+        (5L, "cafe au lait"))             // ascii lookalike, separate group
+      val stored = materialize(s, variants.toDF("id", "text"), "q_nfc_docs")
+      Dedup.exactDedup(stored, "text", "id", nfc = true).select(col("id"))
+    }),
+
     "q_minhash_neardups" -> ((s, dir) => {
       // r=2, b=16 banding: P(miss | jaccard = 0.5) = (1-0.25)^16 ≈ 1% per
       // pair and falls off fast above the threshold — recall 1 on this
@@ -595,6 +663,57 @@ object SparkEntry {
     }),
   )
 
+  /** BENCH-ONLY stage splits (no oracle entries — the oracle compositions
+    * in `queries` stay intact): q_dedup_groups / q_dedup_survivors /
+    * q_survivors_best recompute their pair fixtures in-query for oracle
+    * independence, which conflates fixture generation, the similarity join,
+    * AND the operator under test in one bench timing (a driver-window
+    * wobble then reads as a phantom operator regression — round-4 finding).
+    * These entries time the stages separately: `*_pairs` = input + pair
+    * generation (writes the same sketch paths the composed queries use),
+    * `*_resolve` = group resolution / survivor filter alone over the
+    * stage-1 parquet. ORDERED — resolve entries read what pairs entries
+    * wrote. Plus the end-to-end curation funnel as a product-level
+    * throughput number.
+    */
+  def benchStages: Seq[(String, (SparkSession, String) => DataFrame)] = Seq(
+    "b_groups_pairs" -> ((s: SparkSession, dir: String) => {
+      val pairs = Dedup.minhashNearDups(T(s, dir, "documents"), "text",
+        "doc_id", shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      materialize(s, pairs, "q_dup_pairs")
+    }),
+    "b_groups_resolve" -> ((s: SparkSession, dir: String) =>
+      Dedup.dupGroups(s.read.parquet(s"$OracleAux/q_dup_pairs"))),
+    "b_surv_pairs" -> ((s: SparkSession, dir: String) => {
+      val seqs = s.range(0, 400, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(80L)), 200, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id"), 16, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      val stored = materialize(s, seqs, "q_surv_seqs", files = 4)
+      materialize(s, Dedup.tokenNgramNearDups(stored, "tokens", "id",
+        k = 5, threshold = 0.5).select(col("id_a"), col("id_b")), "q_surv_pairs")
+    }),
+    "b_surv_resolve" -> ((s: SparkSession, dir: String) =>
+      Dedup.nearDupSurvivors(s.read.parquet(s"$OracleAux/q_surv_seqs"), "id",
+        Dedup.dupGroups(s.read.parquet(s"$OracleAux/q_surv_pairs")))
+        .select(col("id"))),
+    "b_curate_funnel" -> ((s: SparkSession, dir: String) => {
+      // end-to-end Curate.run (validate → annotate → exact dedup → minhash
+      // near-dups → groups → survivors → PII scrub) over the documents
+      // table — the funnel docs/sec a pipeline team quotes. The funnel's
+      // own persists/counts execute INSIDE this timing; the returned frame
+      // is a pre-counted range so the harness's .count() adds nothing and
+      // the caches are already released.
+      val r = Curate.run(s, T(s, dir, "documents"), "doc_id", "text",
+        minhashThreshold = 0.5, redactPii = true)
+      val n = r.clean.count()
+      r.unpersist()
+      s.range(n).toDF("i")
+    }))
+
   def oracleSql: Map[String, String] = Map(
     "q_agg_pricing" ->
       """SELECT l_returnflag, l_linestatus,
@@ -742,6 +861,40 @@ object SparkEntry {
         |            ELSE round(1.0 - CAST(nd AS DOUBLE) / (ntok - 1), 4) END AS rep_ratio
         |FROM g""".stripMargin,
 
+    // full replicas of the Gopher battery: line metric over the same
+    // replace(text,'e',\n) derivation, top-bigram via unnest + window mode
+    // (ties: min gram), symbol counts on raw text, word stats on the
+    // normalized text. coalesce BEFORE least: DuckDB's least() skips NULLs
+    // (least(1.0, NULL) = 1.0), so a no-bigram doc would score 1.0, not 0
+    "q_gopher_quality" ->
+      """WITH n AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t,
+        |                  replace(text, 'e', chr(10)) AS ml FROM documents),
+        |lines AS (SELECT doc_id, string_split(ml, chr(10)) AS ls FROM n),
+        |g AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+        |u AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws)-1)]) AS gram
+        |      FROM g WHERE t <> '' AND len(ws) >= 2),
+        |c AS (SELECT doc_id, gram, count(*) AS cnt FROM u GROUP BY 1, 2),
+        |top AS (SELECT doc_id, gram, cnt FROM (
+        |          SELECT doc_id, gram, cnt,
+        |                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
+        |          FROM c) WHERE rn = 1),
+        |tok AS (SELECT doc_id, t, CASE WHEN t = '' THEN 0
+        |                               ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok FROM n),
+        |m AS (SELECT n.doc_id,
+        |  round(1.0 - CAST(len(list_distinct(ls)) AS DOUBLE) / len(ls), 4) AS dup_line_frac,
+        |  round(least(1.0, coalesce(CAST(top.cnt AS DOUBLE) * length(top.gram) /
+        |                  greatest(length(n.t), 1), 0.0)), 4) AS top2gram_share,
+        |  round(CAST(len(regexp_extract_all(n.text, '#')) + len(regexp_extract_all(n.text, '\.\.\.')) AS DOUBLE) /
+        |        greatest(tok.ntok, 1), 4) AS symbol_ratio,
+        |  CASE WHEN tok.ntok <= 0 THEN 0.0
+        |       ELSE round(CAST(length(replace(n.t, ' ', '')) AS DOUBLE) / tok.ntok, 4) END AS mean_word_len
+        |FROM n JOIN lines USING (doc_id) JOIN tok USING (doc_id)
+        |LEFT JOIN top ON n.doc_id = top.doc_id)
+        |SELECT doc_id, dup_line_frac, top2gram_share, symbol_ratio, mean_word_len,
+        |       (dup_line_frac <= 0.30 AND top2gram_share <= 0.20 AND
+        |        symbol_ratio <= 0.10 AND mean_word_len BETWEEN 3.0 AND 10.0) AS gopher_ok
+        |FROM m""".stripMargin,
+
     "q_text_quality" ->
       """SELECT doc_id,
         |       CASE WHEN length(text) = 0 THEN 0
@@ -762,25 +915,60 @@ object SparkEntry {
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
 
+    // replay the greedy longest-match walk: recursive CTE advances one piece
+    // per level (space → skip, else the longest vocab entry matching at pos
+    // via a lateral ORDER BY len DESC LIMIT 1 probe, else one char of
+    // unknown), accumulating count and the joined pieces
+    "q_subword_vocab" ->
+      """WITH RECURSIVE
+        |v AS (SELECT tok, len(tok) AS l FROM read_parquet('/root/repo/target/graft_oracle/q_subword_vocab_tab/*.parquet')),
+        |d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |walk(doc_id, pos, n, acc) AS (
+        |  SELECT doc_id, 1, 0, '' FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |         CAST(w.pos + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 1
+        |                           ELSE coalesce(m.l, 1) END AS INT),
+        |         w.n + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 0 ELSE 1 END,
+        |         CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN w.acc
+        |              ELSE w.acc || CASE WHEN w.n = 0 THEN '' ELSE '|' END ||
+        |                   coalesce(m.tok, substr(d.t, w.pos, 1)) END
+        |  FROM walk w
+        |  JOIN d USING (doc_id)
+        |  LEFT JOIN LATERAL (SELECT v.tok, v.l FROM v
+        |                     WHERE substr(d.t, w.pos, v.l) = v.tok
+        |                     ORDER BY v.l DESC LIMIT 1) m ON true
+        |  WHERE w.pos <= len(d.t)
+        |)
+        |SELECT doc_id, CAST(max(n) AS INT) AS n_pieces,
+        |       coalesce(max_by(acc, pos), '') AS pieces
+        |FROM walk GROUP BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       """SELECT doc_id,
         |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
         |            ELSE 'und' END AS pred_lang
         |FROM documents""".stripMargin,
 
-    // the identical three-stage redaction cascade in RE2; counts taken at
-    // each cascade stage (emails on raw, IPs after email-redaction, digit
-    // runs after IP-redaction) exactly as piiCounts does
+    // the identical five-stage redaction cascade in RE2; counts taken at
+    // each cascade stage (URLs on raw, emails after URL-redaction, IPs
+    // after email-redaction, phones after IP-redaction, digit runs last)
+    // exactly as piiCounts does
     "q_pii_redact" ->
       """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_pii_docs/*.parquet')),
-        |r1 AS (SELECT id, text, regexp_replace(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM d),
-        |r2 AS (SELECT id, text, t1, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM r1)
+        |r0 AS (SELECT id, text, regexp_replace(text, 'https?://[^\s]+', '<URL>', 'g') AS t0 FROM d),
+        |r1 AS (SELECT id, text, t0, regexp_replace(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS t1 FROM r0),
+        |r2 AS (SELECT id, text, t0, t1, regexp_replace(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b', '<IP>', 'g') AS t2 FROM r1),
+        |r3 AS (SELECT id, text, t0, t1, t2, regexp_replace(t2, '(\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b', '<PHONE>', 'g') AS t3 FROM r2)
         |SELECT id,
-        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
+        |       CAST(len(regexp_extract_all(text, 'https?://[^\s]+')) AS INT) AS n_urls,
+        |       CAST(len(regexp_extract_all(t0, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS INT) AS n_emails,
         |       CAST(len(regexp_extract_all(t1, '\b([0-9]{1,3}\.){3}[0-9]{1,3}\b')) AS INT) AS n_ips,
-        |       CAST(len(regexp_extract_all(t2, '\b[0-9]{7,}\b')) AS INT) AS n_nums,
-        |       regexp_replace(t2, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted
-        |FROM r2""".stripMargin,
+        |       CAST(len(regexp_extract_all(t2, '(\([0-9]{3}\)|\b[0-9]{3})[-. ][0-9]{3}[-. ][0-9]{4}\b')) AS INT) AS n_phones,
+        |       CAST(len(regexp_extract_all(t3, '\b[0-9]{7,}\b')) AS INT) AS n_nums,
+        |       regexp_replace(t3, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted
+        |FROM r3""".stripMargin,
 
     // full replicas of qualityScore (normalized-token length score + raw
     // letters-only alpha + stopword marker), the langId cascade, and the
@@ -863,6 +1051,17 @@ object SparkEntry {
         |    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    // Unicode flag ON: the oracle groups by nfc_normalize (DuckDB's NFC ==
+    // JDK Normalizer NFC) composed with the same trim/collapse/lower chain,
+    // keeping min id per group — independent re-derivation of the
+    // nfc-fingerprint survivor set
+    "q_nfc_dedup" ->
+      """WITH d AS (SELECT id, lower(trim(regexp_replace(nfc_normalize(text), '\s+', ' ', 'g'))) AS t
+        |           FROM read_parquet('/root/repo/target/graft_oracle/q_nfc_docs/*.parquet'))
+        |SELECT id FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY t ORDER BY id) AS rn
+        |  FROM d) x WHERE rn = 1""".stripMargin,
 
     // all-pairs exact jaccard over 7-char shingle sets of the normalized
     // text; the engine's r=2,b=16 banding misses a borderline J=0.5 pair

@@ -9,6 +9,8 @@ import org.apache.spark.sql.types.{BooleanType, DataType}
 object ArrayExprs {
   import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
   def arrayHasNull(a: Column): Column = column(ArrayHasNull(expression(a)))
+  def sortedSetContains(set: Array[Long], v: Column): Column =
+    column(SortedLongSetContains(expression(v), set))
 }
 
 /** True iff the array contains a NULL element — the codegen'd null detector
@@ -18,6 +20,31 @@ object ArrayExprs {
   * reader marks element nullability true regardless of what was written, and
   * without this the hot path silently degraded to interpreted `forall`.
   */
+/** Membership of a long value in a SORTED driver-side long set, by binary
+  * search — O(log n) per probe against a plan-literal array (the set rides
+  * the serialized expression, one copy per executor). Replaces the O(n)
+  * `array_contains(lit(arr), v)` linear probe for collected hot sets (e.g.
+  * the boilerplate hot-line membership test, where the set can reach 10⁵
+  * entries and the probe runs once per LINE of the corpus).
+  */
+case class SortedLongSetContains(child: Expression, set: Array[Long])
+  extends UnaryExpression with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  require(set.length <= 1 || (1 until set.length).forall(i => set(i - 1) <= set(i)),
+    "set must be sorted ascending")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_sorted_set_contains requires bigint, got ${other.catalogString}")
+    }
+  override def dataType: DataType = BooleanType
+  override def nullSafeEval(v: Any): Any =
+    java.util.Arrays.binarySearch(set, v.asInstanceOf[Long]) >= 0
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 case class ArrayHasNull(child: Expression) extends UnaryExpression {
   override def dataType: DataType = BooleanType
 

@@ -54,6 +54,12 @@ object TextExprs {
     column(ShingleSet(expression(text), k))
   def sortedArrayJaccard(a: Column, b: Column): Column =
     column(SortedArrayJaccard(expression(a), expression(b)))
+  def subwordPieces(text: Column, vocab: Seq[String]): Column =
+    column(SubwordPieces(expression(text), vocab))
+  def topWordGram(text: Column, n: Int): Column =
+    column(TopWordGram(expression(text), n))
+  def unicodeNormalize(text: Column, form: String = "NFC"): Column =
+    column(UnicodeNormalize(expression(text), form))
 
   /** Hashes of word k-grams (with duplicates): FNV per word, polynomial
     * combine over k consecutive words. */
@@ -318,6 +324,156 @@ case class IntGramSet(child: Expression, k: Int)
       }
     val w = TextExprs.sortDistinct(g)
     new GenericArrayData(java.util.Arrays.copyOf(g, w))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Vocab-driven greedy longest-match subword segmentation (wordpiece-style;
+  * reference vocabularies are the merges/vocab tables BPE training emits).
+  * One pass over the UTF-8 bytes: at each position, the LONGEST vocab entry
+  * matching the upcoming bytes is emitted as a piece; spaces separate words
+  * and emit nothing; a byte with no vocab match passes through as its own
+  * single-byte piece (lossless: concat(pieces) == text minus spaces).
+  * Matching never crosses a space because vocab entries may not contain
+  * spaces (enforced at construction).
+  *
+  * The vocab rides the EXPRESSION (a plan literal, broadcast with the task
+  * binary — right for the 10⁴..10⁵-entry vocabs real tokenizers use; probe
+  * cost is an O(1) hash lookup per candidate length). Inputs are expected
+  * pre-normalized, like every expression in this file.
+  */
+case class SubwordPieces(child: Expression, vocab: Seq[String])
+  extends UnaryExpression with CodegenFallback {
+  require(vocab.nonEmpty, "vocab must be non-empty")
+  require(vocab.forall(t => t.nonEmpty && !t.contains(' ')),
+    "vocab entries must be non-empty and space-free")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_subword_pieces")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    vocab.foreach(t => s.add(UTF8String.fromString(t)))
+    s
+  }
+  // candidate byte-lengths, longest first — greedy tries each until a hit
+  @transient private lazy val lengthsDesc: Array[Int] =
+    vocab.map(t => UTF8String.fromString(t).numBytes())
+      .distinct.sorted(Ordering.Int.reverse).toArray
+
+  override def nullSafeEval(s: Any): Any = {
+    val u = s.asInstanceOf[UTF8String]
+    val bytes = u.getBytes
+    val n = bytes.length
+    val pieces = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
+    var pos = 0
+    while (pos < n) {
+      if (bytes(pos) == ' ') pos += 1
+      else {
+        var matched = -1
+        var li = 0
+        while (matched < 0 && li < lengthsDesc.length) {
+          val L = lengthsDesc(li)
+          if (pos + L <= n &&
+              vocabSet.contains(UTF8String.fromBytes(bytes, pos, L)))
+            matched = L
+          li += 1
+        }
+        // no vocab match: the whole UTF-8 CHAR passes through as one piece
+        // (consuming one BYTE would split multi-byte chars into invalid
+        // strings — and the char-based oracle consumes one char too)
+        val L = if (matched > 0) matched
+          else math.min(UTF8String.numBytesForFirstByte(bytes(pos)), n - pos)
+        // copy out: fromBytes only WRAPS the region, and the backing array
+        // is reused per row by some readers — a returned piece must own its
+        // bytes
+        pieces += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, pos, pos + L), 0, L)
+        pos += L
+      }
+    }
+    new GenericArrayData(pieces.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Unicode normalization (NFC by default, NFKC opt-in) — the fold that
+  * collapses composed vs decomposed accents (and, under NFKC, compatibility
+  * forms like full-width latin) BEFORE fingerprint/minhash/gram hashing, so
+  * visually identical multilingual near-dups land in the same group. JDK
+  * `java.text.Normalizer` implements the same Unicode normal forms as the
+  * DuckDB oracle's `nfc_normalize`. Fast path: `Normalizer.isNormalized`
+  * avoids the rebuild for already-NFC text (virtually all real corpora).
+  */
+case class UnicodeNormalize(child: Expression, form: String)
+  extends UnaryExpression with CodegenFallback {
+  require(Seq("NFC", "NFKC").contains(form), s"form must be NFC or NFKC, got $form")
+  @transient private lazy val jform = java.text.Normalizer.Form.valueOf(form)
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_unicode_normalize")
+  override def dataType: DataType = StringType
+  override def nullSafeEval(s: Any): Any = {
+    val str = s.asInstanceOf[UTF8String].toString
+    if (java.text.Normalizer.isNormalized(str, jform)) s
+    else UTF8String.fromString(java.text.Normalizer.normalize(str, jform))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** The most frequent word n-gram of a (pre-normalized) text and its count —
+  * the per-row mode the Gopher "fraction of characters in the most common
+  * n-gram" quality rule needs. A HOF formulation is O(words²) per row (count
+  * each gram by rescanning the gram array) — a scale-killer on long
+  * documents; this is one pass with a hash count. Because the input is
+  * normalized (single spaces), every n-gram string is a contiguous substring
+  * of the text, so counting uses zero-copy byte-region keys. Ties break on
+  * the lexicographically (byte-order) smallest gram — same as SQL min().
+  * Texts with fewer than n words return ("", 0).
+  */
+case class TopWordGram(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n > 0, s"gram n=$n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_top_word_gram")
+  override def dataType: DataType = StructType(Seq(
+    StructField("gram", StringType, nullable = false),
+    StructField("cnt", IntegerType, nullable = false)))
+
+  override def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    val nb = bytes.length
+    // word start offsets (normalized input: single spaces, no leading/
+    // trailing space)
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var inWord = false
+    while (i < nb) {
+      if (bytes(i) == ' ') inWord = false
+      else if (!inWord) { starts += i; inWord = true }
+      i += 1
+    }
+    val m = starts.length
+    var best: UTF8String = null
+    var bestCnt = 0
+    if (m >= n) {
+      val counts = new java.util.HashMap[UTF8String, Int](m * 2)
+      var j = 0
+      while (j <= m - n) {
+        val from = starts(j)
+        val to = if (j + n < m) starts(j + n) - 1 else nb // end of last word
+        val g = UTF8String.fromBytes(bytes, from, to - from)
+        val c = counts.merge(g, 1, (a, b) => a + b)
+        if (c > bestCnt || (c == bestCnt && (best == null || g.compareTo(best) < 0)))
+          { bestCnt = c; best = g }
+        j += 1
+      }
+    }
+    // ties: the merge loop above prefers the gram that REACHES the max
+    // count first/smallest at equal count, but a later gram reaching the
+    // same count compares too — the (cnt, byte-order-min) pair is exact
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(Array[Any](
+      if (best == null) UTF8String.EMPTY_UTF8
+      else UTF8String.fromBytes(best.getBytes.clone(), 0, best.numBytes()),
+      bestCnt))
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

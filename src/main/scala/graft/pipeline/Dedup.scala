@@ -15,17 +15,23 @@ object Dedup {
   /** Exact duplicate groups by fingerprint of normalized text: two-stage
     * hash agg (map-side combine); returns (fingerprint, dup_count) > 1.
     */
-  def exactGroups(df: DataFrame, textCol: String, idCol: String): DataFrame =
-    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("fp"))
+  def exactGroups(df: DataFrame, textCol: String, idCol: String,
+                  nfc: Boolean = false): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol), nfc).as("fp"))
       .groupBy(col("fp")).agg(count(lit(1)).as("dup_count"),
         min(col(idCol)).as("keep_id"))
       .where(col("dup_count") > 1)
 
   /** Exact-dedup survivor set: keep the min-id row per fingerprint.
     * One shuffle on the 8-byte fingerprint, never on the text.
+    * `nfc = true` folds Unicode NFC before normalization (threaded through
+    * every dedup operator here), so composed vs decomposed accent variants
+    * land in one group; default off — byte-identical to the hash-order
+    * rounds and free on ASCII corpora.
     */
-  def exactDedup(df: DataFrame, textCol: String, idCol: String): DataFrame = {
-    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol)))
+  def exactDedup(df: DataFrame, textCol: String, idCol: String,
+                 nfc: Boolean = false): DataFrame = {
+    val fp = df.withColumn("__fp", TextFunctions.fingerprint(col(textCol), nfc))
     val keep = fp.groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
     fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
@@ -70,14 +76,15 @@ object Dedup {
   def minhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       shingleK: Int = 7, numHashes: Int = 32, bands: Int = 4,
                       threshold: Double = 0.5,
-                      verifyOnSets: Boolean = true): DataFrame = {
+                      verifyOnSets: Boolean = true,
+                      nfc: Boolean = false): DataFrame = {
     // bands > numHashes would give 0-hash bands (every doc in ONE bucket —
     // silent all-pairs blowup); a non-divisor would silently discard the
     // trailing hashes and change recall vs the requested signature size
     require(bands >= 1 && bands <= numHashes && numHashes % bands == 0,
       s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
-    val norm = TextFunctions.normalize(col(textCol))
+    val norm = TextFunctions.normalize(col(textCol), nfc)
     val exploded = df.select(col(idCol).as("id"),
       explode(bandBuckets(
         graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes),
@@ -88,7 +95,7 @@ object Dedup {
     val pairs = a.join(b, Seq("band", "bucket"))
       .where(col("id_a") < col("id_b"))
       .select(col("id_a"), col("id_b")).distinct()
-    if (verifyOnSets) verifyJaccardPairs(pairs, df, textCol, idCol, shingleK, threshold)
+    if (verifyOnSets) verifyJaccardPairs(pairs, df, textCol, idCol, shingleK, threshold, nfc)
     else {
       val base = df.select(col(idCol).as("id"), norm.as("txt"))
       pairs
@@ -111,10 +118,10 @@ object Dedup {
     */
   def verifyJaccardPairs(pairs: DataFrame, df: DataFrame, textCol: String,
                          idCol: String, shingleK: Int,
-                         threshold: Double): DataFrame = {
+                         threshold: Double, nfc: Boolean = false): DataFrame = {
     val base = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.shingleSet(
-        TextFunctions.normalize(col(textCol)), shingleK).as("sh"))
+        TextFunctions.normalize(col(textCol), nfc), shingleK).as("sh"))
     pairs.select(col("id_a"), col("id_b")).distinct()
       .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
       .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
@@ -145,8 +152,8 @@ object Dedup {
   /** 64-bit SimHash over whitespace tokens: per-bit vote of token hashes,
     * single native pass (`TextExprs.SimHash64`).
     */
-  def simhash(text: Column): Column =
-    graft.functions.TextExprs.simhash64(TextFunctions.normalize(text))
+  def simhash(text: Column, nfc: Boolean = false): Column =
+    graft.functions.TextExprs.simhash64(TextFunctions.normalize(text, nfc))
 
   /** SimHash near-dup pairs: band the 64-bit signature into `bands` disjoint
     * bit chunks and candidate-join on (chunk, value); verify with
@@ -157,8 +164,9 @@ object Dedup {
     * guaranteed hamming ≤ 3 while callers asked for 8).
     */
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
-                      maxHamming: Int = 3, bands: Int = 0): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol)).as("sim"))
+                      maxHamming: Int = 3, bands: Int = 0,
+                      nfc: Boolean = false): DataFrame = {
+    val sh = df.select(col(idCol).as("id"), simhash(col(textCol), nfc).as("sim"))
     nearDupsFromSimhash(sh, maxHamming, bands)
   }
 
@@ -392,11 +400,12 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, textCol: String, idCol: String,
                         k: Int = 3, threshold: Double = 0.3,
                         exactBlocking: Boolean = true,
-                        dfOrdered: Boolean = true): DataFrame = {
+                        dfOrdered: Boolean = true,
+                        nfc: Boolean = false): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
-        TextFunctions.normalize(col(textCol)), k).as("g"),
+        TextFunctions.normalize(col(textCol), nfc), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
     if (exactBlocking)
       jaccardPairsFromSets(g.select(col("id"), col("g")), threshold, dfOrdered)
@@ -436,7 +445,8 @@ object Dedup {
     * boilerplate-free.
     */
   def jaccardPairsFromSets(g: DataFrame, threshold: Double,
-                           dfOrdered: Boolean = true): DataFrame = {
+                           dfOrdered: Boolean = true,
+                           dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     // verification reads the INPUT sets directly: the verify joins then
     // cost a scan + gram projection each, with NO shuffle — routing them
@@ -447,7 +457,31 @@ object Dedup {
     // df-count join + regroup it never needed). For repeated or very large
     // runs, materialize the (id, g) sketch table first — the oracle
     // queries and Curate do — so every branch reads parquet, not lineage.
-    verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
+    dfCap match {
+      case None =>
+        verifySetPairs(prefixCandidates(g, threshold, dfOrdered), g, threshold)
+      case Some(cap) =>
+        // EXPLICIT-OPT-IN stop-gram mode for adversarially templated
+        // corpora where even df-ordered prefixes stay hot: grams with
+        // df > cap are dropped from the sets ENTIRELY (candidates AND
+        // verification), mirroring `contamination.stopGramMaxDf`. Jaccard
+        // is then computed over the REDUCED sets, so this trades BOUNDED
+        // recall/precision drift around the threshold for a hard bound on
+        // any single join key's fan-out (≤ cap rows ⇒ ≤ cap² candidate
+        // pairs per gram). Never the default: the recall-1 contract above
+        // is the operator's promise.
+        require(cap >= 2, s"dfCap=$cap: grams with df<2 never join — cap must be >= 2")
+        val reduced = g.select(col("id"), explode(col("g")).as("tok"))
+          .join(g.select(explode(col("g")).as("tok"))
+            .groupBy(col("tok")).agg(count(lit(1)).as("df"))
+            .where(col("df") > cap).select(col("tok")),
+            Seq("tok"), "left_anti")
+          .groupBy(col("id")).agg(sort_array(collect_list(col("tok"))).as("g"))
+        // docs whose every gram was capped vanish from `reduced` — they
+        // have empty sets and can reach no threshold; pairs among them are
+        // undefined under the reduced-set semantics (documented trade)
+        verifySetPairs(prefixCandidates(reduced, threshold, dfOrdered), reduced, threshold)
+    }
   }
 
   /** The df-order index source: per id, the set size and the

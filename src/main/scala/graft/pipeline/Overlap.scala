@@ -95,7 +95,7 @@ object Overlap {
     * column is REPLACED in place; other columns pass through. A document
     * whose every line is boilerplate comes back with empty text (left join
     * + coalesce — the row is not silently dropped; pair with a min-length
-    * quality gate downstream).
+    * quality gate downstream); a NULL text stays NULL (both variants agree).
     *
     * `idCol` MUST be unique — it keys the reassembly groupBy, so duplicate
     * ids would interleave two documents' lines into one merged text (same
@@ -124,14 +124,23 @@ object Overlap {
       .groupBy(col("lh")).agg(count(lit(1)).as("df"))
       .where(col("df") > maxDf)
       .select(col("lh"))
-    val kept = lines.join(hot,
+    // explicit broadcast: the hot set is small BY CONSTRUCTION (≤ total
+    // line occurrences / maxDf), but without the hint a static planner
+    // (no AQE stats yet) could pick a shuffle join of the full exploded
+    // line table — the one plan this operator exists to avoid
+    val kept = lines.join(broadcast(hot),
       xxhash64(col("line")) === col("lh"), "left_anti")
     val rebuilt = kept.groupBy(col("id"))
       .agg(concat_ws("\n", transform(
         sort_array(collect_list(struct(col("pos"), col("line")))),
         s => s.getField("line"))).as("__stripped"))
     df.join(rebuilt.withColumnRenamed("id", idCol), Seq(idCol), "left")
-      .withColumn(textCol, coalesce(col("__stripped"), lit("")))
+      // a NULL text stays NULL (split/explode dropped it, so no rebuilt
+      // row exists) — matching the map-side variant, where split/filter/
+      // array_join propagate the null; only a non-null text whose every
+      // line was stripped becomes ''
+      .withColumn(textCol, when(col(textCol).isNull, lit(null))
+        .otherwise(coalesce(col("__stripped"), lit(""))))
       .drop("__stripped")
   }
 
@@ -146,11 +155,10 @@ object Overlap {
     * enters an exchange, where the shuffle variant moves the whole corpus
     * through the reassembly groupBy.
     *
-    * Trades: the HOF filter is CodegenFallback (interpreted per line) and
-    * membership is a linear probe of the hot array — fine for the typical
-    * thousands-of-boilerplate-lines case; prefer the shuffle variant when
-    * the hot set is genuinely huge. Two input scans (count + strip), like
-    * every two-pass profile in this engine.
+    * Trades: the HOF filter is CodegenFallback (interpreted per line);
+    * membership is an O(log|hot|) binary search (`SortedLongSetContains`).
+    * Two input scans (count + strip), like every two-pass profile in this
+    * engine; prefer the shuffle variant when the hot set outgrows the cap.
     */
   def stripBoilerplateLinesMapSide(df: DataFrame, textCol: String,
                                    maxDf: Long,
@@ -164,10 +172,13 @@ object Overlap {
     require(hotRows.length <= maxHotLines,
       s"hot-line set exceeds maxHotLines=$maxHotLines — lower maxDf, raise " +
         "the cap, or use stripBoilerplateLines (shuffle reassembly)")
-    val hot = typedLit(hotRows.map(_.getLong(0)).sorted.toSeq)
+    // sorted array + binary-search membership expression: O(log|hot|) per
+    // line instead of the O(|hot|) array_contains linear probe (at the
+    // 100k cap that's ~17 comparisons vs 100k per line of the corpus)
+    val hot = hotRows.map(_.getLong(0)).sorted
     df.withColumn(textCol,
       array_join(filter(split(col(textCol), "\n"),
-        l => !array_contains(hot, xxhash64(l))), "\n"))
+        l => !graft.functions.ArrayExprs.sortedSetContains(hot, xxhash64(l))), "\n"))
   }
 
   /** Decontamination filter: drop every training row flagged by a

@@ -196,9 +196,13 @@ object StreamingValidator {
     * a duplicate arriving later than the horizon is NOT flagged (bounded
     * state; the same contract as `dedupExact` and the batch
     * `TableChecks.duplicateKeys` run that backstops it). Within a
-    * micro-batch, arrivals are ordered by (ts, then input order is
-    * irrelevant — the ordinal is per-key) before counting so `n_seen` is
-    * deterministic.
+    * micro-batch, arrivals are sorted by ts before counting, so `n_seen`
+    * is deterministic UP TO EQUAL-TIMESTAMP TIES: rows with the same
+    * (key, ts) reach the sort in shuffle-dependent order, and which
+    * physical row carries which ordinal can vary across runs (the rows
+    * carry no further column to break the tie on). The alert SET —
+    * (key, ts, n_seen) triples — is deterministic whenever (key, ts)
+    * pairs are; only the row↔ordinal pairing among exact ties is not.
     */
   def duplicateKeyAlerts(df: DataFrame, keyCol: String, tsCol: String,
                          watermarkDelayMs: Long): Dataset[DupAlert] = {

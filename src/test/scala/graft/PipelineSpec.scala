@@ -490,6 +490,52 @@ class PipelineSpec extends SparkSpec {
     // the candidate join keys on the exploded gram hash — never a cartesian
     assert(!prefixPlan.contains("Cartesian") && !prefixPlan.contains("BroadcastNestedLoop"),
       s"unkeyed join in:\n$prefixPlan")
+
+    // the boilerplate hot-line anti-join must broadcast the (provably
+    // small) hot set even WITHOUT AQE stats — the full exploded line table
+    // must never shuffle for it
+    val docsB = Seq((0L, "MENU\nbody\nFOOTER"), (1L, "MENU\nother\nFOOTER"),
+      (2L, "MENU\nthird\nFOOTER")).toDF("id", "text")
+    val stripPlan = pipeline.Overlap.stripBoilerplateLines(docsB, "text", "id", maxDf = 2)
+      .queryExecution.executedPlan.toString
+    assert(stripPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$stripPlan")
+  }
+
+  test("jaccardPairsFromSets dfCap: capped grams leave the SETS; recall trade is pinned") {
+    // gram 100 is in every doc (df = 6 > cap 3). Default (recall 1): the
+    // (2,3) pair qualifies EXACTLY at t=0.5 via the shared template gram;
+    // under dfCap the template gram leaves the sets, (2,3) drops below the
+    // threshold and is (by the documented bounded-recall trade) LOST, while
+    // the genuinely identical (0,1) pair survives with J recomputed on the
+    // reduced sets
+    val sets = Seq(
+      (0L, Array(1L, 2L, 3L, 100L)), (1L, Array(1L, 2L, 3L, 100L)),
+      (2L, Array(7L, 8L, 100L)), (3L, Array(7L, 9L, 100L)),
+      (4L, Array(50L, 51L, 100L)), (5L, Array(60L, 61L, 100L)))
+      .toDF("id", "g")
+    val default = Dedup.jaccardPairsFromSets(sets, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(default == Set((0L, 1L, 1.0), (2L, 3L, 0.5)), s"default: $default")
+    val capped = Dedup.jaccardPairsFromSets(sets, 0.5, dfCap = Some(3L))
+      .as[(Long, Long, Double)].collect().toSet
+    assert(capped == Set((0L, 1L, 1.0)), s"capped: $capped")
+    intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsFromSets(sets, 0.5, dfCap = Some(1L))
+    }
+  }
+
+  test("stripBoilerplateLines: NULL text stays NULL in BOTH variants") {
+    val docsN = Seq((0L, Some("MENU\nkeep me\nMENU2")), (1L, None),
+      (2L, Some("MENU\nother\nMENU2")), (3L, Some("MENU\nMENU2")))
+      .toDF("id", "text")
+    val shuffle = pipeline.Overlap.stripBoilerplateLines(docsN, "text", "id", maxDf = 1)
+      .select("id", "text").as[(Long, Option[String])].collect().toMap
+    val mapSide = pipeline.Overlap.stripBoilerplateLinesMapSide(docsN, "text", maxDf = 1)
+      .select("id", "text").as[(Long, Option[String])].collect().toMap
+    val want = Map(0L -> Some("keep me"), 1L -> None,
+      2L -> Some("other"), 3L -> Some(""))
+    assert(shuffle == want, s"shuffle variant: $shuffle")
+    assert(mapSide == want, s"map-side variant: $mapSide")
   }
 
   test("Curate.run: the full funnel — validate, dedup, groups, decontaminate") {
@@ -526,6 +572,26 @@ class PipelineSpec extends SparkSpec {
     assert(byId(0L)._1.contains("<EMAIL>") && !byId(0L)._1.contains("admin@"))
     assert(byId(0L)._2 == 1 && byId(1L)._2 == 0)
     r.unpersist()
+
+    // the violations/ quarantine is persisted output too: a failing row's
+    // raw text AND its value-repr-bearing error message must both be
+    // scrubbed (round-4 advice — quarantine rows landed raw PII on disk)
+    import graft.rules.dsl._
+    val rule = graft.rules.StructRule(fields = Seq(
+      req("doc_id", anything),
+      req("text", pred("len_le_40")(t => length(t) <= 40))))
+    val leaky = Seq(
+      (0L, "short ok the and of"),
+      (1L, "leak boss@corp.example to disk because this row is far too long"))
+      .toDF("doc_id", "text")
+    val r2 = Curate.run(spark, leaky, "doc_id", "text",
+      rule = Some(rule), redactPii = true)
+    val viol = r2.violations.select("text", "code").head()
+    assert(viol.getString(0).contains("<EMAIL>") &&
+      !viol.getString(0).contains("boss@"), s"violations text: $viol")
+    assert(!viol.getString(1).contains("boss@"),
+      s"violation message leaks the raw value: ${viol.getString(1)}")
+    r2.unpersist()
   }
 
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
@@ -594,15 +660,134 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
-  test("PII redaction + counts: emails, IPv4, long digit runs; short numbers untouched") {
+  test("NFC flag: composed/decomposed variants collapse across the dedup family; default off unchanged") {
+    val variants = Seq(
+      (0L, "café au lait and some more shared words here"),
+      (1L, "café au lait and some more shared words here"), // decomposed
+      (2L, "  CAFÉ   au  lait and some more shared words here"),
+      (3L, "a completely different document body"),
+      (5L, "cafe au lait and some more shared words here")) // ascii: no merge
+      .toDF("id", "text")
+    // exact dedup: nfc=true merges {0,1,2}; default keeps 1 separate
+    val on = Dedup.exactDedup(variants, "text", "id", nfc = true)
+      .select("id").as[Long].collect().toSet
+    assert(on == Set(0L, 3L, 5L))
+    val off = Dedup.exactDedup(variants, "text", "id")
+      .select("id").as[Long].collect().toSet
+    assert(off == Set(0L, 1L, 3L, 5L))
+    // normalize(nfc=true) makes the two encodings byte-equal
+    val eq = Seq(("café", "café")).toDF("a", "b")
+      .select((TextFunctions.normalize(col("a"), nfc = true) ===
+        TextFunctions.normalize(col("b"), nfc = true)).as("same"),
+        (TextFunctions.normalize(col("a")) =!=
+          TextFunctions.normalize(col("b"))).as("diff_off")).head()
+    assert(eq.getBoolean(0) && eq.getBoolean(1))
+    // minhash near-dups under the flag: the composed/decomposed pair is an
+    // EXACT dup (J = 1.0) instead of two unrelated docs
+    val mh = Dedup.minhashNearDups(variants, "text", "id",
+      shingleK = 5, numHashes = 32, bands = 16, threshold = 0.9, nfc = true)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(mh.contains((0L, 1L)), s"minhash nfc pairs: $mh")
+  }
+
+  test("Gopher quality battery matches hand-checked values (incl. the DuckDB-pinned fixture)") {
+    // same crafted fixture the oracle SQL was validated against in DuckDB;
+    // values hand-derived (doc 0: top bigram ties 'the cat'/'cat sat' ×2 →
+    // byte-min 'cat sat', 2·7/40 = 0.35; doc 1: 5·9/29 clamps to 1.0;
+    // doc 4: 4 '#' + 2 '...' over 9 words; doc 6: all-distinct bigrams →
+    // min 'a bb', 4/26)
+    val docsG = Seq(
+      (0L, "the cat sat on the mat the cat sat again"),
+      (1L, "word word word word word word"),
+      (2L, "x"),
+      (3L, ""),
+      (4L, "### hash tags ... and ellipsis ... everywhere #"),
+      (5L, "here we see repeated letters everywhere indeed"),
+      (6L, "a bb ccc dddd eeeee ffffff")).toDF("doc_id", "text")
+    val t = col("text")
+    val got = docsG.select(col("doc_id"),
+      TextFunctions.duplicateLineFraction(translate(t, "e", "\n")).as("dl"),
+      TextFunctions.topNgramCharShare(t, 2).as("tg"),
+      TextFunctions.symbolWordRatio(t).as("sr"),
+      TextFunctions.meanWordLength(t).as("mw"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getDouble(1), r.getDouble(2), r.getDouble(3), r.getDouble(4)))).toMap
+    assert(got == Map(
+      0L -> ((0.0, 0.35, 0.0, 3.1)),
+      1L -> ((0.0, 1.0, 0.0, 4.0)),
+      2L -> ((0.0, 0.0, 0.0, 1.0)),
+      3L -> ((0.0, 0.0, 0.0, 0.0)),
+      4L -> ((0.0, 0.1702, 0.6667, 4.3333)),
+      5L -> ((0.1176, 0.3696, 0.0, 5.7143)),
+      6L -> ((0.5, 0.1538, 0.0, 3.5))), s"got $got")
+    // real multi-line duplicate lines
+    val dl = Seq("nav\nbody\nnav\nnav").toDF("text")
+      .select(TextFunctions.duplicateLineFraction(col("text"))).head().getDouble(0)
+    assert(dl == 0.5) // 4 lines, 2 distinct
+    // the composed gate passes ordinary prose
+    val okRow = Seq("the quick brown fox jumps over the lazy dog near the river bank")
+      .toDF("text").select(TextFunctions.gopherOk(col("text"))).head().getBoolean(0)
+    assert(okRow)
+  }
+
+  test("subword vocab segmentation: greedy longest match, unknowns, multi-byte chars") {
+    val vocab = Seq("ab", "abc", "c", "d", "the")
+    def pieces(t: String): Seq[String] =
+      Seq(t).toDF("text")
+        .select(TextFunctions.subwordPiecesVocab(col("text"), vocab))
+        .as[Seq[String]].head()
+    assert(pieces("abcd") == Seq("abc", "d"))          // longest wins over ab+c+d
+    assert(pieces("abd") == Seq("ab", "d"))
+    assert(pieces("abq") == Seq("ab", "q"))            // unknown char passes through
+    assert(pieces("The ABCD") == Seq("the", "abc", "d")) // normalized first
+    assert(pieces("") == Seq.empty)
+    assert(pieces("   ") == Seq.empty)
+    // a multi-byte char with no vocab entry stays ONE piece (no byte split)
+    assert(pieces("abéd") == Seq("ab", "é", "d"))
+    // count = size(pieces)
+    val n = Seq("abcd abd").toDF("text")
+      .select(TextFunctions.subwordCountVocab(col("text"), vocab)).head().getInt(0)
+    assert(n == 4)
+    // DemoVocab covers all ASCII alphanumerics: letters never fall to unknown
+    val demo = Seq("prevention is better than 42 cures!").toDF("text")
+      .select(TextFunctions.subwordPiecesVocab(col("text"), TextFunctions.DemoVocab))
+      .as[Seq[String]].head()
+    assert(demo.take(4) == Seq("pre", "v", "ent", "ion"))
+    assert(demo.count(_ == "!") == 1)
+  }
+
+  test("PII redaction + counts: urls, emails, IPv4, phones, digit runs; short numbers untouched") {
     val df = Seq((1L, "mail a.b@x.co ip 10.1.2.3 num 12345678 short 123 v2.0 fine"))
       .toDF("id", "text")
-    val (ne, ni, nn) = TextFunctions.piiCounts(col("text"))
-    val r = df.select(ne.as("e"), ni.as("i"), nn.as("n"),
+    val a = TextFunctions.piiCounts(col("text"))
+    val r = df.select(a.emails.as("e"), a.ips.as("i"), a.nums.as("n"),
       TextFunctions.redactPii(col("text")).as("t")).head()
     assert((r.getInt(0), r.getInt(1), r.getInt(2)) == ((1, 1, 1)))
-    // version strings and short numbers survive; the three PII classes don't
+    // version strings and short numbers survive; the PII classes don't
     assert(r.getString(3) == "mail <EMAIL> ip <IP> num <NUM> short 123 v2.0 fine")
+
+    // separator-formatted phones (the round-4 gap): dashed, dotted,
+    // parenthesized+spaced all redact; 3/3-digit fragments and dates don't
+    val cases = Seq(
+      "call 555-123-4567 now" -> "call <PHONE> now",
+      "call 555.123.4567 now" -> "call <PHONE> now",
+      "call (555) 123 4567 now" -> "call <PHONE> now",
+      "range 12-34 date 2026-08-17 ok" -> "range 12-34 date 2026-08-17 ok",
+      // URL first: the embedded email/id must count as URL only
+      "see https://h.io/u?e=a@b.co&id=99887766 end" -> "see <URL> end",
+      "plain http://h.io/p end" -> "plain <URL> end")
+    for ((in, want) <- cases) {
+      val got = Seq(in).toDF("text")
+        .select(TextFunctions.redactPii(col("text"))).head().getString(0)
+      assert(got == want, s"redactPii($in) = $got, want $want")
+    }
+    val aud = Seq("x https://h.io/u?e=a@b.co y (555) 123 4567 z 555-000-1111")
+      .toDF("text")
+      .select(TextFunctions.piiCounts(col("text")) match {
+        case p => struct(p.urls, p.emails, p.ips, p.phones, p.nums, p.total)
+      }).head().getStruct(0)
+    assert((aud.getInt(0), aud.getInt(1), aud.getInt(2), aud.getInt(3),
+      aud.getInt(4), aud.getInt(5)) == ((1, 0, 0, 2, 0, 3)))
   }
 
   test("nearDupSurvivorsBy: best-pref wins, min id on ties, null prefs fall back") {

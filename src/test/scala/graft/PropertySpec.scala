@@ -200,6 +200,50 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("subword segmentation law: engine == driver greedy reference on random vocabs") {
+    // random texts and random vocabularies over a tiny alphabet (so vocab
+    // hits, overlaps between entries, and unknown chars all occur): the
+    // byte-walking expression must equal a direct char-based greedy
+    // longest-match reference, and concat(pieces) must equal the normalized
+    // text minus spaces (lossless law)
+    import spark.implicits._
+    val word = Gen.choose(1, 4).flatMap(n => Gen.listOfN(n, Gen.oneOf('a', 'b', 'c')).map(_.mkString))
+    val genCase = Gen.zip(
+      Gen.choose(3, 10).flatMap(n => Gen.listOfN(n, word)).map(_.distinct),
+      Gen.choose(2, 6).flatMap(n => Gen.listOfN(n,
+        Gen.nonEmptyListOf(word).map(_.mkString(" ")))))
+    def greedyRef(text: String, vocab: Seq[String]): Seq[String] = {
+      val t = text.trim.replaceAll("\\s+", " ").toLowerCase
+      val lens = vocab.map(_.length).distinct.sorted(Ordering.Int.reverse)
+      val vs = vocab.toSet
+      val out = scala.collection.mutable.ArrayBuffer.empty[String]
+      var pos = 0
+      while (pos < t.length) {
+        if (t(pos) == ' ') pos += 1
+        else {
+          val L = lens.find(l => pos + l <= t.length && vs(t.substring(pos, pos + l)))
+            .getOrElse(1)
+          out += t.substring(pos, pos + L)
+          pos += L
+        }
+      }
+      out.toSeq
+    }
+    forAll(genCase) { case (vocab, texts) =>
+      val rows = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      val got = rows.toDF("id", "text")
+        .select(col("id"), graft.pipeline.TextFunctions
+          .subwordPiecesVocab(col("text"), vocab).as("p"))
+        .as[(Long, Seq[String])].collect().toMap
+      for ((id, t) <- rows) {
+        val want = greedyRef(t, vocab)
+        assert(got(id) == want, s"vocab=$vocab text='$t'")
+        assert(got(id).mkString("") == t.trim.replaceAll("\\s+", " ")
+          .toLowerCase.replace(" ", ""), s"lossless law broke on '$t'")
+      }
+    }
+  }
+
   test("prefix-filtered similarity join law: both total orders == driver brute force") {
     // RECALL/PRECISION 1 of jaccardPairsFromSets under BOTH the df-ascending
     // and hash total orders, on random set corpora at random thresholds —
