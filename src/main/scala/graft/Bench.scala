@@ -98,17 +98,20 @@ object Bench {
     val seqPerSec = rows / flagshipSec
 
     var failed = List.empty[String]
-    val results = SparkEntry.queries.map { case (name, fn) =>
-      val q0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch {
-        case e: Throwable =>
-          // a broken query must be VISIBLE, not a flattering near-zero timing
-          System.err.println(s"[bench] $name FAILED: $e")
-          failed ::= name
-      }
-      name -> (System.nanoTime() - q0) / 1e9
+    // oracle queries first, then the bench-only stage splits (ORDERED —
+    // the *_resolve stages read parquet their *_pairs stages wrote)
+    val results = (SparkEntry.queries.toSeq ++ SparkEntry.benchStages).map {
+      case (name, fn) =>
+        val q0 = System.nanoTime()
+        try { fn(spark, sfDir).count() } catch {
+          case e: Throwable =>
+            // a broken query must be VISIBLE, not a flattering near-zero timing
+            System.err.println(s"[bench] $name FAILED: $e")
+            failed ::= name
+        }
+        name -> (System.nanoTime() - q0) / 1e9
     }
-    val qs = (results + ("flagship_validate" -> flagshipSec))
+    val qs = (results :+ ("flagship_validate" -> flagshipSec))
       .map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val failedJson = failed.sorted.map("\"" + _ + "\"").mkString("[", ",", "]")
     // failed queries are EXCLUDED from the headline total: a query that
