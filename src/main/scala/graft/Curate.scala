@@ -15,7 +15,8 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     --input <parquet of (doc_id, text, lang?, source?, ...)> \
   *     --output <dir> [--eval <parquet of (doc_id, text)>] \
   *     [--id-col doc_id] [--text-col text] \
-  *     [--minhash-threshold 0.8] [--contam-grams 13] [--redact-pii true]
+  *     [--minhash-threshold 0.8] [--contam-grams 13] [--redact-pii true] \
+  *     [--nfc true]   # Unicode NFC fold through both dedup stages
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
@@ -168,7 +169,8 @@ object Curate {
           contamGrams: Int = 13, contamMinShared: Long = 1L,
           contamStopGramMaxDf: Option[Long] = None,
           redactPii: Boolean = false,
-          subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab): Result = {
+          subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab,
+          nfc: Boolean = false): Result = {
     val base = funnel(docs, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
       // language, quality, token counts — pure per-row columns. n_subwords
@@ -181,9 +183,11 @@ object Curate {
         .withColumn("n_subwords",
           pipeline.TextFunctions.subwordCountVocab(col(textCol), subwordVocab))
         .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol))),
-      exactDedup = Dedup.exactDedup(_, textCol, idCol),
+      // nfc threads into BOTH dedup stages (a flag on one but not the
+      // other would dedup composed/decomposed variants inconsistently)
+      exactDedup = Dedup.exactDedup(_, textCol, idCol, nfc = nfc),
       nearDupPairs = Dedup.minhashNearDups(_, textCol, idCol,
-        threshold = minhashThreshold),
+        threshold = minhashThreshold, nfc = nfc),
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
@@ -240,7 +244,7 @@ object Curate {
     val common = Set("input", "output", "eval", "id-col", "contam-grams")
     val allowed =
       if (opts.contains("tokens-col")) common ++ Set("tokens-col", "jaccard-threshold")
-      else common ++ Set("text-col", "minhash-threshold", "redact-pii")
+      else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -265,7 +269,8 @@ object Curate {
         eval = eval,
         minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
         contamGrams = opts.getOrElse("contam-grams", "13").toInt,
-        redactPii = opts.getOrElse("redact-pii", "false").toBoolean)
+        redactPii = opts.getOrElse("redact-pii", "false").toBoolean,
+        nfc = opts.getOrElse("nfc", "false").toBoolean)
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

@@ -50,6 +50,27 @@ object GraftExtensions {
       s"$fn: argument ${pos + 1} must be an INT literal, got $other")
   }
 
+  private def strLit(e: Expression, fn: String, pos: Int): String = e match {
+    case Literal(v: org.apache.spark.unsafe.types.UTF8String, _) => v.toString
+    case other => throw new IllegalArgumentException(
+      s"$fn: argument ${pos + 1} must be a STRING literal, got $other")
+  }
+
+  /** A foldable array-of-strings argument (e.g. array('a','b') or a typed
+    * literal) evaluated at registration time — how the subword vocab rides
+    * a SQL call.
+    */
+  private def strArrayLit(e: Expression, fn: String, pos: Int): Seq[String] = {
+    require(e.foldable, s"$fn: argument ${pos + 1} must be a foldable string array")
+    e.eval(null) match {
+      case ad: org.apache.spark.sql.catalyst.util.ArrayData =>
+        ad.toArray[org.apache.spark.unsafe.types.UTF8String](
+          org.apache.spark.sql.types.StringType).map(_.toString).toSeq
+      case other => throw new IllegalArgumentException(
+        s"$fn: argument ${pos + 1} must be an ARRAY<STRING> literal, got $other")
+    }
+  }
+
   /** (name, usage, builder) for every exposed expression. */
   val all: Seq[(String, String, Seq[Expression] => Expression)] = Seq(
     ("graft_cosine", "graft_cosine(a, b) - cosine similarity of two float/double arrays",
@@ -82,6 +103,14 @@ object GraftExtensions {
     ("graft_normalize", "graft_normalize(text) - trim + collapse whitespace + lowercase (the dedup-normalization)",
       (es: Seq[Expression]) =>
         Lower(StringTrim(RegExpReplace(es(0), Literal("\\s+"), Literal(" "))))),
+    ("graft_unicode_normalize", "graft_unicode_normalize(text[, form]) - Unicode NFC (default) or NFKC normalization",
+      (es: Seq[Expression]) => UnicodeNormalize(es(0),
+        if (es.size > 1) strLit(es(1), "graft_unicode_normalize", 1) else "NFC")),
+    ("graft_subword_pieces", "graft_subword_pieces(text, vocab_array) - greedy longest-match subword segmentation over a vocab literal",
+      (es: Seq[Expression]) => SubwordPieces(es(0),
+        strArrayLit(es(1), "graft_subword_pieces", 1))),
+    ("graft_top_word_gram", "graft_top_word_gram(text, n) - (gram, cnt) of the most frequent word n-gram",
+      (es: Seq[Expression]) => TopWordGram(es(0), intLit(es(1), "graft_top_word_gram", 1))),
     ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(

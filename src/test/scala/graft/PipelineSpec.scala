@@ -594,6 +594,23 @@ class PipelineSpec extends SparkSpec {
     r2.unpersist()
   }
 
+  test("Curate.run --nfc: composed/decomposed duplicates collapse in the funnel") {
+    val input = Seq(
+      (0L, "café au lait with the usual words"),
+      (1L, "café au lait with the usual words"), // decomposed dup of 0
+      (2L, "a completely different document body"))
+      .toDF("doc_id", "text")
+    val withNfc = Curate.run(spark, input, "doc_id", "text",
+      minhashThreshold = 0.9, nfc = true)
+    assert(withNfc.clean.select("doc_id").as[Long].collect().toSet == Set(0L, 2L))
+    assert(withNfc.stats.exists(s => s.stage == "exact_dedup" && s.rowsOut == 2))
+    withNfc.unpersist()
+    val without = Curate.run(spark, input, "doc_id", "text",
+      minhashThreshold = 0.9)
+    assert(without.clean.select("doc_id").as[Long].collect().toSet == Set(0L, 1L, 2L))
+    without.unpersist()
+  }
+
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
     // 6 sequences: 1 = exact dup of 0; 2 = near-dup of 0 (suffix edit,
     // 5-gram J = 96/99 ≈ 0.97); 3 clean; 4 invalid (empty); 6 contaminated

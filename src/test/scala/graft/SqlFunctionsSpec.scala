@@ -61,6 +61,24 @@ class SqlFunctionsSpec extends SparkSpec {
       && r.getString(1).contains("<NUM>"))
   }
 
+  test("graft_unicode_normalize / graft_subword_pieces / graft_top_word_gram from SQL") {
+    val r = spark.sql(
+      ("SELECT graft_unicode_normalize('cafe\u0301') AS nfc, " +
+        "graft_unicode_normalize('\uff41\uff42\uff43', 'NFKC') AS nfkc, " +
+        "graft_subword_pieces('abcd', array('ab', 'abc', 'c', 'd')) AS pieces, " +
+        "graft_top_word_gram('a b a b a b', 2) AS tg")).head()
+    assert(r.getString(0) == "caf\u00e9")   // NFC composes e + combining acute
+    assert(r.getString(1) == "abc")         // NFKC folds full-width latin
+    assert(r.getSeq[String](2) == Seq("abc", "d"))
+    val tg = r.getStruct(3)
+    assert(tg.getString(0) == "a b" && tg.getInt(1) == 3)
+    // a non-foldable vocab argument fails loudly at resolution
+    intercept[Exception] {
+      spark.sql("SELECT graft_subword_pieces('x', array(cast(rand() as string)))")
+        .collect()
+    }
+  }
+
   test("wrong-typed SQL arguments fail at analysis, not mid-job") {
     val e1 = intercept[org.apache.spark.sql.AnalysisException] {
       spark.sql("SELECT graft_cosine(array(1, 2), array(3, 4))").collect()
