@@ -360,6 +360,14 @@ object SparkEntry {
         TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
         TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
     }),
+    "q_drift_ks" -> ((s, dir) => {
+      // distributed Kolmogorov–Smirnov CDFs + per-bucket gap over the same
+      // parity-split histograms — max(ks_gap) is the driver ksD
+      val d = T(s, dir, "documents")
+      graft.checks.Drift.ksTerms(
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 0), "n_chars", 0, 500, 10),
+        TableChecks.histogram(d.where(col("doc_id") % 2 === 1), "n_chars", 0, 500, 10))
+    }),
     "q_drift_jsd" -> ((s, dir) => {
       // Jensen–Shannon terms over the same parity-split histograms —
       // bounded symmetric drift, no smoothing (the mixture denominator is
@@ -1130,6 +1138,25 @@ object SparkEntry {
         |SELECT bucket, n_obs, n_base,
         |       round((p_obs - p_base) * ln(p_obs / p_base), 6) AS psi_term
         |FROM t""".stripMargin,
+
+    // per-side CDFs by cumulative window sum in bucket order; gap computed
+    // from the ROUNDED cdfs exactly as the Spark plan does
+    "q_drift_ks" ->
+      """WITH h AS (
+        |  SELECT CAST(least(greatest(floor(n_chars / 50.0), 0), 9) AS INT) AS bucket,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_obs,
+        |         CAST(sum(CASE WHEN doc_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_base
+        |  FROM documents WHERE n_chars IS NOT NULL GROUP BY 1),
+        |c AS (
+        |  SELECT bucket,
+        |         round(CAST(sum(n_obs) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |               sum(n_obs) OVER (), 6) AS cdf_obs,
+        |         round(CAST(sum(n_base) OVER (ORDER BY bucket ROWS UNBOUNDED PRECEDING) AS DOUBLE) /
+        |               sum(n_base) OVER (), 6) AS cdf_base
+        |  FROM h)
+        |SELECT bucket, cdf_obs, cdf_base,
+        |       round(abs(cdf_obs - cdf_base), 6) AS ks_gap
+        |FROM c""".stripMargin,
 
     "q_drift_jsd" ->
       """WITH h AS (

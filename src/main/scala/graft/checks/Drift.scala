@@ -1,6 +1,6 @@
 package graft.checks
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 /** Distribution-drift check on a numeric column's histogram vs a baseline
@@ -135,6 +135,47 @@ object Drift {
           greatest(col("pe"), lit(1.0)), 6).as("chi2_term"))
     perBucket.unionAll(pooled)
   }
+
+  /** Fully-distributed Kolmogorov–Smirnov terms — the last of the four
+    * drift statistics to get a no-driver-collect form (χ²/PSI/JSD above):
+    * full-outer bucket align, per-side CDFs by cumulative sum in bucket
+    * order, `ks_gap = |cdf_obs − cdf_base|`; `max(ks_gap)` equals the
+    * driver-side `compare(...).ksD` (gaps are constant between occupied
+    * buckets, so the max over occupied buckets is the max over the range).
+    *
+    * Plan note: the cumulative sum is an UNPARTITIONED window — safe here,
+    * and only here, because it runs over the post-aggregation histogram
+    * frame (≤ buckets rows by construction), not over row-level data; the
+    * totals still come from the broadcast one-row aggregate like every
+    * other drift plan. An empty side (no rows at all) contributes a CDF of
+    * 0 in every bucket, making the statistic 1 at the other side's mass —
+    * the loud answer for a vanished distribution.
+    */
+  def ksTerms(observed: DataFrame, baseline: DataFrame): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
+    val b = baseline.select(col("bucket"), col("cnt").as("n_base"))
+    val j = o.join(b, Seq("bucket"), "full_outer")
+      .select(col("bucket"),
+        coalesce(col("n_obs"), lit(0L)).as("n_obs"),
+        coalesce(col("n_base"), lit(0L)).as("n_base"))
+    val totals = j.agg(sum(col("n_obs")).as("tot_obs"),
+      sum(col("n_base")).as("tot_base"))
+    val w = Window.orderBy(col("bucket"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    def cdf(cnt: Column, tot: Column): Column =
+      when(tot > 0L, sum(cnt).over(w).cast("double") / tot.cast("double"))
+        .otherwise(0.0)
+    j.crossJoin(broadcast(totals))
+      .select(col("bucket"),
+        round(cdf(col("n_obs"), col("tot_obs")), 6).as("cdf_obs"),
+        round(cdf(col("n_base"), col("tot_base")), 6).as("cdf_base"))
+      .withColumn("ks_gap", round(abs(col("cdf_obs") - col("cdf_base")), 6))
+  }
+
+  /** The scalar D from `ksTerms` (one extra tiny aggregate). */
+  def ksStat(observed: DataFrame, baseline: DataFrame): Double =
+    ksTerms(observed, baseline).agg(max(col("ks_gap"))).head().getDouble(0)
 
   /** Driver-side PSI over snapshot histograms — the scalar companion of
     * `compare` (χ²/KS), same epsilon-smoothed formula and bucket alignment

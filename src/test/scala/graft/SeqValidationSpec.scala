@@ -152,6 +152,25 @@ class SeqValidationSpec extends SparkSpec {
       math.abs(oneSidedDriver - math.log(2.0) / 2) < 1e-6)
   }
 
+  test("drift: KS — distributed max(ks_gap) == driver ksD; empty side saturates to 1") {
+    import spark.implicits._
+    // occupied buckets only on the frames; driver compare walks 0..31 —
+    // gaps are constant between occupied buckets, so the maxima agree
+    val obs = Map(0 -> 10L, 2 -> 30L, 5 -> 10L)
+    val base = Map(0 -> 20L, 1 -> 10L, 5 -> 20L)
+    val distributed = Drift.ksStat(
+      obs.toSeq.toDF("bucket", "cnt"), base.toSeq.toDF("bucket", "cnt"))
+    val driver = Drift.compare(obs, base, 32).ksD
+    assert(math.abs(distributed - driver) < 1e-6,
+      s"distributed=$distributed driver=$driver")
+    // identical → 0
+    assert(Drift.ksStat(obs.toSeq.toDF("bucket", "cnt"),
+      obs.toSeq.toDF("bucket", "cnt")) == 0.0)
+    // an empty observed side: CDF 0 everywhere → D = 1 at the base's mass
+    val empty = Seq.empty[(Int, Long)].toDF("bucket", "cnt")
+    assert(Drift.ksStat(empty, base.toSeq.toDF("bucket", "cnt")) == 1.0)
+  }
+
   test("numericProfile: exact interpolated quantiles; approx lands on a near-rank value") {
     import spark.implicits._
     val df = (1 to 100).map(_.toDouble).toDF("v")
