@@ -182,7 +182,8 @@ object Curate {
         .withColumn("n_tokens", pipeline.TextFunctions.tokenCount(col(textCol)))
         .withColumn("n_subwords",
           pipeline.TextFunctions.subwordCountVocab(col(textCol), subwordVocab))
-        .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol))),
+        .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol)))
+        .withColumn("gopher_ok", pipeline.TextFunctions.gopherOk(col(textCol))),
       // nfc threads into BOTH dedup stages (a flag on one but not the
       // other would dedup composed/decomposed variants inconsistently)
       exactDedup = Dedup.exactDedup(_, textCol, idCol, nfc = nfc),

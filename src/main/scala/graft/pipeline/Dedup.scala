@@ -401,14 +401,15 @@ object Dedup {
                         k: Int = 3, threshold: Double = 0.3,
                         exactBlocking: Boolean = true,
                         dfOrdered: Boolean = true,
-                        nfc: Boolean = false): DataFrame = {
+                        nfc: Boolean = false,
+                        dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
     val g = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol), nfc), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
     if (exactBlocking)
-      jaccardPairsFromSets(g.select(col("id"), col("g")), threshold, dfOrdered)
+      jaccardPairsFromSets(g.select(col("id"), col("g")), threshold, dfOrdered, dfCap)
     else {
       val blocks = g.select(col("id"), (col("ntok") / 16).cast("int").as("blk"))
       val a = blocks.select(col("blk"), col("id").as("id_a"))
@@ -591,9 +592,10 @@ object Dedup {
     */
   def tokenNgramNearDups(df: DataFrame, tokensCol: String, idCol: String,
                          k: Int = 5, threshold: Double = 0.7,
-                         dfOrdered: Boolean = true): DataFrame =
+                         dfOrdered: Boolean = true,
+                         dfCap: Option[Long] = None): DataFrame =
     jaccardPairsFromSets(
       df.select(col(idCol).as("id"),
         graft.functions.TextExprs.intGramSet(col(tokensCol), k).as("g")),
-      threshold, dfOrdered)
+      threshold, dfOrdered, dfCap)
 }
