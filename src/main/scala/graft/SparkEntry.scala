@@ -239,6 +239,20 @@ object SparkEntry {
           array_join(col("p"), "|").as("pieces"))
     }),
 
+    "q_wordpiece" -> ((s, dir) => {
+      // TRUE-wordpiece mode (## continuation classes): same oracle idea as
+      // q_subword_vocab, with the lateral probe split by word-start — the
+      // two-class greedy walk replayed step by step in SQL
+      import s.implicits._
+      materialize(s, TextFunctions.DemoVocabWp.toDF("tok"), "q_wordpiece_tab")
+      T(s, dir, "documents").where(col("doc_id") % 10 === 5)
+        .select(col("doc_id"),
+          TextFunctions.wordpiecePieces(col("text"),
+            TextFunctions.DemoVocabWp).as("p"))
+        .select(col("doc_id"), size(col("p")).as("n_pieces"),
+          array_join(col("p"), "|").as("pieces"))
+    }),
+
     // --- quality scoring (single division + round for float safety) ---
     "q_word_repetition" -> ((s, dir) => {
       // duplicate word-2-gram fraction: gram hashing (WordGramSet) checked
@@ -413,6 +427,28 @@ object SparkEntry {
         "q_contam_test")
       Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10)
     }),
+    "q_contamination_frac" -> ((s, dir) => {
+      // overlap-FRACTION contamination (">= 50% of the eval item's grams
+      // appear in the training doc"): same planted-copy fixture shape as
+      // q_contamination under its own paths; eval doc j shares its first
+      // 60 tokens with train doc (j*17 % 400), so the planted pairs sit
+      // near frac ≈ 56/80 = 0.7 and the gate at 0.5 keeps exactly them
+      val V = graft.gen.SequenceGen.Vocab
+      val train = materialize(s,
+        s.range(0, 400, 1, 8).select(col("id"),
+          graft.functions.GenExprs.genTokens(col("id"), 120, V).as("tokens")),
+        "q_cfrac_train", files = 4)
+      val test = materialize(s,
+        s.range(0, 20, 1, 2).select(col("id"),
+          concat(
+            slice(graft.functions.GenExprs.genTokens(
+              pmod(col("id") * 17, lit(400L)), 120, V), 1, 60),
+            graft.functions.GenExprs.genTokens(col("id") + 7777, 24, V)).as("tokens")),
+        "q_cfrac_test")
+      Overlap.contaminationFraction(train, test, "tokens", "id",
+        k = 5, minFrac = 0.5)
+    }),
+
     "q_strip_boilerplate" -> ((s, dir) => {
       // line-level boilerplate removal: NAV + FOOTER in every doc, a
       // COOKIE banner in half, two unique body lines each; maxDf=20
@@ -953,6 +989,40 @@ object SparkEntry {
         |       coalesce(max_by(acc, pos), '') AS pieces
         |FROM walk GROUP BY doc_id""".stripMargin,
 
+    // the two-class wordpiece walk: the lateral probe dispatches on
+    // word-start (pos 1 or preceded by a space) — start entries match
+    // whole, ##-entries match their suffix and consume len-2
+    "q_wordpiece" ->
+      """WITH RECURSIVE
+        |v AS (SELECT tok, len(tok) AS l, (tok LIKE '##%') AS is_cont
+        |      FROM read_parquet('/root/repo/target/graft_oracle/q_wordpiece_tab/*.parquet')),
+        |d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |      FROM documents WHERE doc_id % 10 = 5),
+        |walk(doc_id, pos, n, acc) AS (
+        |  SELECT doc_id, 1, 0, '' FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |         CAST(w.pos + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 1
+        |                           ELSE coalesce(m.consume, 1) END AS INT),
+        |         w.n + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 0 ELSE 1 END,
+        |         CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN w.acc
+        |              ELSE w.acc || CASE WHEN w.n = 0 THEN '' ELSE '|' END ||
+        |                   coalesce(m.tok, substr(d.t, w.pos, 1)) END
+        |  FROM walk w
+        |  JOIN d USING (doc_id)
+        |  LEFT JOIN LATERAL (
+        |    SELECT v.tok, CASE WHEN v.is_cont THEN v.l - 2 ELSE v.l END AS consume
+        |    FROM v
+        |    WHERE CASE WHEN (w.pos = 1 OR substr(d.t, w.pos - 1, 1) = ' ')
+        |               THEN NOT v.is_cont AND substr(d.t, w.pos, v.l) = v.tok
+        |               ELSE v.is_cont AND substr(d.t, w.pos, v.l - 2) = substr(v.tok, 3) END
+        |    ORDER BY consume DESC LIMIT 1) m ON true
+        |  WHERE w.pos <= len(d.t)
+        |)
+        |SELECT doc_id, CAST(max(n) AS INT) AS n_pieces,
+        |       coalesce(max_by(acc, pos), '') AS pieces
+        |FROM walk GROUP BY doc_id""".stripMargin,
+
     "q_lang_id" ->
       """SELECT doc_id,
         |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
@@ -1201,6 +1271,28 @@ object SparkEntry {
         |SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
         |FROM trg JOIN teg USING (gram)
         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+
+    // overlap FRACTION form: same gram recomputation, plus each eval doc's
+    // distinct-gram total as the denominator; gate on the rounded fraction
+    // exactly as the operator does
+    "q_contamination_frac" ->
+      """WITH tr AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_cfrac_train/*.parquet')),
+        |te AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_cfrac_test/*.parquet')),
+        |trg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM tr),
+        |trg AS (SELECT DISTINCT id, gram FROM trg0),
+        |teg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM te),
+        |teg AS (SELECT DISTINCT id, gram FROM teg0),
+        |sz AS (SELECT id AS test_id, CAST(count(*) AS BIGINT) AS n_test_grams FROM teg GROUP BY 1),
+        |sh AS (SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+        |       FROM trg JOIN teg USING (gram) GROUP BY 1, 2)
+        |SELECT train_id, test_id, n_shared, n_test_grams,
+        |       round(CAST(n_shared AS DOUBLE) / n_test_grams, 6) AS overlap_frac
+        |FROM sh JOIN sz USING (test_id)
+        |WHERE round(CAST(n_shared AS DOUBLE) / n_test_grams, 6) >= 0.5""".stripMargin,
 
     // line split via comprehension (generate_series is not lateral in
     // DuckDB 1.0), per-line df over DISTINCT docs, NOT-IN strip, ordered

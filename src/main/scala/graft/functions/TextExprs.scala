@@ -54,8 +54,9 @@ object TextExprs {
     column(ShingleSet(expression(text), k))
   def sortedArrayJaccard(a: Column, b: Column): Column =
     column(SortedArrayJaccard(expression(a), expression(b)))
-  def subwordPieces(text: Column, vocab: Seq[String]): Column =
-    column(SubwordPieces(expression(text), vocab))
+  def subwordPieces(text: Column, vocab: Seq[String],
+                    continuation: Option[String] = None): Column =
+    column(SubwordPieces(expression(text), vocab, continuation))
   def topWordGram(text: Column, n: Int): Column =
     column(TopWordGram(expression(text), n))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
@@ -337,29 +338,66 @@ case class IntGramSet(child: Expression, k: Int)
   * Matching never crosses a space because vocab entries may not contain
   * spaces (enforced at construction).
   *
+  * `continuation = Some("##")` switches to TRUE WORDPIECE semantics: vocab
+  * entries starting with the marker only match MID-WORD (their suffix is
+  * matched, the emitted piece keeps the marker), unmarked entries only
+  * match at word starts — the two-class greedy walk BERT-style tokenizers
+  * run. Unknown chars still pass through whole (lossless after marker
+  * stripping), where reference wordpiece would emit [UNK]; a corpus
+  * pipeline wants the budget count, not a lossy sentinel.
+  *
   * The vocab rides the EXPRESSION (a plan literal, broadcast with the task
   * binary — right for the 10⁴..10⁵-entry vocabs real tokenizers use; probe
   * cost is an O(1) hash lookup per candidate length). Inputs are expected
   * pre-normalized, like every expression in this file.
   */
-case class SubwordPieces(child: Expression, vocab: Seq[String])
+case class SubwordPieces(child: Expression, vocab: Seq[String],
+                         continuation: Option[String] = None)
   extends UnaryExpression with CodegenFallback {
   require(vocab.nonEmpty, "vocab must be non-empty")
   require(vocab.forall(t => t.nonEmpty && !t.contains(' ')),
     "vocab entries must be non-empty and space-free")
+  continuation.foreach { m =>
+    require(m.nonEmpty, "continuation marker must be non-empty")
+    require(vocab.forall(t => t != m),
+      s"a bare '$m' vocab entry would be an empty continuation piece")
+  }
   override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
     TextExprs.checkString(child.dataType, "graft_subword_pieces")
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
 
-  @transient private lazy val vocabSet: java.util.HashSet[UTF8String] = {
+  @transient private lazy val marker: Array[Byte] =
+    continuation.map(_.getBytes("UTF-8")).getOrElse(Array.emptyByteArray)
+  // word-START entries (everything, in plain mode; non-##-prefixed entries
+  // in continuation mode)
+  @transient private lazy val startSet: java.util.HashSet[UTF8String] = {
     val s = new java.util.HashSet[UTF8String](vocab.size * 2)
-    vocab.foreach(t => s.add(UTF8String.fromString(t)))
+    vocab.foreach { t =>
+      if (marker.isEmpty || !t.startsWith(continuation.get))
+        s.add(UTF8String.fromString(t))
+    }
+    require(!s.isEmpty, "vocab has no word-start entries")
     s
   }
-  // candidate byte-lengths, longest first — greedy tries each until a hit
-  @transient private lazy val lengthsDesc: Array[Int] =
-    vocab.map(t => UTF8String.fromString(t).numBytes())
-      .distinct.sorted(Ordering.Int.reverse).toArray
+  // CONTINUATION suffixes (marker stripped) — matched mid-word, emitted
+  // with the marker restored
+  @transient private lazy val contSet: java.util.HashSet[UTF8String] = {
+    val s = new java.util.HashSet[UTF8String](vocab.size * 2)
+    if (marker.nonEmpty) vocab.foreach { t =>
+      if (t.startsWith(continuation.get) && t.length > continuation.get.length)
+        s.add(UTF8String.fromString(t.substring(continuation.get.length)))
+    }
+    s
+  }
+  private def lengthsOf(set: java.util.HashSet[UTF8String]): Array[Int] = {
+    val it = set.iterator()
+    val b = scala.collection.mutable.SortedSet.empty[Int](Ordering.Int.reverse)
+    while (it.hasNext) b += it.next().numBytes()
+    b.toArray
+  }
+  // candidate CONSUMED byte-lengths, longest first — greedy tries each
+  @transient private lazy val startLens: Array[Int] = lengthsOf(startSet)
+  @transient private lazy val contLens: Array[Int] = lengthsOf(contSet)
 
   override def nullSafeEval(s: Any): Any = {
     val u = s.asInstanceOf[UTF8String]
@@ -367,15 +405,18 @@ case class SubwordPieces(child: Expression, vocab: Seq[String])
     val n = bytes.length
     val pieces = scala.collection.mutable.ArrayBuffer.empty[UTF8String]
     var pos = 0
+    var atStart = true
     while (pos < n) {
-      if (bytes(pos) == ' ') pos += 1
+      if (bytes(pos) == ' ') { pos += 1; atStart = true }
       else {
+        val (set, lens) =
+          if (atStart || marker.isEmpty) (startSet, startLens)
+          else (contSet, contLens)
         var matched = -1
         var li = 0
-        while (matched < 0 && li < lengthsDesc.length) {
-          val L = lengthsDesc(li)
-          if (pos + L <= n &&
-              vocabSet.contains(UTF8String.fromBytes(bytes, pos, L)))
+        while (matched < 0 && li < lens.length) {
+          val L = lens(li)
+          if (pos + L <= n && set.contains(UTF8String.fromBytes(bytes, pos, L)))
             matched = L
           li += 1
         }
@@ -386,9 +427,15 @@ case class SubwordPieces(child: Expression, vocab: Seq[String])
           else math.min(UTF8String.numBytesForFirstByte(bytes(pos)), n - pos)
         // copy out: fromBytes only WRAPS the region, and the backing array
         // is reused per row by some readers — a returned piece must own its
-        // bytes
-        pieces += UTF8String.fromBytes(java.util.Arrays.copyOfRange(bytes, pos, pos + L), 0, L)
+        // bytes. Matched continuation pieces carry the marker restored;
+        // unknown-char fallthroughs never do (they are not vocab pieces).
+        val withMarker = matched > 0 && !atStart && marker.nonEmpty
+        val out = new Array[Byte]((if (withMarker) marker.length else 0) + L)
+        if (withMarker) System.arraycopy(marker, 0, out, 0, marker.length)
+        System.arraycopy(bytes, pos, out, if (withMarker) marker.length else 0, L)
+        pieces += UTF8String.fromBytes(out, 0, out.length)
         pos += L
+        atStart = false
       }
     }
     new GenericArrayData(pieces.toArray[Any])

@@ -88,6 +88,64 @@ object Overlap {
       .where(col("n_shared") >= minShared)
   }
 
+  /** Contamination by OVERLAP FRACTION: like `contamination`, but gated on
+    * the fraction of the EVAL document's distinct k-grams found in the
+    * training document (`n_shared / n_test_grams >= minFrac`) instead of an
+    * absolute count — the form eval-suite decontamination policies are
+    * usually written in ("drop if >80% of the benchmark item appears").
+    * Returns (train_id, test_id, n_shared, n_test_grams, overlap_frac).
+    *
+    * Same broadcast shape: the per-eval-doc gram totals are a tiny
+    * aggregate joined broadcast onto the shared-count output, so the train
+    * side still never shuffles. With `stopGramMaxDf`, capped grams leave
+    * both the index AND the denominator (the fraction is over informative
+    * grams — documented alongside the cap).
+    */
+  def contaminationFraction(train: DataFrame, test: DataFrame,
+                            tokensCol: String, idCol: String, k: Int,
+                            minFrac: Double,
+                            stopGramMaxDf: Option[Long] = None): DataFrame =
+    contaminationFractionFromIndexes(
+      gramIndex(train, tokensCol, idCol, k),
+      gramIndex(test, tokensCol, idCol, k), minFrac, stopGramMaxDf)
+
+  /** `contaminationFraction` over raw text (normalized word k-grams). */
+  def textContaminationFraction(train: DataFrame, test: DataFrame,
+                                textCol: String, idCol: String, k: Int,
+                                minFrac: Double,
+                                stopGramMaxDf: Option[Long] = None): DataFrame =
+    contaminationFractionFromIndexes(
+      textGramIndex(train, textCol, idCol, k),
+      textGramIndex(test, textCol, idCol, k), minFrac, stopGramMaxDf)
+
+  private def contaminationFractionFromIndexes(trainIdx: DataFrame,
+                                               testIdx0: DataFrame,
+                                               minFrac: Double,
+                                               stopGramMaxDf: Option[Long]): DataFrame = {
+    require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac must be in (0,1]")
+    val testIdx = stopGramMaxDf.fold(testIdx0) { cap =>
+      val stop = testIdx0.groupBy(col("gram"))
+        .agg(count(lit(1)).as("tdf")).where(col("tdf") > cap)
+        .select(col("gram"))
+      testIdx0.join(broadcast(stop), Seq("gram"), "left_anti")
+    }
+    // per-eval-doc denominator: distinct grams (the index IS per-doc
+    // distinct) after the cap — eval-set-sized, broadcast onto the counts
+    val sizes = testIdx.groupBy(col("id").as("test_id"))
+      .agg(count(lit(1)).as("n_test_grams"))
+    trainIdx
+      .join(broadcast(testIdx.withColumnRenamed("id", "test_id")), Seq("gram"))
+      .groupBy(col("id").as("train_id"), col("test_id"))
+      .agg(count(lit(1)).as("n_shared"))
+      .join(broadcast(sizes), Seq("test_id"))
+      .withColumn("overlap_frac",
+        round(col("n_shared").cast("double") /
+          col("n_test_grams").cast("double"), 6))
+      .where(col("overlap_frac") >= minFrac)
+      .select(col("train_id"), col("test_id"), col("n_shared"),
+        col("n_test_grams"), col("overlap_frac"))
+  }
+
   /** LINE-level boilerplate stripping (the CCNet/RefinedWeb-style cleanup):
     * remove every line that appears in MORE than `maxDf` distinct documents
     * — navigation menus, cookie banners, copyright footers — and reassemble

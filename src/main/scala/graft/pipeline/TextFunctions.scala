@@ -44,6 +44,30 @@ object TextFunctions {
   def subwordCountVocab(text: Column, vocab: Seq[String]): Column =
     size(subwordPiecesVocab(text, vocab))
 
+  /** TRUE-WORDPIECE segmentation (BERT-style `##` continuation classes):
+    * unmarked vocab entries match only at word starts, `##`-prefixed
+    * entries only mid-word (emitted with the marker). Pass a real
+    * wordpiece vocab; `DemoVocabWp` is the deterministic stand-in.
+    */
+  def wordpiecePieces(text: Column, vocab: Seq[String]): Column =
+    graft.functions.TextExprs.subwordPieces(normalize(text), vocab, Some("##"))
+
+  def wordpieceCount(text: Column, vocab: Seq[String]): Column =
+    size(wordpiecePieces(text, vocab))
+
+  /** Demo wordpiece vocab: word-start singles + frequent words, `##`
+    * continuation singles + frequent suffixes — the two-class shape real
+    * BERT vocabs have, deterministic for tests and oracles.
+    */
+  val DemoVocabWp: Seq[String] = {
+    val singles = (('a' to 'z') ++ ('0' to '9')).map(_.toString)
+    val starts = singles ++ Seq("the", "and", "pre", "con", "com", "st",
+      "tr", "wh", "re", "in", "de")
+    val conts = singles.map("##" + _) ++ Seq("##ing", "##tion", "##ed",
+      "##es", "##er", "##ly", "##ion", "##ent", "##al", "##s", "##ation")
+    starts ++ conts
+  }
+
   /** Small deterministic lowercase English subword vocab (single
     * alphanumerics so letters never fall to unknown, frequent words, and
     * common prefixes/suffixes) — a stand-in VOCABULARY, not a stand-in

@@ -501,6 +501,20 @@ class PipelineSpec extends SparkSpec {
     assert(stripPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$stripPlan")
   }
 
+  test("contaminationFraction: gated on the eval doc's gram share, closed form") {
+    val train = Seq((0L, (1 to 100).toArray), (1L, (1000 to 1100).toArray))
+      .toDF("id", "tokens")
+    // eval doc: 50 tokens copied from train 0 + 10 novel → 56 distinct
+    // 5-grams, of which the 46 all-copied windows are shared: frac = 46/56
+    val test0 = Seq((10L, ((1 to 50) ++ (5000 to 5009)).toArray)).toDF("id", "tokens")
+    val r = pipeline.Overlap.contaminationFraction(train, test0, "tokens", "id",
+      k = 5, minFrac = 0.8).as[(Long, Long, Long, Long, Double)].collect().toSeq
+    assert(r == Seq((0L, 10L, 46L, 56L, 0.821429)), s"got $r")
+    // a tighter gate drops it; the absolute-count form would have kept it
+    assert(pipeline.Overlap.contaminationFraction(train, test0, "tokens", "id",
+      k = 5, minFrac = 0.9).count() == 0)
+  }
+
   test("jaccardPairsFromSets dfCap: capped grams leave the SETS; recall trade is pinned") {
     // gram 100 is in every doc (df = 6 > cap 3). Default (recall 1): the
     // (2,3) pair qualifies EXACTLY at t=0.5 via the shared template gram;
@@ -771,6 +785,30 @@ class PipelineSpec extends SparkSpec {
       .as[Seq[String]].head()
     assert(demo.take(4) == Seq("pre", "v", "ent", "ion"))
     assert(demo.count(_ == "!") == 1)
+  }
+
+  test("wordpiece continuation mode: two-class greedy walk (DuckDB-pinned outputs)") {
+    def wp(t: String): String =
+      Seq(t).toDF("text")
+        .select(array_join(TextFunctions.wordpiecePieces(col("text"),
+          TextFunctions.DemoVocabWp), "|")).head().getString(0)
+    // same fixtures the oracle prototype was validated on
+    assert(wp("The station agent") == "the|st|##ation|a|##g|##ent")
+    assert(wp("prevention works!") == "pre|##v|##ent|##ion|w|##o|##r|##k|##s|!")
+    assert(wp("") == "")
+    assert(wp("tr ing 42") == "tr|in|##g|4|##2")
+    // a start-class entry must NOT match mid-word: "thethe" = the + ##t...
+    assert(wp("thethe") == "the|##t|##h|##e")
+    // marker-stripped concat == text minus spaces (lossless law holds here too)
+    val pieces = Seq("the station agent works").toDF("text")
+      .select(TextFunctions.wordpiecePieces(col("text"), TextFunctions.DemoVocabWp))
+      .as[Seq[String]].head()
+    assert(pieces.map(_.stripPrefix("##")).mkString("") == "thestationagentworks")
+    // a bare "##" vocab entry is rejected loudly
+    intercept[IllegalArgumentException] {
+      Seq("x").toDF("text").select(graft.functions.TextExprs.subwordPieces(
+        col("text"), Seq("a", "##"), Some("##"))).head()
+    }
   }
 
   test("PII redaction + counts: urls, emails, IPv4, phones, digit runs; short numbers untouched") {
