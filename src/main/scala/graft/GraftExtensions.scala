@@ -111,6 +111,8 @@ object GraftExtensions {
         strArrayLit(es(1), "graft_subword_pieces", 1))),
     ("graft_top_word_gram", "graft_top_word_gram(text, n) - (gram, cnt) of the most frequent word n-gram",
       (es: Seq[Expression]) => TopWordGram(es(0), intLit(es(1), "graft_top_word_gram", 1))),
+    ("graft_dup_gram_chars", "graft_dup_gram_chars(text, n) - chars inside repeated word n-grams (beyond first occurrences)",
+      (es: Seq[Expression]) => DupWordGramChars(es(0), Seq(intLit(es(1), "graft_dup_gram_chars", 1)))),
     ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(

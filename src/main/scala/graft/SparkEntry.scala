@@ -279,6 +279,31 @@ object SparkEntry {
             col("mean_word_len").between(3.0, 10.0))
     }),
 
+    "q_gopher_repetition" -> ((s, dir) => {
+      // the paragraph/char-level half of the Gopher repetition battery.
+      // Same multi-line derivation trick as q_gopher_quality — and "ee"
+      // becomes "\n\n", so paragraph breaks appear wherever 'e's cluster
+      val ml = translate(col("text"), "e", "\n")
+      T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.duplicateParagraphFraction(ml).as("dup_para_frac"),
+        TextFunctions.duplicateLineCharFraction(ml).as("dup_line_chars"),
+        TextFunctions.duplicateParagraphCharFraction(ml).as("dup_para_chars"))
+    }),
+    "q_dup_ngram_chars" -> ((s, dir) => {
+      // duplicate 5..10-gram char fractions, long format (doc_id, n, frac):
+      // the native one-pass expression vs the oracle's unnested gram
+      // recomputation — hashes never leave the engine, so the gram walk
+      // itself is what's checked
+      val t = TextFunctions.normalize(col("text"))
+      T(s, dir, "documents")
+        .select(col("doc_id"), greatest(length(t), lit(1)).as("lt"),
+          posexplode(graft.functions.TextExprs.dupWordGramChars(
+            t, Seq(5, 6, 7, 8, 9, 10))))
+        .select(col("doc_id"), (col("pos") + 5).cast("int").as("n"),
+          round(least(lit(1.0),
+            col("col").cast("double") / col("lt").cast("double")), 4).as("dup_frac"))
+    }),
+
     "q_text_quality" -> ((s, dir) => {
       val t = col("text")
       val nTok = TextFunctions.tokenCount(t)
@@ -426,6 +451,26 @@ object SparkEntry {
             graft.functions.GenExprs.genTokens(col("id") + 7777, 24, V)).as("tokens")),
         "q_contam_test")
       Overlap.contamination(train, test, "tokens", "id", k = 5, minShared = 10)
+    }),
+    "q_contamination_bloom" -> ((s, dir) => {
+      // the LARGE-eval-set shape: bloom prefilter + shuffle join. Same
+      // planted-copy fixture as q_contamination under its own paths; the
+      // oracle is the same raw-slice join — bloom false positives must
+      // not survive the exact join, so the result is hash-identical
+      val V = graft.gen.SequenceGen.Vocab
+      val train = materialize(s,
+        s.range(0, 400, 1, 8).select(col("id"),
+          graft.functions.GenExprs.genTokens(col("id"), 120, V).as("tokens")),
+        "q_cbloom_train", files = 4)
+      val test = materialize(s,
+        s.range(0, 20, 1, 2).select(col("id"),
+          concat(
+            slice(graft.functions.GenExprs.genTokens(
+              pmod(col("id") * 17, lit(400L)), 120, V), 1, 60),
+            graft.functions.GenExprs.genTokens(col("id") + 7777, 24, V)).as("tokens")),
+        "q_cbloom_test")
+      Overlap.contaminationLarge(train, test, "tokens", "id", k = 5,
+        minShared = 10, expectedEvalGrams = 4096, fpp = 0.01)
     }),
     "q_contamination_frac" -> ((s, dir) => {
       // overlap-FRACTION contamination (">= 50% of the eval item's grams
@@ -684,6 +729,39 @@ object SparkEntry {
       materialize(s, probes, "q_ivf_probes")
       graft.pipeline.Ivf.ivfTopK(e, e.where(col("vec_id") < 8), k = 5, cents, nProbe = 2)
     }),
+    "q_semantic_neardups" -> ((s, dir) => {
+      // SemDeDup pairing: k-means cells materialized so the oracle
+      // recomputes the within-cell ALL-PAIRS exact cosine independently —
+      // the cluster-blocked join, the codegen'd cosine, and the threshold
+      // are all hash-checked
+      val e = T(s, dir, "embeddings")
+      val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
+      val cells = e.select(col("vec_id").as("id"),
+        graft.pipeline.Ivf.cellOf(col("embedding"), cents).as("cell"))
+      materialize(s, cells, "q_sem_cells")
+      graft.pipeline.SemDedup.semanticNearDups(e, threshold = 0.35, cents)
+    }),
+    "q_semdedup_keep" -> ((s, dir) => {
+      // the full SemDeDup keep policy: pairs → connected components → per
+      // group keep the member LEAST similar to its cluster centroid (min
+      // 6dp cosine, ties min id). Cells, centroid VECTORS, and the pair
+      // list are materialized so DuckDB recomputes the closure (recursive
+      // CTE) and the keep-policy argmin from the raw arrays.
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
+      val cells = e.select(col("vec_id").as("id"),
+        graft.pipeline.Ivf.cellOf(col("embedding"), cents).as("cell"))
+      materialize(s, cells, "q_sem_cells")
+      val centDf = cents.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cvec")
+      materialize(s, centDf, "q_sem_centroids", files = 1)
+      val pairs = graft.pipeline.SemDedup.semanticNearDups(e, 0.35, cents)
+        .select(col("id_a"), col("id_b"))
+      graft.pipeline.SemDedup.semanticSurvivors(e, 0.35, cents,
+          pairs = Some(materialize(s, pairs, "q_sem_pairs")))
+        .select(col("vec_id"))
+    }),
     "q_seq_validate" -> ((s, dir) => {
       // flagship sequence validation at a dir-scaled row count; the generated
       // input is materialized so the oracle can evaluate the rule predicates
@@ -921,7 +999,7 @@ object SparkEntry {
         |top AS (SELECT doc_id, gram, cnt FROM (
         |          SELECT doc_id, gram, cnt,
         |                 row_number() OVER (PARTITION BY doc_id ORDER BY cnt DESC, gram ASC) AS rn
-        |          FROM c) WHERE rn = 1),
+        |          FROM c) WHERE rn = 1 AND cnt > 1),
         |tok AS (SELECT doc_id, t, CASE WHEN t = '' THEN 0
         |                               ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok FROM n),
         |m AS (SELECT n.doc_id,
@@ -938,6 +1016,42 @@ object SparkEntry {
         |       (dup_line_frac <= 0.30 AND top2gram_share <= 0.20 AND
         |        symbol_ratio <= 0.10 AND mean_word_len BETWEEN 3.0 AND 10.0) AS gopher_ok
         |FROM m""".stripMargin,
+
+    // paragraph (chr(10)||chr(10)) splits of the same multi-line derivation;
+    // char fractions = (total - distinct) segment chars over full length
+    "q_gopher_repetition" ->
+      """WITH n AS (SELECT doc_id, replace(text, 'e', chr(10)) AS ml FROM documents),
+        |seg AS (SELECT doc_id, ml,
+        |               string_split(ml, chr(10)) AS ls,
+        |               string_split(ml, chr(10) || chr(10)) AS ps FROM n)
+        |SELECT doc_id,
+        |  round(1.0 - CAST(len(list_distinct(ps)) AS DOUBLE) / len(ps), 4) AS dup_para_frac,
+        |  round(CAST(list_aggregate(list_transform(ls, x -> length(x)), 'sum') -
+        |             list_aggregate(list_transform(list_distinct(ls), x -> length(x)), 'sum') AS DOUBLE) /
+        |        greatest(length(ml), 1), 4) AS dup_line_chars,
+        |  round(CAST(list_aggregate(list_transform(ps, x -> length(x)), 'sum') -
+        |             list_aggregate(list_transform(list_distinct(ps), x -> length(x)), 'sum') AS DOUBLE) /
+        |        greatest(length(ml), 1), 4) AS dup_para_chars
+        |FROM seg""".stripMargin,
+
+    // every (doc, n) pair present; repeated chars = Σ (cnt-1)·len(gram)
+    // over the unnested gram table, 0 when no window repeats
+    "q_dup_ngram_chars" ->
+      """WITH norm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |nn AS (SELECT unnest([5, 6, 7, 8, 9, 10]) AS n),
+        |g AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM norm),
+        |u AS (SELECT g.doc_id, nn.n,
+        |             unnest([array_to_string(ws[i:i+nn.n-1], ' ')
+        |                     for i in generate_series(1, len(ws) - nn.n + 1)]) AS gram
+        |      FROM g CROSS JOIN nn WHERE t <> '' AND len(ws) >= nn.n),
+        |c AS (SELECT doc_id, n, gram, count(*) AS cnt FROM u GROUP BY 1, 2, 3),
+        |rep AS (SELECT doc_id, n, sum((cnt - 1) * length(gram)) AS rc
+        |        FROM c WHERE cnt > 1 GROUP BY 1, 2)
+        |SELECT norm.doc_id, CAST(nn.n AS INT) AS n,
+        |       round(least(1.0, CAST(coalesce(rep.rc, 0) AS DOUBLE) /
+        |                        greatest(length(norm.t), 1)), 4) AS dup_frac
+        |FROM norm CROSS JOIN nn
+        |LEFT JOIN rep ON rep.doc_id = norm.doc_id AND rep.n = nn.n""".stripMargin,
 
     "q_text_quality" ->
       """SELECT doc_id,
@@ -1272,6 +1386,23 @@ object SparkEntry {
         |FROM trg JOIN teg USING (gram)
         |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
 
+    // the bloom-prefiltered path must be row-identical to the broadcast
+    // path: same raw-slice recomputation over its own fixture paths
+    "q_contamination_bloom" ->
+      """WITH tr AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_cbloom_train/*.parquet')),
+        |te AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_cbloom_test/*.parquet')),
+        |trg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM tr),
+        |trg AS (SELECT DISTINCT id, gram FROM trg0),
+        |teg0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                                ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |         FROM te),
+        |teg AS (SELECT DISTINCT id, gram FROM teg0)
+        |SELECT trg.id AS train_id, teg.id AS test_id, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM trg JOIN teg USING (gram)
+        |GROUP BY 1, 2 HAVING count(*) >= 10""".stripMargin,
+
     // overlap FRACTION form: same gram recomputation, plus each eval doc's
     // distinct-gram total as the denominator; gate on the rounded fraction
     // exactly as the operator does
@@ -1445,6 +1576,48 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM sc) t WHERE rank <= 5""".stripMargin,
+
+    // within-cell all-pairs exact cosine over the materialized k-means
+    // cell assignments — the SemDeDup pairing recomputed independently
+    "q_semantic_neardups" ->
+      """WITH cells AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_sem_cells/*.parquet')),
+        |cand AS (SELECT a.id AS id_a, b.id AS id_b
+        |         FROM cells a JOIN cells b ON a.cell = b.cell AND a.id < b.id),
+        |sc AS (SELECT id_a, id_b,
+        |         round(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(ea.embedding AS DOUBLE[]), CAST(ea.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(eb.embedding AS DOUBLE[]), CAST(eb.embedding AS DOUBLE[])))), 6) AS cos
+        |       FROM cand JOIN embeddings ea ON ea.vec_id = id_a JOIN embeddings eb ON eb.vec_id = id_b)
+        |SELECT id_a, id_b, cos FROM sc WHERE cos >= 0.35""".stripMargin,
+
+    // SemDeDup keep policy replay: transitive closure over the materialized
+    // pairs, per-member centroid cosine from the raw embedding + centroid
+    // vectors, per-group argmin (csim ASC, id ASC), survivors = everything
+    // except the non-winning group members
+    "q_semdedup_keep" ->
+      """WITH RECURSIVE pe AS (
+        |  SELECT id_a AS src, id_b AS dst FROM read_parquet('/root/repo/target/graft_oracle/q_sem_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b, id_a FROM read_parquet('/root/repo/target/graft_oracle/q_sem_pairs/*.parquet')),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM pe
+        |  UNION
+        |  SELECT pe.src AS id, reach.r FROM pe JOIN reach ON pe.dst = reach.id),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |cs AS (SELECT g.id, g.group_id,
+        |         round(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(ct.cvec AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(ct.cvec AS DOUBLE[]), CAST(ct.cvec AS DOUBLE[])))), 6) AS csim
+        |       FROM g
+        |       JOIN read_parquet('/root/repo/target/graft_oracle/q_sem_cells/*.parquet') c ON c.id = g.id
+        |       JOIN embeddings e ON e.vec_id = g.id
+        |       JOIN read_parquet('/root/repo/target/graft_oracle/q_sem_centroids/*.parquet') ct ON ct.cell = c.cell),
+        |win AS (SELECT id FROM (
+        |  SELECT id, row_number() OVER (PARTITION BY group_id ORDER BY csim ASC, id ASC) AS rn
+        |  FROM cs) t WHERE rn = 1),
+        |nonwin AS (SELECT id FROM cs WHERE id NOT IN (SELECT id FROM win))
+        |SELECT e.vec_id FROM embeddings e
+        |WHERE e.vec_id NOT IN (SELECT id FROM nonwin)""".stripMargin,
 
     // rule predicates over the materialized generated input: every failing
     // row surfaces with kind SchemaError (fields present and non-null by

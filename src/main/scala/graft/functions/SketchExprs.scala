@@ -1,0 +1,49 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.types._
+import org.apache.spark.util.sketch.BloomFilter
+
+/** Probabilistic-membership expressions. `BloomMightContainLong` rides a
+  * pre-built `spark.util.sketch.BloomFilter` (distributed treeAggregate
+  * build via `df.stat.bloomFilter`, bitwise-OR merge — deterministic bits
+  * regardless of partition order) into the plan as a reference object, the
+  * same way the IVF centroid tables ride `NearestCentroid`: serialized once
+  * into the stage's task binary, shared by all tasks on an executor. Filter
+  * bits are ~10 bits/item at 1% fpp — an order of magnitude under a
+  * broadcast hash-join table of the same keys, which is exactly when this
+  * is worth using (see `Overlap.contaminationLarge`).
+  */
+object SketchExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  def bloomMightContainLong(c: Column, bloom: BloomFilter): Column =
+    column(BloomMightContainLong(expression(c), bloom))
+}
+
+/** might-contain test for a LONG key against a driver-held Bloom filter.
+  * One-sided: false ⇒ definitely absent; true ⇒ present or false positive
+  * (rate = the filter's fpp). Codegen participates in whole-stage codegen —
+  * the probe is two xxhash64-derived probes per hash function over a long,
+  * no boxing.
+  */
+case class BloomMightContainLong(child: Expression, bloom: BloomFilter)
+  extends UnaryExpression {
+  override def prettyName: String = "graft_bloom_might_contain"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case LongType => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName requires bigint, got ${other.catalogString}")
+    }
+  override def dataType: DataType = BooleanType
+
+  override def nullSafeEval(v: Any): Any = bloom.mightContainLong(v.asInstanceOf[Long])
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("bloom", bloom, classOf[BloomFilter].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.mightContainLong($c);")
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -59,6 +59,8 @@ object TextExprs {
     column(SubwordPieces(expression(text), vocab, continuation))
   def topWordGram(text: Column, n: Int): Column =
     column(TopWordGram(expression(text), n))
+  def dupWordGramChars(text: Column, ns: Seq[Int]): Column =
+    column(DupWordGramChars(expression(text), ns))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expression(text), form))
 
@@ -521,6 +523,59 @@ case class TopWordGram(child: Expression, n: Int)
       if (best == null) UTF8String.EMPTY_UTF8
       else UTF8String.fromBytes(best.getBytes.clone(), 0, best.numBytes()),
       bestCnt))
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Characters inside REPEATED word n-grams — the Gopher duplicate-n-gram
+  * family (Rae et al. 2021 §A1.1) for several n values in ONE tokenization
+  * pass: for each n in `ns`, the sum over window occurrences BEYOND each
+  * gram's first (≡ Σ_{grams, cnt>1} (cnt−1)·numChars(gram)). Grams span the
+  * n words INCLUDING the single separating spaces of the pre-normalized
+  * input, matching `TopWordGram`'s span convention; lengths are characters
+  * (code points), like SQL `length`. Word offsets are computed once and
+  * shared across all n — the gate's six n-values cost one tokenization,
+  * not six.
+  */
+case class DupWordGramChars(child: Expression, ns: Seq[Int])
+  extends UnaryExpression with CodegenFallback {
+  require(ns.nonEmpty && ns.forall(_ > 0), s"gram sizes $ns must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_dup_gram_chars")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def nullSafeEval(s: Any): Any = {
+    val bytes = s.asInstanceOf[UTF8String].getBytes
+    val nb = bytes.length
+    val starts = scala.collection.mutable.ArrayBuffer.empty[Int]
+    var i = 0
+    var inWord = false
+    while (i < nb) {
+      if (bytes(i) == ' ') inWord = false
+      else if (!inWord) { starts += i; inWord = true }
+      i += 1
+    }
+    val m = starts.length
+    val out = new Array[Long](ns.length)
+    var k = 0
+    while (k < ns.length) {
+      val n = ns(k)
+      if (m >= n) {
+        val seen = new java.util.HashMap[UTF8String, Int](m * 2)
+        var rep = 0L
+        var j = 0
+        while (j <= m - n) {
+          val from = starts(j)
+          val to = if (j + n < m) starts(j + n) - 1 else nb
+          val g = UTF8String.fromBytes(bytes, from, to - from)
+          if (seen.merge(g, 1, (a, b) => a + b) > 1) rep += g.numChars()
+          j += 1
+        }
+        out(k) = rep
+      }
+      k += 1
+    }
+    new GenericArrayData(out)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

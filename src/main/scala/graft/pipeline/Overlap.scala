@@ -74,17 +74,61 @@ object Overlap {
     */
   private def contaminationFromIndexes(trainIdx: DataFrame, testIdx0: DataFrame,
                                        minShared: Long,
-                                       stopGramMaxDf: Option[Long]): DataFrame = {
-    val testIdx = stopGramMaxDf.fold(testIdx0) { cap =>
-      val stop = testIdx0.groupBy(col("gram"))
+                                       stopGramMaxDf: Option[Long]): DataFrame =
+    sharedGramCounts(trainIdx,
+      dropStopGrams(testIdx0, stopGramMaxDf), broadcastEval = true)
+      .where(col("n_shared") >= minShared)
+
+  /** Stop-gram cap: drop eval grams occurring in more than `cap` EVAL
+    * documents (self-contained stop list; a no-op when `cap` is None). */
+  private def dropStopGrams(testIdx: DataFrame, stopGramMaxDf: Option[Long]): DataFrame =
+    stopGramMaxDf.fold(testIdx) { cap =>
+      val stop = testIdx.groupBy(col("gram"))
         .agg(count(lit(1)).as("tdf")).where(col("tdf") > cap)
         .select(col("gram"))
-      testIdx0.join(broadcast(stop), Seq("gram"), "left_anti")
+      testIdx.join(broadcast(stop), Seq("gram"), "left_anti")
     }
-    trainIdx
-      .join(broadcast(testIdx.withColumnRenamed("id", "test_id")), Seq("gram"))
+
+  /** The shared join/count tail: (train_id, test_id, n_shared) from two
+    * (id, gram) indexes. `broadcastEval` picks the small-eval shape (eval
+    * index broadcast, train never shuffles) vs the large-eval shape (plain
+    * shuffle join — both sides exchange on gram). */
+  private def sharedGramCounts(trainIdx: DataFrame, testIdx: DataFrame,
+                               broadcastEval: Boolean): DataFrame = {
+    val eval0 = testIdx.withColumnRenamed("id", "test_id")
+    val eval = if (broadcastEval) broadcast(eval0) else eval0
+    trainIdx.join(eval, Seq("gram"))
       .groupBy(col("id").as("train_id"), col("test_id"))
       .agg(count(lit(1)).as("n_shared"))
+  }
+
+  /** Contamination for eval sets too large to broadcast as a hash-join
+    * table: a BLOOM FILTER over the eval gram hashes (~10 bits/gram at the
+    * default 1% fpp — an order of magnitude under the join table's ~16+
+    * bytes/gram) prunes the train gram index MAP-SIDE, and only the
+    * survivors (true matches + fpp of the train grams) pay the shuffle
+    * join against the eval index. Row-identical to `contamination`: Bloom
+    * false positives survive the prefilter but die in the exact join, so
+    * the filter only ever REMOVES work. At 10^12 train sequences the
+    * default `contamination` moves zero train grams but needs the whole
+    * eval index in every executor's hash table; this variant moves
+    * ~fpp·|train grams| + |matching grams| through one exchange instead —
+    * the right trade once the eval index outgrows executor memory.
+    *
+    * `expectedEvalGrams` sizes the filter (overestimating is safe, fpp
+    * degrades if underestimated); the stop-gram cap applies BEFORE the
+    * filter is built, so capped grams prune map-side too.
+    */
+  def contaminationLarge(train: DataFrame, test: DataFrame, tokensCol: String,
+                         idCol: String, k: Int, minShared: Long,
+                         stopGramMaxDf: Option[Long] = None,
+                         expectedEvalGrams: Long = 1L << 24,
+                         fpp: Double = 0.01): DataFrame = {
+    val testIdx = dropStopGrams(gramIndex(test, tokensCol, idCol, k), stopGramMaxDf)
+    val bloom = testIdx.stat.bloomFilter("gram", expectedEvalGrams, fpp)
+    val pre = gramIndex(train, tokensCol, idCol, k)
+      .where(graft.functions.SketchExprs.bloomMightContainLong(col("gram"), bloom))
+    sharedGramCounts(pre, testIdx, broadcastEval = false)
       .where(col("n_shared") >= minShared)
   }
 
@@ -123,20 +167,12 @@ object Overlap {
                                                minFrac: Double,
                                                stopGramMaxDf: Option[Long]): DataFrame = {
     require(minFrac > 0 && minFrac <= 1, s"minFrac=$minFrac must be in (0,1]")
-    val testIdx = stopGramMaxDf.fold(testIdx0) { cap =>
-      val stop = testIdx0.groupBy(col("gram"))
-        .agg(count(lit(1)).as("tdf")).where(col("tdf") > cap)
-        .select(col("gram"))
-      testIdx0.join(broadcast(stop), Seq("gram"), "left_anti")
-    }
+    val testIdx = dropStopGrams(testIdx0, stopGramMaxDf)
     // per-eval-doc denominator: distinct grams (the index IS per-doc
     // distinct) after the cap — eval-set-sized, broadcast onto the counts
     val sizes = testIdx.groupBy(col("id").as("test_id"))
       .agg(count(lit(1)).as("n_test_grams"))
-    trainIdx
-      .join(broadcast(testIdx.withColumnRenamed("id", "test_id")), Seq("gram"))
-      .groupBy(col("id").as("train_id"), col("test_id"))
-      .agg(count(lit(1)).as("n_shared"))
+    sharedGramCounts(trainIdx, testIdx, broadcastEval = true)
       .join(broadcast(sizes), Seq("test_id"))
       .withColumn("overlap_frac",
         round(col("n_shared").cast("double") /

@@ -1,0 +1,116 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Semantic deduplication — SemDeDup (Abbas et al. 2023, arXiv:2303.09540):
+  * cluster the embedding space with k-means, compare pairs EXACTLY but only
+  * within a cluster, and per duplicate group keep the example least similar
+  * to its cluster centroid (the paper's best-performing keep policy — the
+  * "outlier" of the group carries the most marginal information).
+  *
+  * This is the third near-dup family next to MinHash/SimHash (token overlap)
+  * and `Ann.cosineNearDups` (hyperplane LSH): clustering gives *semantic*
+  * blocking — paraphrases land in one cell even when they share no tokens
+  * and straddle an unlucky hyperplane.
+  *
+  * Plan shape and the 100 TB story:
+  *  - centroids come from `Ivf.trainCentroids` (driver-side deterministic
+  *    sample, k·dims doubles — trivial);
+  *  - assignment is ONE narrow codegen'd projection (`Ivf.cellOf` — the
+  *    centroid table rides inside the plan, no join);
+  *  - the within-cell pairing is a self-join ON THE CELL ID. Unlike the LSH
+  *    candidate/verify split (where candidates ≪ within-bucket pairs, so
+  *    vectors join back per pair), here every within-cell pair IS a
+  *    candidate — pairs ≫ rows, so each side carries its vector through the
+  *    one cell-keyed exchange (each vector moves exactly twice) and the
+  *    pairwise cosine pipelines out of the join with no further shuffle.
+  *    Joining vectors back by id would move O(pairs) vectors instead.
+  *  - cost is Σ_c m_c²/2 exact cosines: k caps it. The paper runs k ≈ √N
+  *    (50k clusters on LAION) so cells stay ≈ √N and total work ≈ N^1.5
+  *    with perfect cell-parallelism. A runaway cell is a KEY-SKEW question —
+  *    `TableChecks.hotKeys(assignments, "cell")` is the pre-flight check,
+  *    and `maxCellRows` makes the guard mandatory: the job fails loudly
+  *    (listing the offending cells) instead of silently going quadratic.
+  *
+  * Determinism: cosines round to 6 dp before thresholding and before the
+  * keep-policy comparison, so decisions reproduce across engines (the
+  * DuckDB oracle recomputes both from the raw arrays).
+  */
+object SemDedup {
+
+  /** (cell, id, v) assignment projection shared by the operators below. */
+  private def assign(df: DataFrame, centroids: Array[Array[Double]],
+                     idCol: String, vecCol: String): DataFrame =
+    df.select(col(idCol).as("id"), col(vecCol).as("v"),
+      Ivf.cellOf(col(vecCol), centroids).as("cell"))
+
+  /** Loud quadratic-cell guard: fails with the offending cell sizes when any
+    * cell exceeds `maxCellRows`. One short-key aggregate over (cell) — cheap
+    * next to the pairing it protects.
+    */
+  private def guardCells(assigned: DataFrame, maxCellRows: Long): Unit = {
+    val hot = assigned.groupBy(col("cell")).count()
+      .where(col("count") > maxCellRows)
+      .orderBy(col("count").desc).limit(10).collect()
+    require(hot.isEmpty,
+      s"semantic dedup: ${hot.length}+ cells exceed maxCellRows=$maxCellRows " +
+        hot.map(r => s"cell=${r.get(0)}:${r.get(1)}").mkString("(", ", ", ")") +
+        " — raise k (more clusters) or maxCellRows; a hot cell makes the " +
+        "within-cell pairing quadratic")
+  }
+
+  /** Exact cosine near-duplicate pairs, cluster-blocked: `(id_a, id_b, cos)`
+    * with id_a < id_b, for pairs in the SAME cell with
+    * round(cos, 6) >= threshold. Recall relative to all-pairs is bounded by
+    * cluster assignment (pairs straddling a cell boundary are missed — the
+    * SemDeDup trade; raise k for tighter cells or lower k for higher recall).
+    */
+  def semanticNearDups(df: DataFrame, threshold: Double,
+                       centroids: Array[Array[Double]],
+                       idCol: String = "vec_id", vecCol: String = "embedding",
+                       maxCellRows: Long = 2000000L): DataFrame = {
+    val assigned = assign(df, centroids, idCol, vecCol)
+    guardCells(assigned, maxCellRows)
+    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
+    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
+    a.join(b, Seq("cell"))
+      .where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= threshold)
+  }
+
+  /** Cosine of a vector to centroid number `cell` — the keep-policy
+    * preference. The centroid table is a literal nested array in the plan
+    * (k·dims doubles), indexed per row; no join.
+    */
+  def centroidSim(vec: Column, cell: Column,
+                  centroids: Array[Array[Double]]): Column = {
+    val table = array(centroids.map(c => array(c.map(lit(_)): _*)): _*)
+    round(Ann.cosine(vec, element_at(table, cell + 1)), 6)
+  }
+
+  /** The full SemDeDup filter: rows of `df` surviving semantic dedup at
+    * `threshold`. Pairs → connected components (`Dedup.dupGroups`) → per
+    * group keep the member with the LOWEST centroid similarity (max of the
+    * negated 6dp cosine; ties break on min id via `nearDupSurvivorsBy`).
+    * Rows in no duplicate group pass through untouched.
+    *
+    * `pairs` may be supplied pre-materialized (checkpointed funnels); when
+    * None they are computed here.
+    */
+  def semanticSurvivors(df: DataFrame, threshold: Double,
+                        centroids: Array[Array[Double]],
+                        idCol: String = "vec_id", vecCol: String = "embedding",
+                        pairs: Option[DataFrame] = None,
+                        maxCellRows: Long = 2000000L): DataFrame = {
+    val p = pairs.getOrElse(
+        semanticNearDups(df, threshold, centroids, idCol, vecCol, maxCellRows))
+      .select(col("id_a"), col("id_b"))
+    val groups = Dedup.dupGroups(p)
+    val pref = df.withColumn("__csim",
+      -centroidSim(col(vecCol), Ivf.cellOf(col(vecCol), centroids), centroids))
+    Dedup.nearDupSurvivorsBy(pref, idCol, groups, "__csim").drop("__csim")
+  }
+}

@@ -143,18 +143,92 @@ object TextFunctions {
       size(array_distinct(l)).cast("double") / size(l).cast("double"), 4)
   }
 
+  /** Fraction of paragraphs (`\n\n`-split) that are within-document
+    * duplicates — the paragraph sibling of `duplicateLineFraction`,
+    * Gopher's dup-paragraph rule (≤ 0.30). */
+  def duplicateParagraphFraction(text: Column): Column = {
+    val p = split(text, "\n\n")
+    round(lit(1.0) -
+      size(array_distinct(p)).cast("double") / size(p).cast("double"), 4)
+  }
+
+  /** Fraction of CHARACTERS inside repeated lines — occurrences beyond each
+    * line's first (Σ (cnt−1)·len(line)), normalized by the full text length
+    * (the find_duplicates counting of the public Gopher reimplementations).
+    * Separator characters belong to no line, so the fraction stays < 1.
+    */
+  def duplicateLineCharFraction(text: Column): Column =
+    segmentDupCharFraction(text, "\n")
+
+  /** Character-fraction sibling for `\n\n`-split paragraphs (≤ 0.20). */
+  def duplicateParagraphCharFraction(text: Column): Column =
+    segmentDupCharFraction(text, "\n\n")
+
+  private def segmentDupCharFraction(text: Column, sep: String): Column = {
+    val l = split(text, sep)
+    val tot = aggregate(l, lit(0L), (a, x) => a + length(x).cast("long"))
+    val dis = aggregate(array_distinct(l), lit(0L), (a, x) => a + length(x).cast("long"))
+    round((tot - dis).cast("double") /
+      greatest(length(text), lit(1)).cast("double"), 4)
+  }
+
+  /** Fraction of normalized-text characters inside REPEATED word n-grams
+    * (Gopher's duplicate-n-gram rules, n = 5..10): repeated chars =
+    * Σ over occurrences beyond each gram's first of the gram's span length
+    * (words + separating spaces, the `topNgramCharShare` span convention),
+    * over the normalized length, clamped to 1 (overlapping repeats can
+    * over-count). One-pass native expression; texts under n words score 0.
+    */
+  def dupNgramCharFraction(text: Column, n: Int): Column = {
+    val t = normalize(text)
+    round(least(lit(1.0),
+      element_at(graft.functions.TextExprs.dupWordGramChars(t, Seq(n)), 1)
+        .cast("double") / greatest(length(t), lit(1)).cast("double")), 4)
+  }
+
+  /** The REPETITION half of the full Gopher battery (Rae et al. 2021 Table
+    * A1) that `gopherOk` doesn't cover: duplicate-paragraph fraction
+    * ≤ 0.30, duplicate line/paragraph char fractions ≤ 0.20, top-3/4-gram
+    * char share ≤ 0.18/0.16, duplicate 5..10-gram char fractions
+    * ≤ 0.15/0.14/0.13/0.12/0.11/0.10. Each conjunct equals the public
+    * column function at the published bound (identical 4dp rounding); the
+    * six gram fractions share ONE tokenization pass. Full published gate =
+    * `gopherOk(text) && gopherRepetitionOk(text)`.
+    */
+  def gopherRepetitionOk(text: Column): Column = {
+    val t = normalize(text)
+    val len = greatest(length(t), lit(1)).cast("double")
+    val dups = graft.functions.TextExprs.dupWordGramChars(t, 5 to 10)
+    val gramOk = Seq(0.15, 0.14, 0.13, 0.12, 0.11, 0.10).zipWithIndex.map {
+      case (thr, i) =>
+        round(least(lit(1.0),
+          element_at(dups, i + 1).cast("double") / len), 4) <= thr
+    }.reduce(_ && _)
+    duplicateParagraphFraction(text) <= 0.30 &&
+      duplicateLineCharFraction(text) <= 0.20 &&
+      duplicateParagraphCharFraction(text) <= 0.20 &&
+      topNgramCharShare(text, 3) <= 0.18 &&
+      topNgramCharShare(text, 4) <= 0.16 &&
+      gramOk
+  }
+
   /** Fraction of the normalized text's characters covered by occurrences of
     * its most frequent word n-gram (Gopher's top-n-gram character share):
     * `cnt(top_gram) · len(top_gram) / len(text)`, clamped to 1 (occurrence
-    * spans may overlap). One-pass mode count via `TopWordGram`; ties break
-    * on the byte-order-smallest gram, texts under n words score 0.
+    * spans may overlap). A top gram that occurs only ONCE scores 0 — the
+    * rule measures repetition, and the published implementations
+    * (find_top_duplicate) return 0 unless the mode count is ≥ 2; without
+    * this, every short document fails the 3/4-gram bounds on its longest
+    * single phrase. One-pass mode count via `TopWordGram`; ties break on
+    * the byte-order-smallest gram, texts under n words score 0.
     */
   def topNgramCharShare(text: Column, n: Int = 2): Column = {
     val t = normalize(text)
     val tg = graft.functions.TextExprs.topWordGram(t, n)
-    round(least(lit(1.0),
-      tg.getField("cnt").cast("double") * length(tg.getField("gram")).cast("double") /
-        greatest(length(t), lit(1)).cast("double")), 4)
+    when(tg.getField("cnt") <= 1, 0.0).otherwise(
+      round(least(lit(1.0),
+        tg.getField("cnt").cast("double") * length(tg.getField("gram")).cast("double") /
+          greatest(length(t), lit(1)).cast("double")), 4))
   }
 
   /** Symbol-to-word ratio (Gopher): occurrences of `#` and `...` per

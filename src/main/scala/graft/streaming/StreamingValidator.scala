@@ -141,18 +141,10 @@ object StreamingValidator {
                      psiGate: Double = 0.25,
                      epsilon: Double = 0.5): DataFrame = {
     require(buckets > 0 && baseline.values.sum > 0, "need a non-empty baseline")
-    // one conditional-sum column per bucket: fine for histogram-scale bucket
-    // counts, degenerate for thousands (the plan grows linearly) — fail loud
-    require(buckets <= 1024, s"buckets=$buckets: use <= 1024 histogram buckets")
     require(baseline.keys.forall(k => k >= 0 && k < buckets),
       s"baseline keys must lie in [0, $buckets)")
-    val b = graft.checks.TableChecks.bucketCol(col(c), lo, hi, buckets)
-    val counts = (0 until buckets).map(i =>
-      sum(when(b === i, 1L).otherwise(0L)).as(s"__c$i"))
-    val hist = df.where(col(c).isNotNull)
-      .withWatermark(tsCol, watermarkDelay)
-      .groupBy(window(col(tsCol), windowLen))
-      .agg(counts.head, counts.tail: _*)
+    val hist = windowedHistogram(df, c, lo, hi, buckets, tsCol,
+      watermarkDelay, windowLen)
     val totBase = baseline.values.sum.toDouble
     val staged = hist
       .withColumn("__n", (0 until buckets).map(i => col(s"__c$i")).reduce(_ + _))
@@ -174,6 +166,65 @@ object StreamingValidator {
         col("window.end").as("window_end"),
         col("__n").as("n_rows"), round(col("__psi"), 6).as("psi"),
         (col("__psi") <= psiGate).as("pass"))
+  }
+
+  /** Shared single-streaming-aggregate windowed histogram: one
+    * conditional-sum column per bucket (`__c0..__c{n-1}`) keyed by the
+    * event-time window — the only aggregation the drift-alert family
+    * spends its one allowed streaming aggregation on. One column per
+    * bucket is fine at histogram scale and degenerate for thousands (the
+    * plan grows linearly) — fail loud.
+    */
+  private def windowedHistogram(df: DataFrame, c: String, lo: Double,
+                                hi: Double, buckets: Int, tsCol: String,
+                                watermarkDelay: String,
+                                windowLen: String): DataFrame = {
+    require(buckets <= 1024, s"buckets=$buckets: use <= 1024 histogram buckets")
+    val b = graft.checks.TableChecks.bucketCol(col(c), lo, hi, buckets)
+    val counts = (0 until buckets).map(i =>
+      sum(when(b === i, 1L).otherwise(0L)).as(s"__c$i"))
+    df.where(col(c).isNotNull)
+      .withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen))
+      .agg(counts.head, counts.tail: _*)
+  }
+
+  /** Streaming JSD drift alerts — the bounded, smoothing-free sibling of
+    * `psiDriftAlerts`, per finalized event-time window:
+    * (window_start, window_end, n_rows, jsd, pass). The per-bucket math
+    * matches `Drift.jsdTerms` EXACTLY: rates are unsmoothed, a zero-count
+    * side contributes 0 via its own `p > 0` guard (never a log of 0 — the
+    * mixture denominator is positive whenever either side is), an empty
+    * window scores rate 0 everywhere. JSD is symmetric and bounded by
+    * ln 2 ≈ 0.693, so the gate needs no smoothing tuning — the reason to
+    * prefer it over PSI on sparse windows. Same single-wide-aggregate
+    * plan shape; baseline rates compile into the projection as constants.
+    */
+  def jsdDriftAlerts(df: DataFrame, c: String, lo: Double, hi: Double,
+                     buckets: Int, tsCol: String, watermarkDelay: String,
+                     windowLen: String, baseline: Map[Int, Long],
+                     jsdGate: Double = 0.1): DataFrame = {
+    require(buckets > 0 && baseline.values.sum > 0, "need a non-empty baseline")
+    require(baseline.keys.forall(k => k >= 0 && k < buckets),
+      s"baseline keys must lie in [0, $buckets)")
+    val hist = windowedHistogram(df, c, lo, hi, buckets, tsCol,
+      watermarkDelay, windowLen)
+    val totBase = baseline.values.sum.toDouble
+    val staged = hist.withColumn("__n",
+      (0 until buckets).map(i => col(s"__c$i")).reduce(_ + _))
+    val jsd = (0 until buckets).map { i =>
+      val p = when(col("__n") > 0,
+        col(s"__c$i").cast("double") / col("__n").cast("double")).otherwise(lit(0.0))
+      val qv = baseline.getOrElse(i, 0L).toDouble / totBase
+      val m = (p + lit(qv)) / lit(2.0)
+      val obsTerm = when(p > 0, lit(0.5) * p * log(p / m)).otherwise(lit(0.0))
+      if (qv > 0) obsTerm + lit(0.5) * lit(qv) * log(lit(qv) / m) else obsTerm
+    }.reduce(_ + _)
+    staged.withColumn("__jsd", jsd)
+      .select(col("window.start").as("window_start"),
+        col("window.end").as("window_end"),
+        col("__n").as("n_rows"), round(col("__jsd"), 6).as("jsd"),
+        (col("__jsd") <= jsdGate).as("pass"))
   }
 
   /** A duplicate-key arrival: `n_seen` is the arrival's ordinal for its key

@@ -418,6 +418,36 @@ class CheckpointStreamingSpec extends SparkSpec {
       s"streaming $psiPartial != driver $driverPsi")
   }
 
+  test("streaming JSD drift alerts: uniform window scores 0, shifted window == driver scalar") {
+    implicit val sqlCtx = spark.sqlContext
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(Double, java.sql.Timestamp)]
+    val baseline = Map(0 -> 10L, 1 -> 10L, 2 -> 10L, 3 -> 10L)
+    val alerts = graft.streaming.StreamingValidator.jsdDriftAlerts(
+      mem.toDF().toDF("value", "ts"), "value", lo = 0, hi = 4, buckets = 4,
+      tsCol = "ts", watermarkDelay = "1 minute", windowLen = "5 minutes",
+      baseline)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("jsddrift").start()
+    (0 until 4).foreach(b => mem.addData((b + 0.5, ts("10:00:10")), (b + 0.5, ts("10:04:50"))))
+    (1 to 8).foreach(i => mem.addData((0.5, ts(f"10:10:${i}%02d"))))
+    mem.addData((1.5, ts("10:30:00")))
+    q.processAllAvailable()
+    q.stop()
+    val rows = spark.table("jsddrift")
+      .select("window_start", "n_rows", "jsd", "pass").collect()
+      .map(r => r.getTimestamp(0) -> ((r.getLong(1), r.getDouble(2), r.getBoolean(3)))).toMap
+    // identical distributions → JSD exactly 0
+    assert(rows(ts("10:00:00")) == ((8L, 0.0, true)))
+    // shifted window: streaming == the driver jsd scalar on the same maps,
+    // and the shift trips the 0.1 gate (JSD is bounded by ln 2)
+    val driver = graft.checks.Drift.jsd(Map(0 -> 8L), baseline)
+    val (n2, jsd2, pass2) = rows(ts("10:10:00"))
+    assert(n2 == 8L && jsd2 == math.round(driver * 1e6) / 1e6 && !pass2,
+      s"streaming $jsd2 != driver $driver")
+    assert(jsd2 > 0.1 && jsd2 <= math.log(2.0))
+  }
+
   test("multimodal: batch feature extraction plumbing with stubbed decode") {
     val media = Multimodal.syntheticMedia(spark, 300, 4)
     // the published schema IS the MediaRow contract

@@ -501,6 +501,38 @@ class PipelineSpec extends SparkSpec {
     assert(stripPlan.contains("BroadcastHashJoin"), s"no broadcast join in:\n$stripPlan")
   }
 
+  test("contaminationLarge (bloom prefilter) == contamination; probe is one-sided") {
+    // planted overlap: train doc i = tokens(i); eval doc j copies doc 2j's
+    // first grams. The bloom path must return the IDENTICAL row set — false
+    // positives die in the exact join
+    val train = (0 until 60).map(i =>
+      (i.toLong, Array.tabulate(30)(t => i * 100 + t))).toDF("id", "tokens")
+    val test = (0 until 10).map(j =>
+      (j.toLong, Array.tabulate(12)(t => (2 * j) * 100 + t))).toDF("id", "tokens")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.select("train_id", "test_id", "n_shared")
+        .as[(Long, Long, Long)].collect().toSet
+    val exact = rows(graft.pipeline.Overlap.contamination(
+      train, test, "tokens", "id", k = 4, minShared = 5))
+    val bloomed = graft.pipeline.Overlap.contaminationLarge(
+      train, test, "tokens", "id", k = 4, minShared = 5,
+      expectedEvalGrams = 1024, fpp = 0.01)
+    assert(rows(bloomed) == exact && exact.size == 10)
+    // the prefilter sits in the plan below the join (map-side prune)
+    assert(bloomed.queryExecution.executedPlan.toString
+      .contains("graft_bloom_might_contain"))
+    // direct expression check: inserted keys always hit; a disjoint key
+    // range at 1% fpp over 1024 slots cannot all collide
+    val bf = test.select(explode(
+        graft.functions.TextExprs.intGramSet(col("tokens"), 4)).as("g"))
+      .stat.bloomFilter("g", 1024, 0.01)
+    val probe = train.select(
+        graft.functions.SketchExprs.bloomMightContainLong(
+          xxhash64(col("id") + 1000000), bf).as("hit"))
+      .where(col("hit")).count()
+    assert(probe < 10) // ~0.6 expected at 1% fpp over 60 random probes
+  }
+
   test("contaminationFraction: gated on the eval doc's gram share, closed form") {
     val train = Seq((0L, (1 to 100).toArray), (1L, (1000 to 1100).toArray))
       .toDF("id", "tokens")
@@ -725,8 +757,8 @@ class PipelineSpec extends SparkSpec {
     // same crafted fixture the oracle SQL was validated against in DuckDB;
     // values hand-derived (doc 0: top bigram ties 'the cat'/'cat sat' ×2 →
     // byte-min 'cat sat', 2·7/40 = 0.35; doc 1: 5·9/29 clamps to 1.0;
-    // doc 4: 4 '#' + 2 '...' over 9 words; doc 6: all-distinct bigrams →
-    // min 'a bb', 4/26)
+    // doc 4: 4 '#' + 2 '...' over 9 words; docs 4/5/6: all-distinct
+    // bigrams → top share 0, the find_top_duplicate rule)
     val docsG = Seq(
       (0L, "the cat sat on the mat the cat sat again"),
       (1L, "word word word word word word"),
@@ -748,9 +780,9 @@ class PipelineSpec extends SparkSpec {
       1L -> ((0.0, 1.0, 0.0, 4.0)),
       2L -> ((0.0, 0.0, 0.0, 1.0)),
       3L -> ((0.0, 0.0, 0.0, 0.0)),
-      4L -> ((0.0, 0.1702, 0.6667, 4.3333)),
-      5L -> ((0.1176, 0.3696, 0.0, 5.7143)),
-      6L -> ((0.5, 0.1538, 0.0, 3.5))), s"got $got")
+      4L -> ((0.0, 0.0, 0.6667, 4.3333)),
+      5L -> ((0.1176, 0.0, 0.0, 5.7143)),
+      6L -> ((0.5, 0.0, 0.0, 3.5))), s"got $got")
     // real multi-line duplicate lines
     val dl = Seq("nav\nbody\nnav\nnav").toDF("text")
       .select(TextFunctions.duplicateLineFraction(col("text"))).head().getDouble(0)
@@ -759,6 +791,36 @@ class PipelineSpec extends SparkSpec {
     val okRow = Seq("the quick brown fox jumps over the lazy dog near the river bank")
       .toDF("text").select(TextFunctions.gopherOk(col("text"))).head().getBoolean(0)
     assert(okRow)
+  }
+
+  test("Gopher repetition battery: paragraph/char fractions and dup n-gram chars") {
+    // dup n-gram chars: "a b a b c" → 2-gram 'a b' repeats once → 3/9
+    val f2 = Seq("a b a b c").toDF("text")
+      .select(TextFunctions.dupNgramCharFraction(col("text"), 2)).head().getDouble(0)
+    assert(f2 == 0.3333)
+    // cyclic 5-word loop: every 5-gram class repeats — 54 repeated chars
+    // over 29 clamps to 1.0; same text has no window at n > 11
+    val loop = "x y z w v x y z w v x y z w v"
+    val l5 = Seq(loop).toDF("text")
+      .select(TextFunctions.dupNgramCharFraction(col("text"), 5),
+        TextFunctions.dupNgramCharFraction(col("text"), 12)).head()
+    assert(l5.getDouble(0) == 1.0 && l5.getDouble(1) == 0.0)
+    // paragraph metrics: "aa\n\nb\n\naa" → paras [aa, b, aa], lines
+    // [aa, '', b, '', aa]
+    val p = Seq("aa\n\nb\n\naa").toDF("text").select(
+      TextFunctions.duplicateParagraphFraction(col("text")),
+      TextFunctions.duplicateParagraphCharFraction(col("text")),
+      TextFunctions.duplicateLineCharFraction(col("text")),
+      TextFunctions.duplicateLineFraction(col("text"))).head()
+    assert(p.getDouble(0) == 0.3333 && p.getDouble(1) == 0.2222)
+    assert(p.getDouble(2) == 0.2222 && p.getDouble(3) == 0.4)
+    // the composed repetition gate: prose passes, the loop fails (and the
+    // single-pass multi-n expression agrees with the per-n column)
+    val gate = Seq(
+      "the quick brown fox jumps over the lazy dog near the river bank today",
+      loop).toDF("text")
+      .select(TextFunctions.gopherRepetitionOk(col("text"))).collect()
+    assert(gate(0).getBoolean(0) && !gate(1).getBoolean(0))
   }
 
   test("subword vocab segmentation: greedy longest match, unknowns, multi-byte chars") {

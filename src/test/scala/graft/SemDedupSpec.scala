@@ -1,0 +1,75 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ann, SemDedup}
+
+/** SemDeDup (cluster-blocked exact-cosine dedup): pairing, keep policy,
+  * brute-force equivalence, and the quadratic-cell guard — all over a
+  * hand-checkable three-centroid fixture.
+  */
+class SemDedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  // three fixed unit centroids; vectors placed so cells and pair cosines
+  // are analytically known (θ in degrees → cos θ)
+  private val centroids = Array(
+    Array(1.0, 0.0), Array(0.0, 1.0), Array(-1.0, 0.0))
+
+  private val sin10 = 0.17364818f; private val cos10 = 0.9848077f
+  private val vecs = Seq(
+    (0L, Array(1.0f, 0.0f)),        // cell 0, centroid sim 1.0
+    (1L, Array(0.998f, 0.06f)),     // cell 0, sim ≈ 0.9982
+    (2L, Array(0.9f, 0.43f)),       // cell 0, sim ≈ 0.9023 — the group outlier
+    (3L, Array(0.0f, 1.0f)),        // cell 1, sim 1.0
+    (4L, Array(0.05f, 0.999f)),     // cell 1, sim ≈ 0.9988
+    (5L, Array(0.0f, -1.0f)),       // cell 0 (tie 0.0 vs c0/c2 — first wins); no pairs
+    (6L, Array(-cos10, sin10)),     // cell 2, sim cos10°
+    (7L, Array(-cos10, -sin10))     // cell 2, sim cos10° — EXACT tie with 6
+  ).toDF("vec_id", "embedding")
+
+  private val expectedPairs =
+    Set((0L, 1L), (0L, 2L), (1L, 2L), (3L, 4L), (6L, 7L)) // 6-7: cos20° ≈ 0.94
+
+  test("semanticNearDups finds exactly the within-cell pairs over threshold") {
+    val pairs = SemDedup.semanticNearDups(vecs, threshold = 0.9, centroids)
+    val got = pairs.select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(got == expectedPairs)
+    assert(pairs.agg(min(col("cos"))).head().getDouble(0) >= 0.9)
+  }
+
+  test("cluster blocking equals brute force when no qualifying pair straddles cells") {
+    val a = vecs.select(col("vec_id").as("id_a"), col("embedding").as("va"))
+    val b = vecs.select(col("vec_id").as("id_b"), col("embedding").as("vb"))
+    val brute = a.crossJoin(b).where(col("id_a") < col("id_b"))
+      .select(col("id_a"), col("id_b"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+      .where(col("cos") >= 0.9)
+      .select("id_a", "id_b").as[(Long, Long)].collect().toSet
+    assert(brute == expectedPairs) // fixture property: blocking loses nothing
+  }
+
+  test("centroidSim indexes the row's own cell") {
+    val sims = vecs.select(col("vec_id"),
+      SemDedup.centroidSim(col("embedding"),
+        graft.pipeline.Ivf.cellOf(col("embedding"), centroids), centroids).as("s"))
+      .as[(Long, Double)].collect().toMap
+    assert(sims(0L) == 1.0 && sims(3L) == 1.0)
+    assert(math.abs(sims(2L) - 0.902304) < 1e-6)
+    assert(sims(6L) == sims(7L)) // mirrored components — exact tie
+  }
+
+  test("semanticSurvivors keeps the least-centroid-similar member, min id on ties") {
+    val kept = SemDedup.semanticSurvivors(vecs, threshold = 0.9, centroids)
+      .select("vec_id").as[Long].collect().toSet
+    // group {0,1,2} → 2 (lowest sim); {3,4} → 4; {6,7} tie → min id 6;
+    // 5 is in no group and passes through
+    assert(kept == Set(2L, 4L, 5L, 6L))
+  }
+
+  test("hot-cell guard fails loudly instead of going quadratic") {
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semanticNearDups(vecs, threshold = 0.9, centroids, maxCellRows = 2)
+    }
+    assert(e.getMessage.contains("maxCellRows"))
+  }
+}
