@@ -279,6 +279,32 @@ object SparkEntry {
             col("mean_word_len").between(3.0, 10.0))
     }),
 
+    "q_asof_join" -> ((s, dir) => {
+      // backward as-of join (union + ordered window, one shuffle) vs
+      // DuckDB's NATIVE ASOF JOIN — a genuinely independent oracle for an
+      // operator Spark lacks. Left = even events; right = odd events
+      // max-aggregated to a unique (user_id, ts) state table
+      val ev = T(s, dir, "events")
+      val left = ev.where(col("event_id") % 2 === 0)
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val right = ev.where(col("event_id") % 2 === 1)
+        .groupBy(col("user_id"), col("ts")).agg(max(col("value")).as("value"))
+      graft.operators.TemporalJoins.asofJoin(
+        left, right, "user_id", "ts", Seq("value"))
+    }),
+    "q_range_join" -> ((s, dir) => {
+      // binned-equi-join range join vs DuckDB's native inequality join;
+      // intervals materialized so both engines see identical doubles
+      val intervals = materialize(s,
+        s.range(0, 50).select(col("id").as("interval_id"),
+          (pmod(col("id") * 37, lit(400)).cast("double") / 10.0).as("lo"),
+          ((pmod(col("id") * 37, lit(400)).cast("double") / 10.0) + 1.8).as("hi")),
+        "q_range_intervals", files = 1)
+      val points = T(s, dir, "events").select(col("event_id"), col("value"))
+      graft.operators.TemporalJoins.rangeJoin(
+          intervals, points, "lo", "hi", "value", binWidth = 2.0)
+        .select(col("interval_id"), col("event_id"), col("value"))
+    }),
     "q_gopher_repetition" -> ((s, dir) => {
       // the paragraph/char-level half of the Gopher repetition battery.
       // Same multi-line derivation trick as q_gopher_quality — and "ee"
@@ -1016,6 +1042,21 @@ object SparkEntry {
         |       (dup_line_frac <= 0.30 AND top2gram_share <= 0.20 AND
         |        symbol_ratio <= 0.10 AND mean_word_len BETWEEN 3.0 AND 10.0) AS gopher_ok
         |FROM m""".stripMargin,
+
+    // DuckDB's native ASOF LEFT JOIN — inclusive ts_r <= ts_l, unmatched
+    // rows keep NULL right fields, exactly the operator's contract
+    "q_asof_join" ->
+      """WITH l AS (SELECT event_id, user_id, ts FROM events WHERE event_id % 2 = 0),
+        |r AS (SELECT user_id, ts, max(value) AS value FROM events
+        |      WHERE event_id % 2 = 1 GROUP BY 1, 2)
+        |SELECT l.event_id, l.user_id, l.ts, r.ts AS ts_r, r.value AS value_r
+        |FROM l ASOF LEFT JOIN r ON l.user_id = r.user_id AND l.ts >= r.ts""".stripMargin,
+
+    // plain inequality join over the materialized interval table
+    "q_range_join" ->
+      """SELECT i.interval_id, e.event_id, e.value
+        |FROM read_parquet('/root/repo/target/graft_oracle/q_range_intervals/*.parquet') i
+        |JOIN events e ON e.value >= i.lo AND e.value < i.hi""".stripMargin,
 
     // paragraph (chr(10)||chr(10)) splits of the same multi-line derivation;
     // char fractions = (total - distinct) segment chars over full length

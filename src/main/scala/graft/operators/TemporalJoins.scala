@@ -1,0 +1,121 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal/ordering joins Spark has no native operator for — each built
+  * from shuffle-friendly primitives instead of a per-row lookup:
+  *
+  *  - `asofJoin`: backward as-of (each left row gets the latest right row
+  *    with `ts_r <= ts_l` for its key) via the UNION + ordered-window
+  *    trick: one exchange on the key, one sort by (ts, side), and a
+  *    running `last(payload, ignoreNulls)` — no join node at all, so cost
+  *    is one shuffle of |L|+|R| slim rows regardless of how many right
+  *    rows precede each left row (a naive `t_r <= t_l` theta-join
+  *    explodes quadratically per key).
+  *  - `rangeJoin`: interval×point join via BINNING: intervals explode to
+  *    the fixed-width bins they overlap, points hash to their bin, and an
+  *    EQUI-join on the bin key + residual predicate replaces the
+  *    broadcast-nested-loop plan Spark picks for a raw inequality join.
+  *    Bin width trades duplication (intervals appear in ⌈span/width⌉
+  *    bins) against join selectivity — set it near the median interval
+  *    span.
+  */
+object TemporalJoins {
+
+  /** Backward as-of join. For every left row: the right row with the same
+    * `keyCol` and the greatest `tsCol` <= the left row's (inclusive — a
+    * right row AT the left timestamp matches). Unmatched left rows keep
+    * null right fields (left-join semantics). Output = all left columns,
+    * then `tsCol + suffix` (the matched right timestamp) and each
+    * `payloadCols` column as `name + suffix`.
+    *
+    * `toleranceMs` (timestamp columns only): matches older than the
+    * tolerance are nulled out, like pandas `merge_asof(tolerance=...)`.
+    *
+    * Determinism: window order is (ts, side, payload) — right rows sort
+    * before left rows at equal ts, and equal-(key, ts) right rows resolve
+    * by payload-struct order, so ties cannot flap across runs.
+    *
+    * Scale shape: ONE exchange hash-partitioned on the key carrying
+    * left rows + right (key, ts, payload) rows, one in-partition sort; the
+    * running `last` is a streaming frame (rowsBetween unbounded..current),
+    * no per-row lookback. Key skew here is data skew on `keyCol` — the
+    * usual `TableChecks.hotKeys` pre-flight applies.
+    */
+  def asofJoin(left: DataFrame, right: DataFrame, keyCol: String,
+               tsCol: String, payloadCols: Seq[String], suffix: String = "_r",
+               toleranceMs: Option[Long] = None): DataFrame = {
+    require(payloadCols.nonEmpty, "asofJoin needs at least one payload column")
+    val leftCols = left.columns.toSeq
+    require(!leftCols.contains(tsCol + suffix),
+      s"left already has a '${tsCol + suffix}' column — pick another suffix")
+    val payFields = tsCol +: payloadCols
+    val payStruct = struct(payFields.map(col): _*)
+    val payType = right.select(payStruct.as("p")).schema("p").dataType
+    val l2 = left.select(
+      leftCols.map(col) ++ Seq(lit(0).as("__side"),
+        lit(null).cast(payType).as("__pay")): _*)
+    val r2 = right.select(
+      leftCols.map { c =>
+        if (c == keyCol || c == tsCol) col(c)
+        else lit(null).cast(left.schema(c).dataType).as(c)
+      } ++ Seq(lit(1).as("__side"), payStruct.as("__pay")): _*)
+    // right rows first at equal ts (side desc) so an exact-ts right row is
+    // visible to the left row's running last; __pay breaks right-right ties
+    val w = Window.partitionBy(col(keyCol))
+      .orderBy(col(tsCol).asc, col("__side").desc, col("__pay").asc)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val matched = l2.unionByName(r2)
+      .withColumn("__m", last(col("__pay"), ignoreNulls = true).over(w))
+      .where(col("__side") === 0)
+    val gated = toleranceMs.fold(matched) { tol =>
+      matched.withColumn("__m",
+        when(col("__m").isNotNull &&
+          unix_millis(col(tsCol)) - unix_millis(col("__m").getField(tsCol)) <= tol,
+          col("__m")))
+    }
+    gated.select(
+      leftCols.map(col) ++
+        (col("__m").getField(tsCol).as(tsCol + suffix) +:
+          payloadCols.map(c => col("__m").getField(c).as(c + suffix))): _*)
+  }
+
+  /** Interval × point range join: rows of `points` paired with every row of
+    * `intervals` whose `[loCol, hiCol)` half-open span contains the point.
+    * Output = interval columns + point columns (names must not collide).
+    *
+    * Implementation: equi-join on ⌊value/binWidth⌋ bin ids — each interval
+    * is exploded to its overlapping bins (`sequence`), each point hashes to
+    * one bin — then the exact containment predicate filters inside the
+    * join. Plan is a plain shuffled hash/sort-merge join on a long key;
+    * without the bin key Spark can only broadcast-nested-loop an
+    * inequality join, which is quadratic. `maxBinsPerInterval` fails loudly
+    * when a span/width mismatch would explode an interval into thousands
+    * of bins (pick a wider bin instead — duplication is span/width).
+    */
+  def rangeJoin(intervals: DataFrame, points: DataFrame, loCol: String,
+                hiCol: String, ptCol: String, binWidth: Double,
+                maxBinsPerInterval: Int = 4096): DataFrame = {
+    require(binWidth > 0, s"binWidth=$binWidth must be positive")
+    val loBin = floor(col(loCol) / binWidth).cast("long")
+    // when hi lands exactly on a bin boundary the hi bin holds no interior
+    // point, but including it is harmless: a point lives in exactly ONE
+    // bin, so no (interval, point) pair can ever join twice — the residual
+    // predicate just filters the empty boundary bin's candidates
+    val hiBin = floor(col(hiCol) / binWidth).cast("long")
+    val guarded = intervals.withColumn("__nb", hiBin - loBin + 1)
+    val ex = guarded
+      .withColumn("__bin", explode(sequence(loBin, greatest(hiBin, loBin))))
+    val binned = points.withColumn("__bin", floor(col(ptCol) / binWidth).cast("long"))
+    val nOver = guarded.where(col("__nb") > maxBinsPerInterval).limit(1).count()
+    require(nOver == 0,
+      s"rangeJoin: an interval spans more than $maxBinsPerInterval bins of " +
+        s"width $binWidth — widen binWidth (duplication = span/width) or raise " +
+        "maxBinsPerInterval")
+    ex.drop("__nb").join(binned, Seq("__bin"))
+      .where(col(ptCol) >= col(loCol) && col(ptCol) < col(hiCol))
+      .drop("__bin")
+  }
+}

@@ -1,0 +1,86 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.TemporalJoins
+
+/** As-of and range joins: crafted edge cases plus brute-force equivalence
+  * over randomized inputs.
+  */
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+
+  test("asofJoin: backward match, inclusive ties, unmatched keys, tolerance") {
+    val left = Seq(
+      (1L, "a", ts("10:00:00")), // before any right row → null
+      (2L, "a", ts("10:01:00")), // exactly at a right ts → inclusive match
+      (3L, "a", ts("10:07:00")), // between 10:05 and 10:10 → 10:05
+      (4L, "a", ts("10:12:00")), // after the last → 10:10
+      (5L, "b", ts("10:05:00"))  // key with no right rows → null
+    ).toDF("event_id", "key", "ts")
+    val right = Seq(
+      ("a", ts("10:01:00"), 1.0),
+      ("a", ts("10:05:00"), 5.0),
+      ("a", ts("10:10:00"), 10.0)
+    ).toDF("key", "ts", "value")
+    val got = TemporalJoins.asofJoin(left, right, "key", "ts", Seq("value"))
+      .select("event_id", "value_r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == Map(1L -> None, 2L -> Some(1.0), 3L -> Some(5.0),
+      4L -> Some(10.0), 5L -> None))
+    // tolerance 90s: the 10:07 row still reaches 10:05 (120s > 90s → null),
+    // the 10:12 row reaches 10:10 (120s → null too at 90s; ok at 150s)
+    val tol = TemporalJoins.asofJoin(left, right, "key", "ts", Seq("value"),
+        toleranceMs = Some(90000L))
+      .select("event_id", "value_r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(tol == Map(1L -> None, 2L -> Some(1.0), 3L -> None,
+      4L -> None, 5L -> None))
+  }
+
+  test("asofJoin == brute-force max-ts-below lookup on randomized data") {
+    val rnd = new scala.util.Random(7)
+    val leftRows = (0 until 300).map(i =>
+      (i.toLong, s"k${rnd.nextInt(8)}", ts(f"${10 + rnd.nextInt(4)}%02d:${rnd.nextInt(60)}%02d:00")))
+    val rightRows = (0 until 120).map(i =>
+      (s"k${rnd.nextInt(10)}", ts(f"${10 + rnd.nextInt(4)}%02d:${rnd.nextInt(60)}%02d:30"), i.toDouble))
+    // driver reference: for each left row the max right ts <= left ts;
+    // right (key, ts) pairs are unique by construction of the :30 seconds
+    val byKey = rightRows.groupBy(_._1)
+    val expected = leftRows.map { case (id, k, t) =>
+      id -> byKey.getOrElse(k, Nil).filter(!_._2.after(t))
+        .sortBy(_._2.getTime).lastOption.map(_._3)
+    }.toMap
+    val got = TemporalJoins.asofJoin(
+        leftRows.toDF("event_id", "key", "ts"),
+        rightRows.toDF("key", "ts", "value"), "key", "ts", Seq("value"))
+      .select("event_id", "value_r").collect()
+      .map(r => r.getLong(0) -> (if (r.isNullAt(1)) None else Some(r.getDouble(1)))).toMap
+    assert(got == expected)
+  }
+
+  test("rangeJoin: boundary semantics, multi-bin spans, loud bin-explosion guard") {
+    val intervals = Seq(
+      (0L, 0.0, 2.0),   // [0, 2): pt 0.0 in, pt 2.0 out
+      (1L, 1.5, 7.5),   // spans 4 bins at width 2
+      (2L, 10.0, 10.0)  // empty interval matches nothing
+    ).toDF("interval_id", "lo", "hi")
+    val points = Seq((0L, 0.0), (1L, 2.0), (2L, 1.7), (3L, 7.4), (4L, 7.5),
+      (5L, 10.0)).toDF("pt_id", "v")
+    val got = TemporalJoins.rangeJoin(intervals, points, "lo", "hi", "v", 2.0)
+      .select("interval_id", "pt_id").as[(Long, Long)].collect().toSet
+    assert(got == Set((0L, 0L), (0L, 2L), (1L, 1L), (1L, 2L), (1L, 3L)))
+    // brute-force equivalence (and no duplicate pairs from the bin explode)
+    val brute = intervals.crossJoin(points)
+      .where(col("v") >= col("lo") && col("v") < col("hi"))
+      .select("interval_id", "pt_id").as[(Long, Long)].collect()
+    assert(brute.toSet == got && brute.length == brute.toSet.size)
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.rangeJoin(
+        Seq((0L, 0.0, 10000.0)).toDF("interval_id", "lo", "hi"),
+        points, "lo", "hi", "v", 0.5, maxBinsPerInterval = 100)
+    }
+    assert(e.getMessage.contains("widen binWidth"))
+  }
+}
