@@ -183,7 +183,12 @@ object Curate {
         .withColumn("n_subwords",
           pipeline.TextFunctions.subwordCountVocab(col(textCol), subwordVocab))
         .withColumn("rep_ratio", pipeline.TextFunctions.wordRepetitionRatio(col(textCol)))
-        .withColumn("gopher_ok", pipeline.TextFunctions.gopherOk(col(textCol))),
+        .withColumn("gopher_ok", pipeline.TextFunctions.gopherOk(col(textCol)))
+        // the Table-A1 repetition half; full published gate =
+        // gopher_ok AND gopher_rep_ok (both annotated, neither filters —
+        // gating policy belongs to the consumer)
+        .withColumn("gopher_rep_ok",
+          pipeline.TextFunctions.gopherRepetitionOk(col(textCol))),
       // nfc threads into BOTH dedup stages (a flag on one but not the
       // other would dedup composed/decomposed variants inconsistently)
       exactDedup = Dedup.exactDedup(_, textCol, idCol, nfc = nfc),

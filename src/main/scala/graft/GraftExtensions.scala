@@ -113,6 +113,15 @@ object GraftExtensions {
       (es: Seq[Expression]) => TopWordGram(es(0), intLit(es(1), "graft_top_word_gram", 1))),
     ("graft_dup_gram_chars", "graft_dup_gram_chars(text, n) - chars inside repeated word n-grams (beyond first occurrences)",
       (es: Seq[Expression]) => DupWordGramChars(es(0), Seq(intLit(es(1), "graft_dup_gram_chars", 1)))),
+    ("graft_bpe_pieces", "graft_bpe_pieces(text, merges) - true BPE segmentation; merges = rank-ordered array of 'left right' strings",
+      (es: Seq[Expression]) => BpePieces(es(0),
+        strArrayLit(es(1), "graft_bpe_pieces", 1).map { s =>
+          s.split(" ", -1) match {
+            case Array(a, b) => (a, b)
+            case _ => throw new IllegalArgumentException(
+              s"graft_bpe_pieces: merge entry '$s' must be 'left right'")
+          }
+        })),
     ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(

@@ -253,6 +253,22 @@ object SparkEntry {
           array_join(col("p"), "|").as("pieces"))
     }),
 
+    "q_bpe" -> ((s, dir) => {
+      // TRUE BPE (merge-rank rounds): the oracle replays every round in
+      // SQL — best-rank pair per word via a correlated probe, merge-all
+      // left-to-right via occurrence positions + the run-parity rule for
+      // equal-symbol runs — so the whole merge loop is hash-checked
+      import s.implicits._
+      materialize(s, TextFunctions.DemoMerges.zipWithIndex
+        .map { case ((a, b), r) => (r, a, b) }.toDF("rank", "a", "b"),
+        "q_bpe_merges", files = 1)
+      T(s, dir, "documents").where(col("doc_id") % 10 === 7)
+        .select(col("doc_id"),
+          TextFunctions.bpePieces(col("text"), TextFunctions.DemoMerges).as("p"))
+        .select(col("doc_id"), size(col("p")).as("n_pieces"),
+          array_join(col("p"), "|").as("pieces"))
+    }),
+
     // --- quality scoring (single division + round for float safety) ---
     "q_word_repetition" -> ((s, dir) => {
       // duplicate word-2-gram fraction: gram hashing (WordGramSet) checked
@@ -1143,6 +1159,54 @@ object SparkEntry {
         |SELECT doc_id, CAST(max(n) AS INT) AS n_pieces,
         |       coalesce(max_by(acc, pos), '') AS pieces
         |FROM walk GROUP BY doc_id""".stripMargin,
+
+    // full BPE round replay: per word, the recursive CTE carries the symbol
+    // LIST; each step picks the min-rank applicable pair (correlated probe
+    // over the merge table) and fuses all left-to-right non-overlapping
+    // occurrences — adjacency only arises for equal-symbol runs, where the
+    // kept occurrences are exactly those at even offsets into the run
+    // (the i-1-prevNonA parity test)
+    "q_bpe" ->
+      """WITH RECURSIVE
+        |merges AS (SELECT rank, a, b FROM read_parquet('/root/repo/target/graft_oracle/q_bpe_merges/*.parquet')),
+        |d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |      FROM documents WHERE doc_id % 10 = 7),
+        |w0 AS (SELECT doc_id, string_split(t, ' ') AS ws FROM d WHERE t <> ''),
+        |words AS (SELECT doc_id, unnest(generate_series(1, len(ws))) AS wi, unnest(ws) AS word FROM w0),
+        |init AS (SELECT doc_id, wi, [word[i] for i in generate_series(1, len(word))] AS syms
+        |         FROM words WHERE word <> ''),
+        |state AS (
+        |  SELECT doc_id, wi, syms, 0 AS round FROM init
+        |  UNION ALL
+        |  SELECT doc_id, wi,
+        |    list_filter(
+        |      [CASE WHEN hits[i] THEN syms[i] || syms[i+1]
+        |            WHEN i > 1 AND hits[i-1] THEN NULL
+        |            ELSE syms[i] END
+        |       for i in generate_series(1, len(syms))], x -> x IS NOT NULL) AS syms,
+        |    round + 1
+        |  FROM (
+        |    SELECT s.doc_id, s.wi, s.syms, s.round,
+        |      [ s.syms[i] = bm.a AND coalesce(s.syms[i+1] = bm.b, false)
+        |        AND (bm.a <> bm.b OR
+        |             (i - 1 - coalesce(list_max(list_filter([j for j in generate_series(1, i-1)],
+        |                                                    j -> s.syms[j] <> bm.a)), 0)) % 2 = 0)
+        |        for i in generate_series(1, len(s.syms)) ] AS hits
+        |    FROM (
+        |      SELECT *, (SELECT min(m.rank) FROM merges m
+        |                 WHERE len(list_filter([i for i in generate_series(1, len(syms)-1)],
+        |                       i -> syms[i] = m.a AND coalesce(syms[i+1] = m.b, false))) > 0) AS best
+        |      FROM state) s
+        |    JOIN merges bm ON bm.rank = s.best) t
+        |),
+        |fin AS (SELECT doc_id, wi, max_by(syms, round) AS pieces
+        |        FROM state GROUP BY doc_id, wi),
+        |agg AS (SELECT doc_id, sum(len(pieces)) AS np,
+        |               array_to_string(flatten(list(pieces ORDER BY wi)), '|') AS pieces
+        |        FROM fin GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(coalesce(agg.np, 0) AS INT) AS n_pieces,
+        |       coalesce(agg.pieces, '') AS pieces
+        |FROM d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // the two-class wordpiece walk: the lateral probe dispatches on
     // word-start (pos 1 or preceded by a space) — start entries match

@@ -61,6 +61,8 @@ object TextExprs {
     column(TopWordGram(expression(text), n))
   def dupWordGramChars(text: Column, ns: Seq[Int]): Column =
     column(DupWordGramChars(expression(text), ns))
+  def bpePieces(text: Column, merges: Seq[(String, String)]): Column =
+    column(BpePieces(expression(text), merges))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expression(text), form))
 
@@ -441,6 +443,103 @@ case class SubwordPieces(child: Expression, vocab: Seq[String],
       }
     }
     new GenericArrayData(pieces.toArray[Any])
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** TRUE byte-pair-encoding segmentation over an ordered MERGE TABLE — the
+  * GPT-family algorithm, complementing `SubwordPieces`' greedy
+  * longest-match (the BERT family). Per whitespace word of the
+  * pre-normalized input: start from single characters, then repeatedly
+  * pick the adjacent pair with the LOWEST merge rank and fuse ALL its
+  * non-overlapping occurrences left-to-right (the published BPE loop —
+  * re-ranking only after each full merge pass), until no adjacent pair is
+  * in the table. Characters with no applicable merges pass through as
+  * single-char pieces — lossless, like the rest of this family.
+  *
+  * The merge table rides the expression as a plan literal (10⁴..10⁵ rows
+  * for real tokenizers), probed via one hash lookup per adjacent pair per
+  * round. Word cost is O(len · rounds) lookups with rounds ≤ len−1; real
+  * words converge in a handful of rounds.
+  *
+  * Oracle-checked end to end (q_bpe): the DuckDB replay carries each
+  * word's symbol LIST through a recursive CTE — min-rank pair via a
+  * correlated probe, merge-all left-to-right via occurrence positions
+  * (overlap only arises in equal-symbol runs, where LTR keeps exactly the
+  * even-offset occurrences) — plus an independent reference implementation
+  * in the spec (crafted ranks + randomized property law).
+  */
+case class BpePieces(child: Expression, merges: Seq[(String, String)])
+  extends UnaryExpression with CodegenFallback {
+  require(merges.nonEmpty, "merge table must be non-empty")
+  require(merges.forall { case (a, b) =>
+    a.nonEmpty && b.nonEmpty && !a.contains(' ') && !b.contains(' ') },
+    "merge entries must be non-empty and space-free")
+  require(merges.distinct.length == merges.length,
+    "duplicate merge pair — ranks would be ambiguous")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_bpe_pieces")
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  // rank by (left + ' ' + right) — NUL never appears in either side
+  // of a space-free merge entry, so keys cannot collide
+  @transient private lazy val rank: java.util.HashMap[String, Int] = {
+    val m = new java.util.HashMap[String, Int](merges.size * 2)
+    merges.zipWithIndex.foreach { case ((a, b), i) => m.put(a + " " + b, i) }
+    m
+  }
+
+  private def encodeWord(word: String,
+                         out: scala.collection.mutable.ArrayBuffer[Any]): Unit = {
+    // split into code points (surrogate-pair safe)
+    var syms = scala.collection.mutable.ArrayBuffer.empty[String]
+    var i = 0
+    while (i < word.length) {
+      val cp = word.codePointAt(i)
+      val n = Character.charCount(cp)
+      syms += word.substring(i, i + n)
+      i += n
+    }
+    var done = syms.length < 2
+    while (!done) {
+      // lowest-rank adjacent pair this round
+      var best = Int.MaxValue
+      var j = 0
+      while (j < syms.length - 1) {
+        val r = rank.getOrDefault(syms(j) + " " + syms(j + 1), Int.MaxValue)
+        if (r < best) best = r
+        j += 1
+      }
+      if (best == Int.MaxValue) done = true
+      else {
+        val key = merges(best)
+        val next = scala.collection.mutable.ArrayBuffer.empty[String]
+        var p = 0
+        while (p < syms.length) {
+          if (p < syms.length - 1 && syms(p) == key._1 && syms(p + 1) == key._2) {
+            next += key._1 + key._2; p += 2 // non-overlapping, left-to-right
+          } else { next += syms(p); p += 1 }
+        }
+        syms = next
+        done = syms.length < 2
+      }
+    }
+    syms.foreach(s => out += UTF8String.fromString(s))
+  }
+
+  override def nullSafeEval(s: Any): Any = {
+    val text = s.asInstanceOf[UTF8String].toString
+    val out = scala.collection.mutable.ArrayBuffer.empty[Any]
+    var start = 0
+    var i = 0
+    while (i <= text.length) {
+      if (i == text.length || text.charAt(i) == ' ') {
+        if (i > start) encodeWord(text.substring(start, i), out)
+        start = i + 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -55,6 +55,28 @@ object TextFunctions {
   def wordpieceCount(text: Column, vocab: Seq[String]): Column =
     size(wordpiecePieces(text, vocab))
 
+  /** TRUE BPE segmentation over an ordered merge table (GPT-family): per
+    * word of the normalized text, repeatedly fuse ALL occurrences of the
+    * lowest-rank adjacent symbol pair until none applies. Lossless like
+    * the wordpiece path. Pass the deployment's learned merges (rank =
+    * position); `DemoMerges` is the deterministic stand-in.
+    */
+  def bpePieces(text: Column, merges: Seq[(String, String)]): Column =
+    graft.functions.TextExprs.bpePieces(normalize(text), merges)
+
+  def bpeCount(text: Column, merges: Seq[(String, String)]): Column =
+    size(bpePieces(text, merges))
+
+  /** Demo BPE merge table, rank-ordered the way a learned one is: frequent
+    * char pairs first, then longer fusions built from earlier merges —
+    * deterministic for tests and the demo funnel.
+    */
+  val DemoMerges: Seq[(String, String)] = Seq(
+    ("t", "h"), ("th", "e"), ("i", "n"), ("a", "n"), ("r", "e"),
+    ("o", "n"), ("e", "r"), ("an", "d"), ("in", "g"), ("o", "r"),
+    ("e", "n"), ("a", "t"), ("e", "s"), ("o", "u"), ("s", "t"),
+    ("a", "l"), ("t", "i"), ("ti", "on"), ("e", "d"), ("c", "on"))
+
   /** Demo wordpiece vocab: word-start singles + frequent words, `##`
     * continuation singles + frequent suffixes — the two-class shape real
     * BERT vocabs have, deterministic for tests and oracles.

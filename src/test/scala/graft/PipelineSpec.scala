@@ -823,6 +823,70 @@ class PipelineSpec extends SparkSpec {
     assert(gate(0).getBoolean(0) && !gate(1).getBoolean(0))
   }
 
+  test("BPE merge-rank segmentation: rank order, merge-all rounds, re-ranking, unicode") {
+    def pieces(t: String, merges: Seq[(String, String)]): Seq[String] =
+      Seq(t).toDF("text")
+        .select(TextFunctions.bpePieces(col("text"), merges))
+        .as[Seq[String]].head()
+    val m = TextFunctions.DemoMerges
+    assert(pieces("the", m) == Seq("the"))          // (t,h) then (th,e)
+    assert(pieces("The theory", m) == Seq("the", "the", "or", "y"))
+    // merge-ALL per round + re-rank: (a,a) first fuses LTR non-overlapping,
+    // THEN (aa,a) applies — one-pair-at-a-time would give a different split
+    val m2 = Seq(("a", "a"), ("aa", "a"))
+    assert(pieces("aaaa", m2) == Seq("aa", "aa"))
+    assert(pieces("aaa", m2) == Seq("aaa"))
+    assert(pieces("aaaaa", m2) == Seq("aa", "aaa")) // [aa,aa,a] → (aa,a) fuses at pos 1
+    // unmergeable chars pass through; surrogate pairs stay whole
+    assert(pieces("xy z", Seq(("q", "q"))) == Seq("x", "y", "z"))
+    assert(pieces("a😀b", Seq(("a", "b"))) == Seq("a", "😀", "b"))
+    // lossless: concat(pieces) == normalized text minus spaces
+    val docsT = docs.where(length(col("text")) > 0)
+    val loss = docsT.select(
+      concat_ws("", TextFunctions.bpePieces(col("text"), m)).as("joined"),
+      regexp_replace(TextFunctions.normalize(col("text")), " ", "").as("norm"))
+      .where(col("joined") =!= col("norm")).count()
+    assert(loss == 0)
+  }
+
+  test("BPE == independent reference over randomized words and merge tables") {
+    // reference: published BPE loop written list-recursively — min-rank
+    // adjacent pair, fuse all non-overlapping occurrences LTR, repeat
+    def mergeAll(syms: List[String], a: String, b: String): List[String] = syms match {
+      case x :: y :: rest if x == a && y == b => (a + b) :: mergeAll(rest, a, b)
+      case x :: rest => x :: mergeAll(rest, a, b)
+      case Nil => Nil
+    }
+    def ref(word: String, merges: Seq[(String, String)]): List[String] = {
+      val rank = merges.zipWithIndex.toMap
+      var syms = word.map(_.toString).toList
+      var go = true
+      while (go && syms.length > 1) {
+        val cand = syms.zip(syms.tail).filter(rank.contains)
+        if (cand.isEmpty) go = false
+        else {
+          val (a, b) = cand.minBy(rank)
+          syms = mergeAll(syms, a, b)
+        }
+      }
+      syms
+    }
+    val rnd = new scala.util.Random(11)
+    val alpha = "abcd"
+    (0 until 20).foreach { trial =>
+      val pairs = rnd.shuffle(for (x <- alpha; y <- alpha)
+        yield (x.toString, y.toString)).take(6 + rnd.nextInt(8))
+      val words = (0 until 40).map(_ =>
+        (0 until (1 + rnd.nextInt(10))).map(_ => alpha(rnd.nextInt(4))).mkString)
+      val text = words.mkString(" ")
+      val expected = words.flatMap(w => ref(w, pairs))
+      val got = Seq(text).toDF("text")
+        .select(graft.functions.TextExprs.bpePieces(col("text"), pairs))
+        .as[Seq[String]].head()
+      assert(got == expected, s"trial $trial merges=$pairs text=$text")
+    }
+  }
+
   test("subword vocab segmentation: greedy longest match, unknowns, multi-byte chars") {
     val vocab = Seq("ab", "abc", "c", "d", "the")
     def pieces(t: String): Seq[String] =

@@ -66,6 +66,21 @@ class SemDedupSpec extends SparkSpec {
     assert(kept == Set(2L, 4L, 5L, 6L))
   }
 
+  test("pairing plan keys on the cell id — never a cartesian") {
+    val plan = SemDedup.semanticNearDups(vecs, threshold = 0.9, centroids)
+      .queryExecution.executedPlan.toString
+    // the pairing must be an equi-join ON THE CELL ID (hash/sort-merge —
+    // both fine); an inequality-only formulation degenerates to a nested
+    // loop over the whole corpus. (On this in-memory fixture the
+    // assignment projection constant-folds into the LocalTableScan, so the
+    // plan shows the join keyed on the folded cell column.)
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"unkeyed join in:\n$plan")
+    assert(plan.contains("Join [cell") || plan.contains("Join [cast(cell") ||
+      "Join \\[cell".r.findFirstIn(plan).nonEmpty || plan.contains("[cell#"),
+      s"join not keyed on cell in:\n$plan")
+  }
+
   test("hot-cell guard fails loudly instead of going quadratic") {
     val e = intercept[IllegalArgumentException] {
       SemDedup.semanticNearDups(vecs, threshold = 0.9, centroids, maxCellRows = 2)

@@ -60,6 +60,17 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(got == expected)
   }
 
+  test("asofJoin plan: ONE shuffle exchange, no join node") {
+    val left = Seq((1L, "a", ts("10:00:00"))).toDF("event_id", "key", "ts")
+    val right = Seq(("a", ts("09:00:00"), 1.0)).toDF("key", "ts", "value")
+    val plan = TemporalJoins.asofJoin(left, right, "key", "ts", Seq("value"))
+      .queryExecution.executedPlan.toString
+    // the whole operator is union → one key exchange → sort → window;
+    // a join-based formulation would show a Join node and a second exchange
+    assert("Exchange hashpartitioning".r.findAllIn(plan).size == 1, plan)
+    assert(!plan.contains("Join"), plan)
+  }
+
   test("rangeJoin: boundary semantics, multi-bin spans, loud bin-explosion guard") {
     val intervals = Seq(
       (0L, 0.0, 2.0),   // [0, 2): pt 0.0 in, pt 2.0 out
