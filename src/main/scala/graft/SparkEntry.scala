@@ -864,6 +864,23 @@ object SparkEntry {
       Dedup.nearDupSurvivors(s.read.parquet(s"$OracleAux/q_surv_seqs"), "id",
         Dedup.dupGroups(s.read.parquet(s"$OracleAux/q_surv_pairs")))
         .select(col("id"))),
+    "b_sem_pairs" -> ((s: SparkSession, dir: String) => {
+      // SemDeDup stage 1: centroid training + assignment + within-cell
+      // pairing (writes the same sketch paths q_semdedup_keep uses)
+      val e = T(s, dir, "embeddings")
+      val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
+      materialize(s, graft.pipeline.SemDedup.semanticNearDups(e, 0.35, cents)
+        .select(col("id_a"), col("id_b")), "q_sem_pairs")
+    }),
+    "b_sem_keep" -> ((s: SparkSession, dir: String) => {
+      // SemDeDup stage 2: groups + keep policy ALONE over the stage-1
+      // pairs (centroid training repeats — driver-side, milliseconds)
+      val e = T(s, dir, "embeddings")
+      val cents = graft.pipeline.Ivf.trainCentroids(e, k = 16)
+      graft.pipeline.SemDedup.semanticSurvivors(e, 0.35, cents,
+          pairs = Some(s.read.parquet(s"$OracleAux/q_sem_pairs")))
+        .select(col("vec_id"))
+    }),
     "b_curate_funnel" -> ((s: SparkSession, dir: String) => {
       // end-to-end Curate.run (validate → annotate → exact dedup → minhash
       // near-dups → groups → survivors → PII scrub) over the documents
