@@ -4,7 +4,7 @@ import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 import graft.checks.TableChecks
-import graft.pipeline.{Ann, Dedup, Overlap, TextFunctions}
+import graft.pipeline.{Ann, Dedup, Overlap, Sampling, TextFunctions}
 
 /** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
   *
@@ -188,6 +188,29 @@ object SparkEntry {
       T(s, dir, "documents").groupBy(col("source"))
         .agg(count(lit(1)).as("n"))
         .orderBy(col("n").desc, col("source").asc).limit(5)
+    }),
+
+    // --- source-mix curation: exact per-source cap (bounded top-k heap +
+    //     broadcast semi-join; the data table never sorts or windows) ---
+    "q_cap_source" -> ((s, dir) => {
+      Sampling.capPerSource(T(s, dir, "documents"), "doc_id", "source", cap = 15)
+        .select(col("doc_id"), col("source"))
+    }),
+
+    // --- temperature-resampling targets: integer n_s^alpha mix math,
+    //     bit-replayable (alpha=0.5 -> correctly-rounded sqrt everywhere) ---
+    "q_mix_targets" -> ((s, dir) => {
+      Sampling.temperatureTargets(T(s, dir, "documents"), "lang",
+        alpha = 0.5, budget = 300L)
+    }),
+
+    // --- the composed temperature resample over the skewed lang mix:
+    //     zero shuffle of the data table (broadcast integer thresholds +
+    //     map-side deterministic LCG coin) ---
+    "q_temperature_sample" -> ((s, dir) => {
+      Sampling.temperatureSample(T(s, dir, "documents"), "doc_id", "lang",
+        alpha = 0.5, budget = 300L)
+        .select(col("doc_id"), col("lang"))
     }),
 
     // --- set ops ---
@@ -1012,6 +1035,34 @@ object SparkEntry {
     "q_topk_sources" ->
       """SELECT source, count(*) AS n FROM documents GROUP BY source
         |ORDER BY n DESC, source ASC LIMIT 5""".stripMargin,
+
+    // replay of the bounded-heap cap: the heap keeps ORDER BY lcg ASC,
+    // id ASC LIMIT 15 per source, which is exactly this row_number filter
+    "q_cap_source" ->
+      """WITH r AS (
+        |  SELECT doc_id, source,
+        |         row_number() OVER (PARTITION BY source
+        |           ORDER BY ((doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 ASC,
+        |                    doc_id ASC) AS rn
+        |  FROM documents)
+        |SELECT doc_id, source FROM r WHERE rn <= 15""".stripMargin,
+
+    // integer mix math: w = floor(sqrt(n)) (correctly rounded in every
+    // engine), integer sum / multiply / floor-div — bit-replayable
+    "q_mix_targets" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w)
+        |SELECT lang, n, least(n, (300 * w) // sw) AS target FROM w, t""".stripMargin,
+
+    "q_temperature_sample" ->
+      """WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n FROM documents GROUP BY 1),
+        |w AS (SELECT lang, n, CAST(floor(sqrt(n)) AS BIGINT) AS w FROM c),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS sw FROM w),
+        |g AS (SELECT lang, n, least(n, (300 * w) // sw) AS target FROM w, t),
+        |k AS (SELECT lang, least(2147483648, (target * 2147483648) // n) AS keep_below FROM g)
+        |SELECT d.doc_id, d.lang FROM documents d JOIN k USING (lang)
+        |WHERE ((d.doc_id % 2147483648) * 1103515245 + 12345) % 2147483648 < k.keep_below""".stripMargin,
 
     "q_set_except" ->
       """SELECT DISTINCT lang FROM documents

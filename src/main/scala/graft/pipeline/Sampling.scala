@@ -1,0 +1,127 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Source-mix curation: capping over-represented sources and temperature
+  * resampling of the per-source distribution. Web-scale corpora are heavily
+  * skewed by origin (a handful of crawl domains dominate), and the standard
+  * curation moves are (a) a hard per-source cap and (b) exponent/temperature
+  * resampling — keep counts proportional to `n_s^alpha` (alpha < 1 flattens
+  * the mix; the multilingual-pretraining exponent-sampling recipe, e.g.
+  * XLM-R's alpha=0.3, applied at the data-curation layer).
+  *
+  * Scale shape — the two operators are deliberately different:
+  *   - `capPerSource` is EXACT (keeps exactly min(cap, n_s) docs) and costs
+  *     one shuffle of (source, key, id) triples into a size-bounded top-k
+  *     heap (`TopKByScore`): partial state and shuffled partials carry at
+  *     most `cap` entries per source, so a skewed source never materializes
+  *     or sorts its full membership — no window function, no hot partition.
+  *     The kept-id set (≤ cap × n_sources rows) then filters the full table
+  *     via a broadcast semi-join.
+  *   - `sampleToTargets` is EXPECTED-SIZE (Bernoulli per row against an
+  *     integer threshold) and costs ZERO shuffle of the data table: the
+  *     per-source thresholds are a tiny broadcast, and the keep decision is
+  *     a map-side integer comparison. At 100 TB this is the default; the
+  *     exact cap is for contractual "at most N per source" requirements.
+  *
+  * Determinism: both use `lcgKey` — a 31-bit linear-congruential step of the
+  * doc id — as the pseudo-random coin, NOT `rand()` (non-reproducible) and
+  * NOT xxhash64 (not replayable by the ANSI-SQL oracle). Same id ⇒ same
+  * keep decision on every run, every cluster size, and in the oracle.
+  */
+object Sampling {
+
+  /** Deterministic pseudo-random rank key in [0, 2^31): one LCG step (glibc
+    * constants) of the id reduced mod 2^31. Pure 64-bit-safe integer
+    * arithmetic — `(id mod 2^31) * 1103515245 < 2^62` — so the identical
+    * expression evaluates exactly in Spark, DuckDB, and any ANSI engine.
+    * Collisions across ids are fine: every consumer breaks ties by id.
+    */
+  def lcgKey(id: Column): Column =
+    pmod(pmod(id, lit(2147483648L)) * lit(1103515245L) + lit(12345L),
+      lit(2147483648L))
+
+  /** Exactly min(cap, n_s) docs per source, chosen pseudo-randomly
+    * (order by lcgKey(id), ties by id). Returns (sourceCol, idCol) kept
+    * pairs. The heap keeps `ORDER BY score DESC, id ASC LIMIT cap`, so
+    * score = -lcgKey gives ascending-key selection.
+    */
+  def capPerSourceKeys(df: DataFrame, idCol: String, sourceCol: String,
+                       cap: Int): DataFrame =
+    df.select(col(sourceCol), col(idCol))
+      .groupBy(col(sourceCol))
+      .agg(graft.functions.TopKAgg.topKByScore(
+        -lcgKey(col(idCol)).cast("double"), col(idCol), cap).as("kept"))
+      .select(col(sourceCol), explode(col("kept")).as("e"))
+      .select(col(sourceCol), col("e.nid").as(idCol))
+
+  /** The capped table: full rows of `df` whose id survived the per-source
+    * cap. The kept-key set is ≤ cap × n_sources rows — broadcast it so the
+    * data table is filtered in place without shuffling.
+    */
+  def capPerSource(df: DataFrame, idCol: String, sourceCol: String,
+                   cap: Int): DataFrame =
+    df.join(broadcast(capPerSourceKeys(df, idCol, sourceCol, cap)
+      .select(col(idCol))), Seq(idCol), "left_semi")
+
+  /** Integer resampling weight w_s = floor(n_s^alpha). At alpha = 0.5 this
+    * is computed as floor(sqrt(n)) — sqrt is correctly rounded under
+    * IEEE 754 in every engine (Java, DuckDB, C), whereas a generic pow may
+    * be 1 ulp off an exact integer boundary, so the sqrt form is what makes
+    * the default temperature bit-replayable by the ANSI-SQL oracle.
+    */
+  private def weight(n: Column, alpha: Double): Column =
+    floor(if (alpha == 0.5) sqrt(n) else pow(n, lit(alpha))).cast("long")
+
+  /** Per-source integer keep-targets for temperature resampling: target_s =
+    * min(n_s, budget * w_s div sum(w)) with integer weight w_s =
+    * floor(n_s^alpha). Returns (source, n, target).
+    *
+    * All arithmetic after the single per-source root is INTEGER (integer
+    * sum, integer multiply, integer `div` — not `/`, which is double
+    * division even on BIGINTs and goes inexact past 2^53), so the targets
+    * are bit-reproducible across engines. Bounds: budget * w_s must stay
+    * under 2^63 — with w_s ≤ sqrt(n_s) ≤ 2^26 at 10^12-row sources,
+    * budgets to ~10^11 are safe.
+    *
+    * One scan of `df`: the global weight total is a windowed sum OVER ()
+    * on the per-source counts frame (n_sources rows on one partition — a
+    * deliberate single-partition window over a provably tiny frame), not a
+    * second aggregation branch that would re-scan the data table.
+    */
+  def temperatureTargets(df: DataFrame, sourceCol: String, alpha: Double,
+                         budget: Long): DataFrame =
+    df.groupBy(col(sourceCol)).agg(count(lit(1)).as("n"))
+      .withColumn("w", weight(col("n"), alpha))
+      .select(col(sourceCol), col("n"),
+        least(col("n"),
+          expr(s"(${budget}L * w) div (sum(w) OVER ())")).as("target"))
+
+  /** Expected-size downsampling to explicit per-source targets: keep a row
+    * iff lcgKey(id) < floor(target_s * 2^31 / n_s). Expected kept per source
+    * is within n_s/2^31 of target_s; a source with target ≥ n keeps
+    * everything (threshold saturates at 2^31). The data table never
+    * shuffles — `targets` (source, n, target) is broadcast and the filter
+    * is a map-side integer comparison.
+    */
+  def sampleToTargets(df: DataFrame, idCol: String, sourceCol: String,
+                      targets: DataFrame): DataFrame =
+    df.join(broadcast(targets
+        .select(col(sourceCol),
+          expr("least(2147483648L, (target * 2147483648L) div n)")
+            .as("keep_below"))),
+      Seq(sourceCol))
+      .where(lcgKey(col(idCol)) < col("keep_below"))
+      .drop("keep_below")
+
+  /** The composed temperature resample: flatten the source mix toward
+    * `n_s^alpha` under a total budget. Expected output size ≈ min(budget +
+    * slack, n); see `temperatureTargets` / `sampleToTargets` for exactness
+    * and determinism contracts.
+    */
+  def temperatureSample(df: DataFrame, idCol: String, sourceCol: String,
+                        alpha: Double, budget: Long): DataFrame =
+    sampleToTargets(df, idCol, sourceCol,
+      temperatureTargets(df, sourceCol, alpha, budget))
+}

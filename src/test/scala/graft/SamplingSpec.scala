@@ -1,0 +1,104 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Sampling
+
+/** Source-mix curation: exact per-source caps and temperature resampling,
+  * pinned against driver-side references and hand-computed integer targets.
+  */
+class SamplingSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** The operator's deterministic coin, replicated on the driver. */
+  private def lcg(id: Long): Long =
+    ((id % 2147483648L) * 1103515245L + 12345L) % 2147483648L
+
+  // skewed mix: source s0 has 40 rows, s1 12, s2 3, s3 1
+  private lazy val skewed = {
+    val rows = (0 until 40).map(i => (i.toLong, "s0")) ++
+      (40 until 52).map(i => (i.toLong, "s1")) ++
+      (52 until 55).map(i => (i.toLong, "s2")) :+ (55L, "s3")
+    rows.toDF("doc_id", "source")
+  }
+
+  test("capPerSource keeps exactly min(cap, n_s), chosen by (lcg, id) order") {
+    val cap = 5
+    val kept = Sampling.capPerSource(skewed, "doc_id", "source", cap)
+      .as[(Long, String)].collect().toSet
+    val expected = skewed.as[(Long, String)].collect()
+      .groupBy(_._2).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (lcg(r._1), r._1)).take(cap)
+      }.toSet
+    assert(kept == expected)
+    val perSource = kept.groupBy(_._2).map { case (s, r) => s -> r.size }
+    assert(perSource == Map("s0" -> 5, "s1" -> 5, "s2" -> 3, "s3" -> 1))
+  }
+
+  test("capPerSource plan: no window over the data table; kept set broadcasts") {
+    val plan = Sampling.capPerSource(skewed, "doc_id", "source", 5)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"), s"window leaked into the cap plan:\n$plan")
+    assert(plan.contains("Broadcast"), s"kept-key set not broadcast:\n$plan")
+  }
+
+  test("temperatureTargets: hand-computed integer targets, one input scan") {
+    // counts 40/12/3/1 -> w = floor(sqrt) = 6/3/1/1, sw = 11
+    // budget 20: targets = min(n, 20*w div 11) = 10 / 5 / 1 / 1
+    val t = Sampling.temperatureTargets(skewed, "source", 0.5, 20L)
+      .as[(String, Long, Long)].collect()
+      .map { case (s, _, tg) => s -> tg }.toMap
+    assert(t == Map("s0" -> 10L, "s1" -> 5L, "s2" -> 1L, "s3" -> 1L))
+    // single-scan contract: exactly one leaf relation in the optimized plan
+    val leaves = Sampling.temperatureTargets(skewed, "source", 0.5, 20L)
+      .queryExecution.optimizedPlan.collectLeaves()
+    assert(leaves.size == 1, s"targets re-scan the input: $leaves")
+  }
+
+  test("sampleToTargets: keep decision == driver LCG replay; saturated source keeps all") {
+    val targets = Seq(("s0", 40L, 10L), ("s1", 12L, 5L), ("s2", 3L, 3L),
+      ("s3", 1L, 1L)).toDF("source", "n", "target")
+    val kept = Sampling.sampleToTargets(skewed, "doc_id", "source", targets)
+      .select("doc_id", "source").as[(Long, String)].collect().toSet
+    val expected = skewed.as[(Long, String)].collect().filter { case (id, s) =>
+      val (n, tg) = s match {
+        case "s0" => (40L, 10L); case "s1" => (12L, 5L)
+        case "s2" => (3L, 3L);   case "s3" => (1L, 1L)
+      }
+      lcg(id) < math.min(2147483648L, tg * 2147483648L / n)
+    }.toSet
+    assert(kept == expected)
+    // target == n saturates the threshold: s2 and s3 keep every row
+    assert(kept.count(_._2 == "s2") == 3 && kept.count(_._2 == "s3") == 1)
+  }
+
+  test("temperatureSample: budget >= total keeps everything; output flattens the mix") {
+    val all = Sampling.temperatureSample(skewed, "doc_id", "source", 0.5, 1000L)
+    assert(all.count() == 56L)
+    // tight budget: the dominant source's kept count shrinks toward its
+    // target while small sources stay intact (mix flattens)
+    val tight = Sampling.temperatureSample(skewed, "doc_id", "source", 0.5, 20L)
+      .groupBy("source").agg(count(lit(1)).as("k"))
+      .as[(String, Long)].collect().toMap
+    assert(tight.getOrElse("s2", 0L) == 1L || tight.getOrElse("s2", 0L) <= 3L)
+    assert(tight.getOrElse("s0", 0L) <= 40L)
+    // expected-size contract at the per-source level: kept ~ Binomial(n, t/n);
+    // with the fixed LCG this is deterministic — pin it exactly
+    val expected = skewed.as[(Long, String)].collect().filter { case (id, s) =>
+      val (n, tg) = s match {
+        case "s0" => (40L, 10L); case "s1" => (12L, 5L)
+        case "s2" => (3L, 1L);   case "s3" => (1L, 1L)
+      }
+      lcg(id) < math.min(2147483648L, tg * 2147483648L / n)
+    }.groupBy(_._2).map { case (s, r) => s -> r.size.toLong }
+    assert(tight == expected.filter(_._2 > 0L))
+  }
+
+  test("sampleToTargets plan: data table never shuffles (broadcast thresholds only)") {
+    val targets = Sampling.temperatureTargets(skewed, "source", 0.5, 20L)
+    val plan = Sampling.sampleToTargets(skewed, "doc_id", "source", targets)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin") || plan.contains("BroadcastNestedLoopJoin"),
+      s"thresholds not broadcast:\n$plan")
+    assert(!plan.contains("SortMergeJoin"), s"data table shuffled for the join:\n$plan")
+  }
+}
