@@ -738,6 +738,65 @@ object SparkEntry {
       Dedup.jaccardPairsFromSets(
         materialize(s, g, "q_token_gramsets"), threshold = 0.5)
     }),
+
+    // --- span-level duplicate excision (Lee et al. 2022 ExactSubstr,
+    //     k-gram-seeded): planted duplicated spans — every doc = unique
+    //     head + unique tail; ids % 3 == 0 insert one of 5 corpus-shared
+    //     template spans (variable length 1..30, so the short templates
+    //     stay below k and must SURVIVE); ids % 17 == 0 instead repeat
+    //     their own head (within-doc duplication, exercising
+    //     total-occurrence counting). The DuckDB replay recomputes
+    //     duplicated grams from raw token slices, marks coverage, and
+    //     rebuilds each sequence relationally ---
+    "q_excise_spans" -> ((s, dir) => {
+      val V = graft.gen.SequenceGen.Vocab
+      val id = col("id")
+      val head = graft.functions.GenExprs.genTokens(id + 9000, 40, V)
+      val tail = graft.functions.GenExprs.genTokens(id + 5000, 40, V)
+      val template = graft.functions.GenExprs.genTokens(
+        pmod(id, lit(5L)) + 31000, 30, V)
+      val seqs = s.range(0, 240, 1, 8).select(id,
+        when(pmod(id, lit(17L)) === 0, concat(head, head, tail))
+          .when(pmod(id, lit(3L)) === 0, concat(head, template, tail))
+          .otherwise(concat(head, tail)).as("tokens"))
+      val stored = materialize(s, seqs, "q_excise_seqs", files = 4)
+      graft.pipeline.Excision.exciseDuplicateSpans(stored, "tokens", "id", k = 10)
+        .select(col("id"), size(col("tokens")).as("n_kept"), col("n_removed"),
+          array_join(col("tokens").cast("array<string>"), " ").as("clean_str"))
+    }),
+
+    // --- sequence packing manifest: ascending-id concat-then-chunk layout
+    //     over a gapped id space (id*3 + id%2), two-level distributed
+    //     prefix sum (bucketWidth=100 → ~15 buckets on this fixture); the
+    //     oracle replays the offsets with a plain running-sum window and
+    //     re-derives every (chunk, piece) span ---
+    "q_pack_manifest" -> ((s, dir) => {
+      val V = graft.gen.SequenceGen.Vocab
+      val seqs = s.range(0, 500, 1, 8).select(
+        (col("id") * 3 + pmod(col("id"), lit(2L))).as("id"),
+        graft.functions.GenExprs.genTokens(col("id") + 41000, 200, V).as("tokens"))
+      val stored = materialize(s,
+        seqs.select(col("id"), size(col("tokens")).as("len")),
+        "q_packm_lens", files = 4)
+      graft.pipeline.Packing.packManifest(stored, "id", "len",
+        chunkSize = 128, bucketWidth = 100L)
+    }),
+
+    // --- materialized packed chunks: same layout, token-bearing shuffle
+    //     keyed by chunk id; chunk contents checked in stream order via
+    //     the space-joined token string (the compare tool hashes strings,
+    //     not nested lists) ---
+    "q_pack_chunks" -> ((s, dir) => {
+      val V = graft.gen.SequenceGen.Vocab
+      val seqs = s.range(0, 500, 1, 8).select(
+        (col("id") * 3 + pmod(col("id"), lit(2L))).as("id"),
+        graft.functions.GenExprs.genTokens(col("id") + 41000, 200, V).as("tokens"))
+      val stored = materialize(s, seqs, "q_packc_seqs", files = 4)
+      graft.pipeline.Packing.packChunks(stored, "id", "tokens",
+        chunkSize = 128, bucketWidth = 100L)
+        .select(col("chunk_id"), col("n_tok"),
+          array_join(col("tokens").cast("array<string>"), " ").as("toks_str"))
+    }),
     "q_simhash_neardups" -> ((s, dir) => {
       // sketch materialized; bands = maxHamming+1 ⇒ recall 1 by pigeonhole,
       // so all-pairs hamming over the sketch is an exact oracle
@@ -1670,6 +1729,64 @@ object SparkEntry {
         |        (len(a.g) + len(b.g) - len(list_intersect(a.g, b.g))) AS j
         |      FROM g a JOIN g b ON a.id < b.id)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.5""".stripMargin,
+
+    // raw-slice round replay of span excision: duplicated k-grams (total
+    // occurrences, within-doc repeats count), coverage marking via the
+    // exploded position table, relational rebuild ordered by position —
+    // gram hashing, dup detection, and the O(n+m) native sweep are all
+    // checked end-to-end (list-comprehension grams: DuckDB 1.0 cannot
+    // lateral-join generate_series on a column)
+    "q_excise_spans" ->
+      """WITH s AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_excise_seqs/*.parquet')),
+        |g0 AS (SELECT id, unnest([{'pos': i - 1, 'gram': tokens[i:i+9]} for i in generate_series(1, len(tokens) - 9)]) AS e FROM s),
+        |g AS (SELECT id, e.pos AS pos, e.gram AS gram FROM g0),
+        |d AS (SELECT gram FROM g GROUP BY gram HAVING count(*) >= 2),
+        |ds AS (SELECT id, pos FROM g WHERE gram IN (SELECT gram FROM d)),
+        |cov AS (SELECT DISTINCT id, unnest([pos + j for j in generate_series(0, 9)]) AS cpos FROM ds),
+        |p0 AS (SELECT id, unnest([{'pos': i - 1, 'tok': tokens[i]} for i in generate_series(1, len(tokens))]) AS e FROM s),
+        |p AS (SELECT id, e.pos AS pos, e.tok AS tok FROM p0),
+        |kept AS (SELECT p.id AS kid, p.pos AS pos, p.tok AS tok
+        |         FROM p LEFT JOIN cov ON p.id = cov.id AND p.pos = cov.cpos
+        |         WHERE cov.id IS NULL)
+        |SELECT s.id,
+        |       CAST(coalesce(count(kept.pos), 0) AS INT) AS n_kept,
+        |       CAST(len(s.tokens) - coalesce(count(kept.pos), 0) AS INT) AS n_removed,
+        |       coalesce(string_agg(CAST(kept.tok AS VARCHAR), ' ' ORDER BY kept.pos), '') AS clean_str
+        |FROM s LEFT JOIN kept ON s.id = kept.kid
+        |GROUP BY s.id, len(s.tokens)""".stripMargin,
+
+    // plain running-sum window replay of the two-level distributed prefix
+    // sum, then per-doc chunk spans re-derived arithmetically
+    "q_pack_manifest" ->
+      """WITH l AS (SELECT id, len FROM read_parquet('/root/repo/target/graft_oracle/q_packm_lens/*.parquet')),
+        |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM l WHERE len > 0),
+        |m AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o)
+        |SELECT chunk_id, id,
+        |  CAST(greatest(strt, chunk_id * 128) - strt AS INT) AS doc_from,
+        |  CAST(greatest(strt, chunk_id * 128) - chunk_id * 128 AS INT) AS chunk_from,
+        |  CAST(least(strt + len, (chunk_id + 1) * 128) - greatest(strt, chunk_id * 128) AS INT) AS piece_len
+        |FROM m""".stripMargin,
+
+    // manifest replay + token gather: every chunk's contents rebuilt in
+    // stream order from the raw doc arrays
+    "q_pack_chunks" ->
+      """WITH s AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_packc_seqs/*.parquet')),
+        |l AS (SELECT id, len(tokens) AS len FROM s),
+        |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM l WHERE len > 0),
+        |m0 AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o),
+        |m AS (SELECT id, chunk_id,
+        |        CAST(greatest(strt, chunk_id * 128) - strt AS INT) AS doc_from,
+        |        CAST(greatest(strt, chunk_id * 128) - chunk_id * 128 AS INT) AS chunk_from,
+        |        CAST(least(strt + len, (chunk_id + 1) * 128) - greatest(strt, chunk_id * 128) AS INT) AS piece_len
+        |      FROM m0),
+        |p0 AS (SELECT chunk_id, unnest([{'pos': chunk_from + i - 1, 'tok': tokens[doc_from + i]} for i in generate_series(1, piece_len)]) AS e
+        |       FROM m JOIN s USING (id)),
+        |p AS (SELECT chunk_id, e.pos AS pos, e.tok AS tok FROM p0)
+        |SELECT chunk_id, CAST(count(*) AS INT) AS n_tok,
+        |       string_agg(CAST(tok AS VARCHAR), ' ' ORDER BY pos) AS toks_str
+        |FROM p GROUP BY chunk_id""".stripMargin,
 
     // all-pairs hamming over the materialized simhash sketch: the banding
     // guarantees recall 1 for hamming <= maxHamming (pigeonhole), so the

@@ -1,0 +1,139 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types._
+
+/** Native expressions for span-level duplicate excision (the ExactSubstr
+  * dedup of Lee et al. 2022, "Deduplicating Training Data Makes Language
+  * Models Better", re-expressed over k-gram seeds instead of a corpus-wide
+  * suffix array — a suffix array is a single-machine construction; the
+  * k-gram formulation gives the same "remove every duplicated window of
+  * length >= k" contract with only linear shuffles).
+  */
+object SpanExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def intGramHashes(arr: Column, k: Int): Column =
+    column(IntGramHashes(expression(arr), k))
+
+  def exciseSpans(tokens: Column, starts: Column, k: Int): Column =
+    column(ExciseSpans(expression(tokens), expression(starts), k))
+}
+
+/** POSITIONAL k-gram hashes of an int-token array: element j is the hash of
+  * tokens[j..j+k), so `posexplode` yields (start, gram) pairs. Arrays
+  * shorter than k produce an EMPTY array (no window of length k exists —
+  * the excision contract is "duplicated windows of length >= k", so short
+  * docs are never excised), unlike `IntGramSet` which collapses short docs
+  * to a whole-array hash for membership semantics. Hashing is the
+  * IntGramSet scheme exactly (per-token splitmix64, FNV-offset fold) so the
+  * two families' grams are comparable; the null-element sentinel matches
+  * too. Collision contract as documented on the 128-bit fingerprint: at
+  * 64-bit hashes a false shared-gram needs a corpus-scale birthday hit and
+  * only ever removes a spurious span, never corrupts one.
+  */
+case class IntGramHashes(child: Expression, k: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(k > 0, s"gram k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(IntegerType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_int_gram_hashes requires array<int> input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullSafeEval(a: Any): Any = {
+    val ad = a.asInstanceOf[ArrayData]
+    val n = ad.numElements()
+    if (n < k) return new GenericArrayData(Array.emptyLongArray)
+    val hs = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      val t = if (ad.isNullAt(i)) Int.MinValue else ad.getInt(i)
+      hs(i) = TextExprs.mix(t * 0x9E3779B97F4A7C15L + 1)
+      i += 1
+    }
+    val out = new Array[Long](n - k + 1)
+    var j = 0
+    while (j <= n - k) {
+      var h = 0xCBF29CE484222325L
+      var t = 0
+      while (t < k) { h = TextExprs.mix(h ^ hs(j + t)); t += 1 }
+      out(j) = h
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Remove every token position covered by a window [p, p+k) for p in
+  * `starts`: one O(|tokens| + |starts|) merge sweep with a cursor into the
+  * ASCENDING-sorted start array (callers sort; out-of-order starts would
+  * silently under-excise, so ordering is validated and violations throw).
+  * Null token slots inside a kept region are preserved as nulls; starts
+  * outside [0, |tokens|-k] are rejected — they cannot come from
+  * `IntGramHashes` and indicate a caller bug.
+  */
+case class ExciseSpans(left: Expression, right: Expression, k: Int)
+  extends BinaryExpression with CodegenFallback {
+  require(k > 0, s"span k=$k must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(IntegerType, _), ArrayType(IntegerType, _)) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case (l, r) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_excise_spans requires (array<int>, array<int>), got (${l.catalogString}, ${r.catalogString})")
+    }
+  override def dataType: DataType =
+    ArrayType(IntegerType, containsNull = left.dataType match {
+      case ArrayType(_, cn) => cn
+      case _ => true
+    })
+  override def nullSafeEval(toksAny: Any, startsAny: Any): Any = {
+    val toks = toksAny.asInstanceOf[ArrayData]
+    val starts = startsAny.asInstanceOf[ArrayData]
+    val n = toks.numElements()
+    val m = starts.numElements()
+    if (m == 0) return toks.copy()
+    // merged coverage sweep: `until` is the exclusive end of the furthest
+    // window opened so far; a position is kept iff every window start has
+    // either passed it or not reached it
+    val keptIdx = new Array[Int](n)
+    var w = 0
+    var cursor = 0
+    var until = -1
+    var prev = Int.MinValue
+    var i = 0
+    while (i < n) {
+      while (cursor < m && { val p = starts.getInt(cursor); p <= i }) {
+        val p = starts.getInt(cursor)
+        require(p >= prev, s"excise starts must be ascending (saw $p after $prev)")
+        require(p >= 0 && p + k <= n, s"excise start $p out of range for n=$n, k=$k")
+        prev = p
+        if (p + k > until) until = p + k
+        cursor += 1
+      }
+      if (i >= until) { keptIdx(w) = i; w += 1 }
+      i += 1
+    }
+    // validate any remaining (necessarily out-of-range) starts
+    require(cursor == m, s"excise start ${starts.getInt(cursor)} out of range for n=$n, k=$k")
+    if (w == n) return toks.copy()
+    val out = new Array[Any](w)
+    var j = 0
+    while (j < w) {
+      out(j) = if (toks.isNullAt(keptIdx(j))) null else toks.getInt(keptIdx(j))
+      j += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}

@@ -1,0 +1,83 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.SpanExprs
+
+/** Span-level duplicate excision — the ExactSubstr dedup of Lee et al. 2022
+  * ("Deduplicating Training Data Makes Language Models Better"): any token
+  * window of length >= k that occurs more than once in the corpus is CUT
+  * OUT of every document carrying it, instead of dropping whole documents.
+  * Doc-level dedup (minhash/fingerprint) misses the long quoted block, the
+  * license header, the syndicated paragraph embedded in otherwise-unique
+  * pages; span excision removes exactly those bytes.
+  *
+  * The reference construction is a corpus-wide suffix array — inherently
+  * single-machine. The distributed re-expression seeds on k-grams: a
+  * duplicated window of length L >= k is exactly a run of L-k+1 duplicated
+  * k-gram STARTS, so marking every position covered by a duplicated k-gram
+  * and excising marked positions removes precisely the maximal duplicated
+  * windows (the union of [p, p+k) over duplicated starts p).
+  *
+  * Scale shape (three linear passes, no quadratic blow-up):
+  *   1. gram index: posexplode of positional gram hashes — (gram:int64,
+  *      id, pos) = 20 bytes/row, |tokens| rows/doc. Occurrence counting is
+  *      a two-stage aggregate (map-side combine) on the 8-byte gram key.
+  *   2. duplicated-start extraction: the index joins the duplicated-gram
+  *      set on the gram key; only (id, pos) pairs OF DUPLICATED GRAMS
+  *      shuffle to the per-doc regroup — on a mostly-clean corpus this is
+  *      a small fraction of the index.
+  *   3. excision: the start arrays join back to the doc table BY ID and a
+  *      native O(n+m) sweep (`ExciseSpans`) rebuilds each doc map-side.
+  *      Docs with no duplicated span take the join's null branch and pass
+  *      through untouched.
+  *
+  * Occurrence counting is TOTAL occurrences (count(*)), not per-doc
+  * distinct df: a span pasted twice into one document is a duplicate by
+  * the Lee et al. contract and is excised. minCount=2 is that contract;
+  * raise it to tolerate low-multiplicity repeats.
+  */
+object Excision {
+
+  /** (id, starts) — ascending start positions of every duplicated k-gram,
+    * one row per document that has at least one. The building block for
+    * [[exciseDuplicateSpans]]; exposed for diagnostics (span histograms,
+    * per-source duplication profiles).
+    */
+  def duplicateSpanStarts(df: DataFrame, tokensCol: String, idCol: String,
+                          k: Int, minCount: Long = 2L): DataFrame = {
+    val grams = df.select(col(idCol).as("id"),
+      posexplode(SpanExprs.intGramHashes(col(tokensCol), k))
+        .as(Seq("pos", "gram")))
+    val dup = grams.groupBy(col("gram"))
+      .agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= minCount)
+      .select(col("gram"))
+    grams.join(dup, Seq("gram"), "left_semi")
+      .groupBy(col("id"))
+      .agg(sort_array(collect_list(col("pos"))).as("starts"))
+  }
+
+  /** Every row of `df` with `tokensCol` rewritten to its excised form plus
+    * `n_removed` (tokens cut). Rows whose id carries no duplicated span are
+    * returned byte-identical with n_removed = 0. Fully-duplicated docs
+    * come back with an EMPTY token array, not dropped — dropping is a
+    * policy decision (`where(size(col(tokensCol)) > 0)`) left to the
+    * caller, mirroring stripBoilerplateLines' empty-not-dropped contract.
+    */
+  def exciseDuplicateSpans(df: DataFrame, tokensCol: String, idCol: String,
+                           k: Int, minCount: Long = 2L): DataFrame = {
+    val starts = duplicateSpanStarts(df, tokensCol, idCol, k, minCount)
+      .withColumnRenamed("id", "__excise_id")
+    val joined = df.join(starts,
+      col(idCol) === col("__excise_id"), "left")
+    val clean = when(col("starts").isNull, col(tokensCol))
+      .otherwise(SpanExprs.exciseSpans(col(tokensCol), col("starts"), k))
+    joined
+      .withColumn("__clean", clean)
+      .withColumn("n_removed",
+        (size(col(tokensCol)) - size(col("__clean"))).cast("int"))
+      .withColumn(tokensCol, col("__clean"))
+      .drop("__excise_id", "starts", "__clean")
+  }
+}

@@ -1,0 +1,119 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Sequence packing: lay the corpus out as one virtual token stream in
+  * ascending-id order and cut it into fixed-size training windows
+  * ("concat-then-chunk", the standard pretraining batcher layout). The
+  * engine-side deliverables are (a) the global offset of every document in
+  * the stream, (b) the PACKING MANIFEST — which byte-span of which document
+  * lands in which chunk — and (c) optionally the materialized chunks.
+  *
+  * At 100 TB the manifest IS the product: it is O(docs) rows of five small
+  * integers, and the trainer's data loader performs the gather straight
+  * from the source parquet. Materializing chunks (`packChunks`) shuffles
+  * every token exactly once, keyed by chunk id — linear in the output and
+  * only worth it when the training stack wants pre-packed rows.
+  *
+  * The global offset is a distributed PREFIX SUM, two-level so no stage
+  * sees more than a bounded window:
+  *   1. docs bucket by id range (`floor(id / bucketWidth)`); per-bucket
+  *      token totals are a two-stage aggregate (tiny result: one row per
+  *      bucket).
+  *   2. bucket BASE offsets are a running sum over that per-bucket frame —
+  *      a single-partition window over #buckets rows, which is
+  *      driver-scale by construction (choose bucketWidth so id_range /
+  *      bucketWidth is O(10^5-10^6): at 10^12 docs and bucketWidth=10^7,
+  *      100k rows).
+  *   3. each doc's start = its bucket's base + a within-bucket running sum
+  *      — a window PARTITIONED by bucket, so per-partition state is at
+  *      most bucketWidth rows.
+  *
+  * Contracts: `idCol` must be unique (offsets tie-break on nothing else)
+  * and densely-enough packed that buckets stay bounded; zero-length docs
+  * occupy zero stream positions and produce no manifest rows.
+  */
+object Packing {
+
+  /** Input rows plus `start` — the document's first position in the
+    * concatenated ascending-id token stream (type long).
+    */
+  def globalOffsets(df: DataFrame, idCol: String, lenCol: String,
+                    bucketWidth: Long = 100000L): DataFrame = {
+    require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    val bucketed = df.withColumn("__bucket",
+      floor(col(idCol) / lit(bucketWidth)))
+    val bucketTot = bucketed.groupBy(col("__bucket"))
+      .agg(sum(col(lenCol)).as("__tot"))
+    // running base over the per-bucket frame: single-partition window, but
+    // over #buckets rows only (see scale note in the object doc)
+    val base = bucketTot.withColumn("__base",
+      coalesce(sum(col("__tot")).over(
+        Window.orderBy(col("__bucket"))
+          .rowsBetween(Window.unboundedPreceding, -1)), lit(0L)))
+      .select(col("__bucket"), col("__base"))
+    val within = Window.partitionBy(col("__bucket")).orderBy(col(idCol))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    bucketed
+      .join(broadcast(base), Seq("__bucket"))
+      .withColumn("start",
+        (col("__base") + coalesce(sum(col(lenCol)).over(within), lit(0L)))
+          .cast("long"))
+      .drop("__bucket", "__base")
+  }
+
+  /** The packing manifest: one row per (chunk, document-piece) —
+    * (chunk_id, id, doc_from, chunk_from, piece_len), meaning tokens
+    * [doc_from, doc_from + piece_len) of document `id` occupy positions
+    * [chunk_from, chunk_from + piece_len) of chunk `chunk_id`. A document
+    * spanning a chunk boundary appears once per chunk it touches; pieces
+    * of one chunk tile it exactly (the packing invariant the spec pins).
+    */
+  def packManifest(df: DataFrame, idCol: String, lenCol: String,
+                   chunkSize: Int, bucketWidth: Long = 100000L): DataFrame = {
+    require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
+    val c = lit(chunkSize.toLong)
+    globalOffsets(df.select(col(idCol), col(lenCol))
+        .where(col(lenCol) > 0), idCol, lenCol, bucketWidth)
+      .withColumn("chunk_id", explode(sequence(
+        floor(col("start") / c),
+        floor((col("start") + col(lenCol) - 1) / c))))
+      .withColumn("__gfrom", greatest(col("start"), col("chunk_id") * c))
+      .withColumn("__gto",
+        least(col("start") + col(lenCol), (col("chunk_id") + 1) * c))
+      .select(
+        col("chunk_id").cast("long"),
+        col(idCol),
+        (col("__gfrom") - col("start")).cast("int").as("doc_from"),
+        (col("__gfrom") - col("chunk_id") * c).cast("int").as("chunk_from"),
+        (col("__gto") - col("__gfrom")).cast("int").as("piece_len"))
+  }
+
+  /** Materialized chunks: (chunk_id, tokens, n_tok) with every chunk except
+    * possibly the last carrying exactly `chunkSize` tokens;
+    * `dropLast = true` drops the ragged tail chunk (the trainer-feed
+    * convention). One token-bearing shuffle, keyed by chunk_id; pieces
+    * reassemble in chunk_from order via an array sort (bounded: a chunk
+    * holds at most chunkSize pieces).
+    */
+  def packChunks(df: DataFrame, idCol: String, tokensCol: String,
+                 chunkSize: Int, dropLast: Boolean = false,
+                 bucketWidth: Long = 100000L): DataFrame = {
+    val manifest = packManifest(
+      df.select(col(idCol), size(col(tokensCol)).as("__len")),
+      idCol, "__len", chunkSize, bucketWidth)
+    val pieces = manifest
+      .join(df.select(col(idCol), col(tokensCol)), Seq(idCol))
+      .select(col("chunk_id"), col("chunk_from"),
+        slice(col(tokensCol), col("doc_from") + 1, col("piece_len"))
+          .as("__piece"))
+    val packed = pieces.groupBy(col("chunk_id"))
+      .agg(flatten(transform(
+        array_sort(collect_list(struct(col("chunk_from"), col("__piece")))),
+        p => p.getField("__piece"))).as("tokens"))
+      .withColumn("n_tok", size(col("tokens")).cast("int"))
+    if (dropLast) packed.where(col("n_tok") === chunkSize) else packed
+  }
+}

@@ -1,0 +1,205 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Excision, Packing}
+import scala.collection.mutable
+
+/** Sequence packing and span-level duplicate excision, pinned against
+  * driver-side reference implementations over deterministic random corpora
+  * (java.util.Random with fixed seeds — same discipline as PropertySpec).
+  */
+class PackingSpec extends SparkSpec {
+  import spark.implicits._
+
+  // --- fixtures -----------------------------------------------------------
+
+  /** Random corpus with planted duplication: (id, tokens). Docs whose id is
+    * in a "template group" share a mid-doc span; ids divisible by 17 repeat
+    * their own head (within-doc duplication); ids divisible by 23 are
+    * shorter than k (must never be excised).
+    */
+  private def corpus(n: Int, seed: Long, k: Int): Seq[(Long, Array[Int])] = {
+    val rnd = new java.util.Random(seed)
+    def rand(len: Int): Array[Int] = Array.fill(len)(rnd.nextInt(5000))
+    val templates = Array.fill(5)(rand(k + 7))
+    (0 until n).map { i =>
+      val id = i.toLong
+      val toks =
+        if (i % 23 == 0) rand(k - 1)
+        else if (i % 17 == 0) { val h = rand(k + 3); h ++ rand(4) ++ h }
+        else if (i % 3 == 0) rand(6) ++ templates(i % 5) ++ rand(8)
+        else rand(k + 10)
+      (id, toks)
+    }
+  }
+
+  /** Reference excision: raw-slice gram occurrence counts (the operator
+    * uses 64-bit hashes — agreement also certifies collision-freedom on
+    * the fixture), coverage marking, order-preserving rebuild.
+    */
+  private def refExcise(docs: Seq[(Long, Array[Int])], k: Int,
+                        minCount: Int): Map[Long, (Seq[Int], Int)] = {
+    val occ = mutable.Map.empty[Seq[Int], Int].withDefaultValue(0)
+    docs.foreach { case (_, t) =>
+      var j = 0
+      while (j <= t.length - k) { occ(t.slice(j, j + k).toSeq) += 1; j += 1 }
+    }
+    docs.map { case (id, t) =>
+      val covered = new Array[Boolean](t.length)
+      var j = 0
+      while (j <= t.length - k) {
+        if (occ(t.slice(j, j + k).toSeq) >= minCount) {
+          var i = j; while (i < j + k) { covered(i) = true; i += 1 }
+        }
+        j += 1
+      }
+      val clean = t.indices.collect { case i if !covered(i) => t(i) }
+      id -> ((clean.toSeq, t.length - clean.length))
+    }.toMap
+  }
+
+  // --- excision -----------------------------------------------------------
+
+  test("exciseDuplicateSpans matches the raw-slice driver reference") {
+    for (seed <- Seq(1L, 2L)) {
+      val k = 8
+      val docs = corpus(120, seed, k)
+      val df = docs.toDF("id", "tokens")
+      val got = Excision.exciseDuplicateSpans(df, "tokens", "id", k)
+        .select("id", "tokens", "n_removed")
+        .as[(Long, Seq[Int], Int)].collect()
+        .map { case (id, t, r) => id -> ((t, r)) }.toMap
+      val want = refExcise(docs, k, 2)
+      assert(got.keySet == want.keySet)
+      got.foreach { case (id, (t, r)) =>
+        assert((t, r) == want(id), s"doc $id (seed $seed)")
+      }
+      // the fixture actually exercises the operator: something was removed,
+      // something was untouched, and every short doc survived whole
+      assert(got.values.exists(_._2 > 0))
+      assert(got.values.exists(_._2 == 0))
+      docs.filter(_._2.length < k).foreach { case (id, t) =>
+        assert(got(id)._1 == t.toSeq, s"short doc $id was excised")
+      }
+    }
+  }
+
+  test("within-doc repeats are excised (total-occurrence, not df, counting)") {
+    val k = 4
+    // one doc repeating its own head; head grams occur twice IN ONE doc
+    val docs = Seq((1L, Array(9, 8, 7, 6, 1, 2, 9, 8, 7, 6)),
+                   (2L, Array(100, 200, 300, 400, 500)))
+    val got = Excision.exciseDuplicateSpans(docs.toDF("id", "tokens"),
+        "tokens", "id", k)
+      .select("id", "tokens", "n_removed")
+      .as[(Long, Seq[Int], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got(1L) == ((Seq(1, 2), 8)))
+    assert(got(2L) == ((Seq(100, 200, 300, 400, 500), 0)))
+  }
+
+  test("fully-duplicated docs come back empty, not dropped") {
+    val t = Array(1, 2, 3, 4, 5, 6)
+    val docs = Seq((1L, t), (2L, t))
+    val got = Excision.exciseDuplicateSpans(docs.toDF("id", "tokens"),
+        "tokens", "id", k = 3)
+      .select("id", "tokens", "n_removed")
+      .as[(Long, Seq[Int], Int)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == Map(1L -> ((Seq(), 6)), 2L -> ((Seq(), 6))))
+  }
+
+  test("duplicateSpanStarts emits ascending starts of duplicated grams only") {
+    val docs = Seq((1L, Array(1, 2, 3, 9, 9, 1, 2, 3)),
+                   (2L, Array(7, 7, 7, 7)))
+    // k=3: doc 1 grams at 0 and 5 are (1,2,3) — occ 2; doc 2's (7,7,7) at
+    // 0 and 1 — occ 2 (within doc)
+    val got = Excision.duplicateSpanStarts(docs.toDF("id", "tokens"),
+        "tokens", "id", k = 3)
+      .as[(Long, Seq[Int])].collect().toMap
+    assert(got == Map(1L -> Seq(0, 5), 2L -> Seq(0, 1)))
+  }
+
+  // --- packing ------------------------------------------------------------
+
+  test("globalOffsets is the ascending-id prefix sum, across buckets and id gaps") {
+    val rnd = new scala.util.Random(7)
+    // sparse ids with gaps, out-of-order input, several buckets at width 7
+    val rows = Seq.tabulate(40)(i => (i.toLong * 3 + (i % 2), 1 + rnd.nextInt(9)))
+    val df = rnd.shuffle(rows).toDF("id", "len")
+    val got = Packing.globalOffsets(df, "id", "len", bucketWidth = 7L)
+      .select("id", "start").as[(Long, Long)].collect().toMap
+    var acc = 0L
+    rows.sortBy(_._1).foreach { case (id, len) =>
+      assert(got(id) == acc, s"doc $id")
+      acc += len
+    }
+  }
+
+  test("packManifest pieces tile every doc and every chunk exactly") {
+    val rnd = new java.util.Random(11)
+    val rows = Seq.tabulate(60)(i => (i.toLong, 1 + rnd.nextInt(40)))
+    val total = rows.map(_._2.toLong).sum
+    val c = 16
+    val m = Packing.packManifest(rows.toDF("id", "len"), "id", "len", c, 13L)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    // per doc: doc_from pieces tile [0, len)
+    m.groupBy(_._2).foreach { case (id, ps) =>
+      val sorted = ps.sortBy(_._3)
+      var at = 0
+      sorted.foreach { case (_, _, docFrom, _, len) =>
+        assert(docFrom == at, s"doc $id gap at $at"); at += len
+      }
+      assert(at == rows(id.toInt)._2)
+    }
+    // per chunk: chunk_from pieces tile [0, chunkLen); all full but the last
+    val lastChunk = (total - 1) / c
+    m.groupBy(_._1).foreach { case (chunk, ps) =>
+      val sorted = ps.sortBy(_._4)
+      var at = 0
+      sorted.foreach { case (_, _, _, chunkFrom, len) =>
+        assert(chunkFrom == at, s"chunk $chunk gap at $at"); at += len
+      }
+      assert(if (chunk == lastChunk) at == (total - 1) % c + 1 else at == c)
+    }
+  }
+
+  test("packChunks concatenation equals the ascending-id token stream") {
+    val docs = corpus(50, 5L, 6)
+    val df = docs.toDF("id", "tokens")
+    val c = 32
+    val chunks = Packing.packChunks(df, "id", "tokens", c, bucketWidth = 11L)
+      .select("chunk_id", "tokens", "n_tok")
+      .as[(Long, Seq[Int], Int)].collect().sortBy(_._1)
+    val stream = docs.sortBy(_._1).flatMap(_._2)
+    // contiguous chunk ids from 0; all full except possibly the last
+    assert(chunks.map(_._1).toSeq == chunks.indices.map(_.toLong))
+    chunks.dropRight(1).foreach { case (cid, t, n) =>
+      assert(n == c && t.size == c, s"chunk $cid ragged")
+    }
+    assert(chunks.flatMap(_._2).toSeq == stream.toSeq)
+    // dropLast keeps only full windows
+    val full = Packing.packChunks(df, "id", "tokens", c, dropLast = true,
+        bucketWidth = 11L)
+      .agg(count(lit(1)), min(col("n_tok")), max(col("n_tok")))
+      .as[(Long, Int, Int)].head()
+    assert(full == ((stream.size / c, c, c)))
+  }
+
+  test("zero-length docs occupy no stream positions and emit no manifest rows") {
+    val rows = Seq((1L, 4), (2L, 0), (3L, 5))
+    val m = Packing.packManifest(rows.toDF("id", "len"), "id", "len", 8)
+      .as[(Long, Long, Int, Int, Int)].collect()
+    assert(!m.exists(_._2 == 2L))
+    assert(m.map(_._5).sum == 9)
+  }
+
+  test("globalOffsets plan: bucket bases broadcast; data window partitions by bucket") {
+    val df = spark.range(0, 1000).select(col("id"), lit(3).as("len"))
+    val plan = Packing.globalOffsets(df, "id", "len", 100L)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Broadcast"), s"bucket base not broadcast:\n$plan")
+    // the window over the DATA table must be bucket-partitioned (bounded
+    // state); the only global window allowed is over the tiny bucket frame
+    assert(plan.contains("windowspecdefinition(__bucket"),
+      s"data-table window is not bucket-partitioned:\n$plan")
+  }
+}
