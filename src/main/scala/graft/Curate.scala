@@ -22,11 +22,16 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
   * prefix-filtered near-dups, token-gram decontamination
   * ([--jaccard-threshold 0.7]); `--eval` then names a parquet of
-  * (doc_id, tokens).
+  * (doc_id, tokens). Two optional tail stages: `--excise-k <k>` cuts
+  * every corpus-duplicated token window of length >= k out of the
+  * released rows (span-level ExactSubstr dedup; docs excised to empty
+  * drop), and `--pack-chunk-size <C>` emits the concat-then-chunk packing
+  * manifest over the released rows.
   *
   * Output layout: `clean/` (surviving annotated rows), `violations/`,
   * `dup_groups/` (id → group), `contaminated/` (train_id, test_id,
-  * n_shared — when --eval given), `stats.json` (one line per stage:
+  * n_shared — when --eval given), `pack_manifest/` (when
+  * --pack-chunk-size given), `stats.json` (one line per stage:
   * rows in/out, so the funnel is auditable).
   *
   * Scale shape: each stage is one of the already-audited operators (scan
@@ -42,7 +47,8 @@ object Curate {
   final case class Result(clean: DataFrame, violations: DataFrame,
                           groups: DataFrame, contaminated: Option[DataFrame],
                           stats: Seq[StageStats],
-                          private val persisted: Seq[DataFrame]) {
+                          private[Curate] val persisted: Seq[DataFrame],
+                          packed: Option[DataFrame] = None) {
     /** Release the stage caches once the outputs are written — a long-lived
       * session would otherwise hold every intermediate in executor memory.
       */
@@ -151,8 +157,10 @@ object Curate {
                 eval: Option[DataFrame] = None,
                 gramK: Int = 5, jaccardThreshold: Double = 0.7,
                 contamGrams: Int = 13, contamMinShared: Long = 1L,
-                contamStopGramMaxDf: Option[Long] = None): Result =
-    funnel(docs, idCol,
+                contamStopGramMaxDf: Option[Long] = None,
+                exciseK: Option[Int] = None,
+                packChunkSize: Option[Int] = None): Result = {
+    val base = funnel(docs, idCol,
       rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)),
       annotate = _.withColumn("n_tok_actual", size(col(tokensCol))),
       exactDedup = Dedup.tokenExactDedup(_, tokensCol, idCol),
@@ -161,6 +169,41 @@ object Curate {
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.contamination(survivors, ev, tokensCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
+    // span-level excision runs LAST, after doc-level dedup (fewer docs →
+    // smaller gram table) and after decontamination (conservative: a doc
+    // sharing spans with the eval set is flagged on its RAW content, not
+    // content excision happened to remove). Docs excised to empty are
+    // fully-duplicated material and drop out of the release; n_tok_actual
+    // is refreshed so downstream consumers see post-excision budgets.
+    val afterExcise = exciseK match {
+      case None => base
+      case Some(k) =>
+        val nIn = base.stats.last.rowsOut
+        val ex = pipeline.Excision
+          .exciseDuplicateSpans(base.clean, tokensCol, idCol, k)
+          .where(size(col(tokensCol)) > 0)
+          .withColumn("n_tok_actual", size(col(tokensCol)))
+          .persist()
+        val nEx = ex.count()
+        base.copy(clean = ex,
+          stats = base.stats :+ StageStats("excise_spans", nIn, nEx),
+          persisted = base.persisted :+ ex)
+    }
+    // the packing MANIFEST over the released rows (post-excision lengths);
+    // rows_out is the CHUNK count — the number the trainer plans around
+    packChunkSize match {
+      case None => afterExcise
+      case Some(c) =>
+        val manifest = pipeline.Packing.packManifest(
+          afterExcise.clean.select(col(idCol), size(col(tokensCol)).as("__len")),
+          idCol, "__len", c).persist()
+        val nChunks = manifest.select(col("chunk_id")).distinct().count()
+        afterExcise.copy(packed = Some(manifest),
+          stats = afterExcise.stats :+
+            StageStats("pack_manifest", afterExcise.stats.last.rowsOut, nChunks),
+          persisted = afterExcise.persisted :+ manifest)
+    }
+  }
 
   def run(spark: SparkSession, docs: DataFrame, idCol: String, textCol: String,
           rule: Option[rules.StructRule] = None,
@@ -249,7 +292,8 @@ object Curate {
     // fail loudly, not silently run the other mode's default threshold
     val common = Set("input", "output", "eval", "id-col", "contam-grams")
     val allowed =
-      if (opts.contains("tokens-col")) common ++ Set("tokens-col", "jaccard-threshold")
+      if (opts.contains("tokens-col"))
+        common ++ Set("tokens-col", "jaccard-threshold", "excise-k", "pack-chunk-size")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
@@ -269,7 +313,9 @@ object Curate {
         opts.getOrElse("id-col", "doc_id"), tc,
         eval = eval,
         jaccardThreshold = opts.getOrElse("jaccard-threshold", "0.7").toDouble,
-        contamGrams = opts.getOrElse("contam-grams", "13").toInt)
+        contamGrams = opts.getOrElse("contam-grams", "13").toInt,
+        exciseK = opts.get("excise-k").map(_.toInt),
+        packChunkSize = opts.get("pack-chunk-size").map(_.toInt))
       case None => run(spark, docs,
         opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
         eval = eval,
@@ -283,6 +329,7 @@ object Curate {
     r.violations.write.mode("overwrite").parquet(s"$output/violations")
     r.groups.write.mode("overwrite").parquet(s"$output/dup_groups")
     r.contaminated.foreach(_.write.mode("overwrite").parquet(s"$output/contaminated"))
+    r.packed.foreach(_.write.mode("overwrite").parquet(s"$output/pack_manifest"))
     val statsJson = r.stats.map(s =>
       s"""{"stage":"${s.stage}","rows_in":${s.rowsIn},"rows_out":${s.rowsOut}}""")
       .mkString("\n")

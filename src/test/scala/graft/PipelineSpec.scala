@@ -683,6 +683,39 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.runTokens: span excision + packing manifest stages") {
+    // shared 12-token span S in docs 0/1 (too dissimilar for near-dedup at
+    // 0.7 — J ≈ 0.09); doc 3 is EXACTLY a span S2 embedded in doc 5 (J ≈
+    // 0.29), so excision empties doc 3 and it drops from the release.
+    // Post-excision lengths 40/40/30/40 = 150 tokens → 10 chunks of 16.
+    val s = (900 to 911).toArray
+    val s2 = (500 to 519).toArray
+    val input = Seq(
+      (0L, (1 to 40).toArray ++ s),
+      (1L, (101 to 140).toArray ++ s),
+      (2L, (201 to 230).toArray),
+      (3L, s2),
+      (5L, (300 to 339).toArray ++ s2)
+    ).toDF("doc_id", "tokens")
+    val r = Curate.runTokens(spark, input, "doc_id", "tokens",
+      gramK = 5, jaccardThreshold = 0.7,
+      exciseK = Some(8), packChunkSize = Some(16))
+    assert(r.stats.map(st => (st.stage, st.rowsIn, st.rowsOut)) == Seq(
+      ("validate", 5L, 5L), ("exact_dedup", 5L, 5L),
+      ("near_dedup", 5L, 5L), ("excise_spans", 5L, 4L),
+      ("pack_manifest", 4L, 10L)))
+    val clean = r.clean.select("doc_id", "n_tok_actual")
+      .as[(Long, Int)].collect().toMap
+    assert(clean == Map(0L -> 40, 1L -> 40, 2L -> 30, 5L -> 40))
+    val m = r.packed.get
+    assert(m.agg(sum(col("piece_len"))).as[Long].head() == 150L)
+    // doc 3 contributes no pieces; chunk ids are contiguous from 0
+    assert(m.where(col("doc_id") === 3L).isEmpty)
+    assert(m.select("chunk_id").distinct().as[Long].collect().sorted.toSeq ==
+      (0L to 9L))
+    r.unpersist()
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
