@@ -244,6 +244,18 @@ object SparkEntry {
           lit("[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]"), lit(0))).as("n_regex_tokens"))
     }),
 
+    // --- CCNet-style n-gram LM perplexity: fit a Laplace-smoothed bigram
+    //     count model on the documents table, self-score every doc.
+    //     Per-gram log-probs land as integer micro-nats so the per-doc sum
+    //     is order-independent and bit-replayable; the oracle rebuilds the
+    //     whole model (counts, vocab, smoothing, scoring) relationally ---
+    "q_ngram_lm" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val model = pipeline.NgramLm.fit(d, "text", n = 2)
+      pipeline.NgramLm.scorePerplexity(d, model, "text", "doc_id")
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_subword_vocab" -> ((s, dir) => {
       // VOCAB-DRIVEN greedy longest-match segmentation (wordpiece-style,
       // replacing the length/4 stand-in): the vocab is materialized so the
@@ -1256,6 +1268,32 @@ object SparkEntry {
         |                w -> greatest(1, CAST(ceil(length(w) / 4.0) AS INT)))), 0) AS INT) AS n_subwords,
         |       len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9 ]')) AS n_regex_tokens
         |FROM documents""".stripMargin,
+
+    // full relational rebuild of the bigram LM: normalized word split, gram
+    // and context (= unigram) counts, vocabulary size, Laplace smoothing
+    // (c+1)/(ctx+V), per-gram micro-nat rounding, integer per-doc sum —
+    // the same order-independent integer contract as the engine
+    "q_ngram_lm" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nrm),
+        |g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS gram FROM w),
+        |gc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+        |u AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+        |cc AS (SELECT wrd AS ctx, CAST(count(*) AS BIGINT) AS ctx_cnt FROM u GROUP BY wrd),
+        |v AS (SELECT CAST(count(DISTINCT wrd) AS BIGINT) AS v FROM u),
+        |lp AS (SELECT g.doc_id,
+        |         CAST(round(ln((coalesce(gc.cnt, 0) + 1) / CAST(coalesce(cc.ctx_cnt, 0) + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lpm
+        |       FROM g LEFT JOIN gc USING (gram)
+        |              LEFT JOIN cc ON cc.ctx = string_split(g.gram, ' ')[1]
+        |              CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |               CAST(sum(lpm) AS BIGINT) AS sum_lp_micro FROM lp GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(agg.n_grams, 0) AS n_grams,
+        |       coalesce(agg.sum_lp_micro, 0) AS sum_lp_micro,
+        |       CASE WHEN agg.n_grams > 0
+        |            THEN round(exp(-agg.sum_lp_micro / (agg.n_grams * 1000000.0)), 4) END AS ppl
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // replay the greedy longest-match walk: recursive CTE advances one piece
     // per level (space → skip, else the longest vocab entry matching at pos

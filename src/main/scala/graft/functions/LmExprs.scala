@@ -1,0 +1,56 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+object LmExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  def wordGrams(text: Column, n: Int): Column =
+    column(WordGrams(expression(text), n))
+}
+
+/** ALL word n-grams of a (pre-normalized) string, in order, WITH
+  * multiplicity, as space-joined strings — the counting companion of
+  * `WordGramSet` (which emits the sorted-distinct hash SET for membership
+  * semantics; a language model needs every occurrence and needs the gram
+  * itself as a joinable key). Empty words are dropped (the '' the SQL
+  * split of an empty string produces), so `wordGrams(norm, 1)` is exactly
+  * the word list; strings with fewer than n words emit an EMPTY array —
+  * no whole-string collapse: an LM scores existing grams, a short doc
+  * simply has none. One pass, no per-gram regex.
+  */
+case class WordGrams(child: Expression, n: Int)
+  extends UnaryExpression with CodegenFallback {
+  require(n > 0, s"gram n=$n must be positive")
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_word_grams requires string input, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def nullSafeEval(s: Any): Any = {
+    val words = s.asInstanceOf[UTF8String].toString
+      .split(' ').filter(_.nonEmpty)
+    if (words.length < n) return new GenericArrayData(Array.empty[Any])
+    val out = new Array[Any](words.length - n + 1)
+    var i = 0
+    while (i <= words.length - n) {
+      // n is small (2-5); a StringBuilder join beats slice+mkString allocs
+      val sb = new java.lang.StringBuilder(words(i))
+      var j = 1
+      while (j < n) { sb.append(' ').append(words(i + j)); j += 1 }
+      out(i) = UTF8String.fromString(sb.toString)
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}

@@ -1,0 +1,96 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.LmExprs
+
+/** Count-based word n-gram language model for corpus quality scoring — the
+  * CCNet recipe (Wenzek et al. 2020): score every document's perplexity
+  * under a reference-corpus LM and gate/bucket on it (their Wikipedia
+  * KenLM; here the same count model built by the engine itself, so the
+  * whole loop — fit on a trusted corpus, score the crawl — runs in one
+  * system).
+  *
+  * Model: Laplace-smoothed conditional p(w | ctx) = (c(ctx·w) + 1) /
+  * (c(ctx) + V), with c(ctx) the raw (n-1)-gram count and V the unigram
+  * vocabulary size (the textbook additive estimator; contexts are counted
+  * at every position, the standard practical simplification). Per-doc
+  * output is integer-exact and ORDER-INDEPENDENT: each gram's log-prob is
+  * rounded to integer MICRO-nats (round(ln(p)·10⁶)) and summed as a
+  * BIGINT, so the aggregate is bit-identical across partitionings, runs,
+  * and the ANSI-SQL oracle — a raw double sum would vary with Spark's
+  * combine order. Perplexity is derived from the two integers by a single
+  * division + exp at the end.
+  *
+  * Scale shape: fitting is two-stage counting on short string keys (the
+  * gram table shuffles (gram, partial-count) only). Scoring explodes the
+  * doc into (id, gram) rows, joins the gram and context counts on their
+  * short keys, and regroups by id carrying (id, lpm) pairs — three
+  * linear short-key shuffles. `broadcastModel = true` broadcasts both
+  * count tables instead (right when the model fits in executor memory:
+  * a Wikipedia-scale bigram table — the CCNet case — does; a
+  * full-crawl model does not).
+  */
+object NgramLm {
+
+  /** Count tables: `grams` (gram, cnt), `contexts` (ctx, ctx_cnt), and the
+    * one-row `vocab` (v) — kept as DataFrames (lazy, cluster-resident);
+    * nothing collects to the driver.
+    */
+  final case class Model(n: Int, grams: DataFrame, contexts: DataFrame,
+                         vocab: DataFrame)
+
+  private def words(textCol: String, nfc: Boolean) =
+    LmExprs.wordGrams(TextFunctions.normalize(col(textCol), nfc), 1)
+
+  def fit(corpus: DataFrame, textCol: String, n: Int,
+          nfc: Boolean = false): Model = {
+    require(n >= 2, s"ngram n=$n must be >= 2 (unigram scoring has no context)")
+    val norm = TextFunctions.normalize(col(textCol), nfc)
+    val grams = corpus
+      .select(explode(LmExprs.wordGrams(norm, n)).as("gram"))
+      .groupBy(col("gram")).agg(count(lit(1)).as("cnt"))
+    val contexts = corpus
+      .select(explode(LmExprs.wordGrams(norm, n - 1)).as("ctx"))
+      .groupBy(col("ctx")).agg(count(lit(1)).as("ctx_cnt"))
+    val vocab = corpus
+      .select(explode(words(textCol, nfc)).as("w"))
+      .agg(count_distinct(col("w")).as("v"))
+    Model(n, grams, contexts, vocab)
+  }
+
+  /** (id, n_grams, sum_lp_micro, ppl): gram count, integer micro-nat
+    * log-prob sum, and the derived perplexity (4dp; NULL when the doc has
+    * no n-gram — shorter than n words). Docs never drop. Unseen grams and
+    * contexts score with count 0 (the smoothed floor 1 / (c(ctx) + V)).
+    */
+  def scorePerplexity(docs: DataFrame, model: Model, textCol: String,
+                      idCol: String, nfc: Boolean = false,
+                      broadcastModel: Boolean = false): DataFrame = {
+    val hint: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val norm = TextFunctions.normalize(col(textCol), nfc)
+    val g = docs.select(col(idCol).as("id"),
+      explode(LmExprs.wordGrams(norm, model.n)).as("gram"))
+      // the gram's context is its first n-1 words
+      .withColumn("ctx", substring_index(col("gram"), " ", model.n - 1))
+    val lp = g
+      .join(hint(model.grams), Seq("gram"), "left")
+      .join(hint(model.contexts), Seq("ctx"), "left")
+      .crossJoin(broadcast(model.vocab))
+      .select(col("id"),
+        round(log(
+          (coalesce(col("cnt"), lit(0L)) + 1).cast("double") /
+            (coalesce(col("ctx_cnt"), lit(0L)) + col("v")).cast("double")
+        ) * 1000000d, 0).cast("long").as("lpm"))
+    val agg = lp.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_grams"), sum(col("lpm")).as("sum_lp_micro"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_grams"), lit(0L)).as("n_grams"),
+        coalesce(col("sum_lp_micro"), lit(0L)).as("sum_lp_micro"))
+      .withColumn("ppl", when(col("n_grams") > 0,
+        round(exp(-col("sum_lp_micro") /
+          (col("n_grams") * lit(1000000d))), 4)))
+  }
+}

@@ -1,0 +1,92 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.NgramLm
+import scala.collection.mutable
+
+/** Count-based n-gram LM perplexity scoring, pinned against hand-computed
+  * counts and a driver-side reference over a random corpus.
+  */
+class NgramLmSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Replicates the operator's integer micro-nat rounding (HALF_UP like
+    * Spark's round, not math.round's floor(x+0.5) which differs on
+    * negative .5 boundaries).
+    */
+  private def micro(p: Double): Long =
+    BigDecimal(math.log(p) * 1e6)
+      .setScale(0, BigDecimal.RoundingMode.HALF_UP).toLong
+
+  private lazy val tinyModel = NgramLm.fit(
+    Seq((1L, "a b a b"), (2L, "a b c")).toDF("doc_id", "text"), "text", 2)
+
+  test("fit counts grams, contexts, vocab on a hand-checked corpus") {
+    assert(tinyModel.grams.as[(String, Long)].collect().toMap ==
+      Map("a b" -> 3L, "b a" -> 1L, "b c" -> 1L))
+    assert(tinyModel.contexts.as[(String, Long)].collect().toMap ==
+      Map("a" -> 3L, "b" -> 3L, "c" -> 1L))
+    assert(tinyModel.vocab.as[Long].head() == 3L)
+  }
+
+  test("scorePerplexity: hand-computed smoothed log-probs, unseen grams, short docs") {
+    val docs = Seq((10L, "a b c"), (11L, "x y"), (12L, "a")).toDF("doc_id", "text")
+    val got = NgramLm.scorePerplexity(docs, tinyModel, "text", "doc_id")
+      .select("id", "n_grams", "sum_lp_micro", "ppl")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    // doc 10: "a b" -> (3+1)/(3+3); "b c" -> (1+1)/(3+3)
+    val s10 = micro(4.0 / 6) + micro(2.0 / 6)
+    // doc 11: "x y" unseen gram AND context -> (0+1)/(0+3)
+    val s11 = micro(1.0 / 3)
+    def ppl(sum: Long, n: Long): Double =
+      BigDecimal(math.exp(-sum / (n * 1e6)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble
+    assert(got(10L) == ((2L, s10, Some(ppl(s10, 2)))))
+    assert(got(11L) == ((1L, s11, Some(ppl(s11, 1)))))
+    assert(got(12L) == ((0L, 0L, None)))
+  }
+
+  test("broadcastModel path is result-identical and broadcasts the count joins") {
+    val docs = Seq((10L, "a b c"), (11L, "b a b")).toDF("doc_id", "text")
+    val dflt = NgramLm.scorePerplexity(docs, tinyModel, "text", "doc_id")
+    val bcast = NgramLm.scorePerplexity(docs, tinyModel, "text", "doc_id",
+      broadcastModel = true)
+    assert(dflt.collect().toSet == bcast.collect().toSet)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"model joins not broadcast:\n$plan")
+  }
+
+  test("random corpus matches the driver reference (counts, smoothing, integer sum)") {
+    val rnd = new scala.util.Random(13)
+    val vocabWords = Vector("red", "green", "blue", "cyan", "gold", "gray")
+    val corpus = (0 until 60).map { i =>
+      (i.toLong, Seq.fill(1 + rnd.nextInt(12))(
+        vocabWords(rnd.nextInt(vocabWords.size))).mkString(" "))
+    }
+    // driver reference
+    val gramCnt = mutable.Map.empty[(String, String), Long].withDefaultValue(0L)
+    val uniCnt = mutable.Map.empty[String, Long].withDefaultValue(0L)
+    corpus.foreach { case (_, t) =>
+      val ws = t.split(' ')
+      ws.foreach(w => uniCnt(w) += 1)
+      ws.sliding(2).filter(_.length == 2)
+        .foreach(p => gramCnt((p(0), p(1))) += 1)
+    }
+    val v = uniCnt.size
+    val want = corpus.map { case (id, t) =>
+      val ws = t.split(' ')
+      val lps = ws.sliding(2).filter(_.length == 2).map { p =>
+        micro((gramCnt((p(0), p(1))) + 1).toDouble / (uniCnt(p(0)) + v))
+      }.toSeq
+      id -> ((lps.size.toLong, lps.sum))
+    }.toMap
+    val df = corpus.toDF("doc_id", "text")
+    val model = NgramLm.fit(df, "text", 2)
+    val got = NgramLm.scorePerplexity(df, model, "text", "doc_id")
+      .select("id", "n_grams", "sum_lp_micro")
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    assert(got == want)
+  }
+}
