@@ -66,9 +66,14 @@ object Excision {
     * caller, mirroring stripBoilerplateLines' empty-not-dropped contract.
     */
   def exciseDuplicateSpans(df: DataFrame, tokensCol: String, idCol: String,
-                           k: Int, minCount: Long = 2L): DataFrame = {
-    val starts = duplicateSpanStarts(df, tokensCol, idCol, k, minCount)
+                           k: Int, minCount: Long = 2L,
+                           broadcastStarts: Boolean = false): DataFrame = {
+    val starts0 = duplicateSpanStarts(df, tokensCol, idCol, k, minCount)
       .withColumnRenamed("id", "__excise_id")
+    // the id join otherwise shuffles the full token payload both ways; on a
+    // mostly-clean corpus the start table is a small fraction of the docs —
+    // broadcastStarts keeps the payload in place (caller asserts it fits)
+    val starts = if (broadcastStarts) broadcast(starts0) else starts0
     val joined = df.join(starts,
       col(idCol) === col("__excise_id"), "left")
     val clean = when(col("starts").isNull, col(tokensCol))
