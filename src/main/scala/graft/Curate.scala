@@ -159,7 +159,8 @@ object Curate {
                 contamGrams: Int = 13, contamMinShared: Long = 1L,
                 contamStopGramMaxDf: Option[Long] = None,
                 exciseK: Option[Int] = None,
-                packChunkSize: Option[Int] = None): Result = {
+                packChunkSize: Option[Int] = None,
+                packIdPrefixLen: Int = 12): Result = {
     val base = funnel(docs, idCol,
       rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)),
       annotate = _.withColumn("n_tok_actual", size(col(tokensCol))),
@@ -194,9 +195,12 @@ object Curate {
     packChunkSize match {
       case None => afterExcise
       case Some(c) =>
+        // string doc ids bucket by a fixed prefix (order-preserving
+        // truncation); 12 suits doc-%012d-shaped ids — tune --pack-id-prefix
+        // so that id prefixes of that length carve bounded buckets
         val manifest = pipeline.Packing.packManifest(
           afterExcise.clean.select(col(idCol), size(col(tokensCol)).as("__len")),
-          idCol, "__len", c).persist()
+          idCol, "__len", c, stringPrefixLen = packIdPrefixLen).persist()
         val nChunks = manifest.select(col("chunk_id")).distinct().count()
         afterExcise.copy(packed = Some(manifest),
           stats = afterExcise.stats :+
@@ -293,7 +297,8 @@ object Curate {
     val common = Set("input", "output", "eval", "id-col", "contam-grams")
     val allowed =
       if (opts.contains("tokens-col"))
-        common ++ Set("tokens-col", "jaccard-threshold", "excise-k", "pack-chunk-size")
+        common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
+          "pack-chunk-size", "pack-id-prefix")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
@@ -315,7 +320,8 @@ object Curate {
         jaccardThreshold = opts.getOrElse("jaccard-threshold", "0.7").toDouble,
         contamGrams = opts.getOrElse("contam-grams", "13").toInt,
         exciseK = opts.get("excise-k").map(_.toInt),
-        packChunkSize = opts.get("pack-chunk-size").map(_.toInt))
+        packChunkSize = opts.get("pack-chunk-size").map(_.toInt),
+        packIdPrefixLen = opts.getOrElse("pack-id-prefix", "12").toInt)
       case None => run(spark, docs,
         opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
         eval = eval,

@@ -794,6 +794,21 @@ object SparkEntry {
         chunkSize = 128, bucketWidth = 100L)
     }),
 
+    // --- packing over STRING doc ids (the north-rule table's real id
+    //     shape, incl. a different-length "doc-hot"): bucketing is an
+    //     order-preserving id PREFIX; the oracle replays the same running
+    //     sum ordered by the VARCHAR id (binary collation on both sides) ---
+    "q_pack_manifest_str" -> ((s, dir) => {
+      val base = s.range(0, 500, 1, 8).select(
+        format_string("doc-%08d", col("id") * 3 + pmod(col("id"), lit(2L))).as("id"),
+        (pmod(xxhash64(col("id"), lit(77)), lit(200L)) + 1).cast("int").as("len"))
+      val seqs = base.unionAll(
+        s.range(0, 1).select(lit("doc-hot").as("id"), lit(137).as("len")))
+      val stored = materialize(s, seqs, "q_packs_lens", files = 4)
+      graft.pipeline.Packing.packManifest(stored, "id", "len",
+        chunkSize = 128, stringPrefixLen = 10)
+    }),
+
     // --- materialized packed chunks: same layout, token-bearing shuffle
     //     keyed by chunk id; chunk contents checked in stream order via
     //     the space-joined token string (the compare tool hashes strings,
@@ -1797,6 +1812,19 @@ object SparkEntry {
     // sum, then per-doc chunk spans re-derived arithmetically
     "q_pack_manifest" ->
       """WITH l AS (SELECT id, len FROM read_parquet('/root/repo/target/graft_oracle/q_packm_lens/*.parquet')),
+        |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM l WHERE len > 0),
+        |m AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o)
+        |SELECT chunk_id, id,
+        |  CAST(greatest(strt, chunk_id * 128) - strt AS INT) AS doc_from,
+        |  CAST(greatest(strt, chunk_id * 128) - chunk_id * 128 AS INT) AS chunk_from,
+        |  CAST(least(strt + len, (chunk_id + 1) * 128) - greatest(strt, chunk_id * 128) AS INT) AS piece_len
+        |FROM m""".stripMargin,
+
+    // same replay ordered by the VARCHAR id — string prefix bucketing must
+    // reproduce the plain lexicographic running sum exactly
+    "q_pack_manifest_str" ->
+      """WITH l AS (SELECT id, len FROM read_parquet('/root/repo/target/graft_oracle/q_packs_lens/*.parquet')),
         |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
         |      FROM l WHERE len > 0),
         |m AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o)

@@ -31,20 +31,42 @@ import org.apache.spark.sql.functions._
   *      — a window PARTITIONED by bucket, so per-partition state is at
   *      most bucketWidth rows.
   *
+  * STRING ids are supported with the same machinery: the bucket key is a
+  * fixed-length id PREFIX (`stringPrefixLen`). Truncation is monotonic
+  * under lexicographic order (s <= t ⇒ substr(s,1,N) <= substr(t,1,N) —
+  * it can merge neighbours into one bucket, never reorder them), so the
+  * two-level prefix sum is exact for any prefix length; the length only
+  * tunes bucket BALANCE, exactly as `bucketWidth` does for numeric ids
+  * (e.g. `doc-%012d` ids with prefixLen=12 → 10^4-doc buckets).
+  *
   * Contracts: `idCol` must be unique (offsets tie-break on nothing else)
   * and densely-enough packed that buckets stay bounded; zero-length docs
   * occupy zero stream positions and produce no manifest rows.
   */
 object Packing {
 
+  import org.apache.spark.sql.types.{NumericType, StringType}
+
+  private def bucketOf(df: DataFrame, idCol: String, bucketWidth: Long,
+                       stringPrefixLen: Int) =
+    df.schema(idCol).dataType match {
+      case _: NumericType => floor(col(idCol) / lit(bucketWidth))
+      case StringType     => substring(col(idCol), 1, stringPrefixLen)
+      case t => throw new IllegalArgumentException(
+        s"Packing: id column '$idCol' has type $t; numeric or string required")
+    }
+
   /** Input rows plus `start` — the document's first position in the
     * concatenated ascending-id token stream (type long).
     */
   def globalOffsets(df: DataFrame, idCol: String, lenCol: String,
-                    bucketWidth: Long = 100000L): DataFrame = {
+                    bucketWidth: Long = 100000L,
+                    stringPrefixLen: Int = 8): DataFrame = {
     require(bucketWidth > 0, s"bucketWidth=$bucketWidth must be positive")
+    require(stringPrefixLen > 0,
+      s"stringPrefixLen=$stringPrefixLen must be positive")
     val bucketed = df.withColumn("__bucket",
-      floor(col(idCol) / lit(bucketWidth)))
+      bucketOf(df, idCol, bucketWidth, stringPrefixLen))
     val bucketTot = bucketed.groupBy(col("__bucket"))
       .agg(sum(col(lenCol)).as("__tot"))
     // running base over the per-bucket frame: single-partition window, but
@@ -72,11 +94,12 @@ object Packing {
     * of one chunk tile it exactly (the packing invariant the spec pins).
     */
   def packManifest(df: DataFrame, idCol: String, lenCol: String,
-                   chunkSize: Int, bucketWidth: Long = 100000L): DataFrame = {
+                   chunkSize: Int, bucketWidth: Long = 100000L,
+                   stringPrefixLen: Int = 8): DataFrame = {
     require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     val c = lit(chunkSize.toLong)
     globalOffsets(df.select(col(idCol), col(lenCol))
-        .where(col(lenCol) > 0), idCol, lenCol, bucketWidth)
+        .where(col(lenCol) > 0), idCol, lenCol, bucketWidth, stringPrefixLen)
       .withColumn("chunk_id", explode(sequence(
         floor(col("start") / c),
         floor((col("start") + col(lenCol) - 1) / c))))
@@ -100,10 +123,11 @@ object Packing {
     */
   def packChunks(df: DataFrame, idCol: String, tokensCol: String,
                  chunkSize: Int, dropLast: Boolean = false,
-                 bucketWidth: Long = 100000L): DataFrame = {
+                 bucketWidth: Long = 100000L,
+                 stringPrefixLen: Int = 8): DataFrame = {
     val manifest = packManifest(
       df.select(col(idCol), size(col(tokensCol)).as("__len")),
-      idCol, "__len", chunkSize, bucketWidth)
+      idCol, "__len", chunkSize, bucketWidth, stringPrefixLen)
     val pieces = manifest
       .join(df.select(col(idCol), col(tokensCol)), Seq(idCol))
       .select(col("chunk_id"), col("chunk_from"),

@@ -107,6 +107,22 @@ class PackingSpec extends SparkSpec {
     assert(got == Map(1L -> ((Seq(), 6)), 2L -> ((Seq(), 6))))
   }
 
+  test("broadcastStarts keeps the payload join broadcast and the result identical") {
+    val k = 8
+    val docs = corpus(120, 3L, k)
+    val df = docs.toDF("id", "tokens")
+    val plain = Excision.exciseDuplicateSpans(df, "tokens", "id", k)
+      .select("id", "tokens", "n_removed")
+      .as[(Long, Seq[Int], Int)].collect().toSet
+    val bc = Excision.exciseDuplicateSpans(df, "tokens", "id", k,
+      broadcastStarts = true)
+    val plan = bc.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"start-array join did not broadcast:\n$plan")
+    assert(bc.select("id", "tokens", "n_removed")
+      .as[(Long, Seq[Int], Int)].collect().toSet == plain)
+  }
+
   test("duplicateSpanStarts emits ascending starts of duplicated grams only") {
     val docs = Seq((1L, Array(1, 2, 3, 9, 9, 1, 2, 3)),
                    (2L, Array(7, 7, 7, 7)))
@@ -132,6 +148,41 @@ class PackingSpec extends SparkSpec {
       assert(got(id) == acc, s"doc $id")
       acc += len
     }
+  }
+
+  test("string ids: offsets follow lexicographic order at ANY prefix length") {
+    val rnd = new java.util.Random(19)
+    // doc-%04d ids plus a stray non-numeric id ("doc-hot" sorts after the
+    // digits since 'h' > '0'..'9') — the funnel's actual id shape
+    val rows = (Seq.tabulate(50)(i => (f"doc-$i%04d", 1 + rnd.nextInt(9))) :+
+      (("doc-hot", 5))).sortBy(_._1)
+    val df = new scala.util.Random(3).shuffle(rows).toDF("id", "len")
+    var acc = 0L
+    val want = rows.map { case (id, len) => val s = acc; acc += len; id -> s }.toMap
+    // prefix 6 (real buckets), 1 (ALL ids in one bucket — degenerate but
+    // exact), and 40 (every id its own bucket): offsets must be invariant
+    for (p <- Seq(6, 1, 40)) {
+      val got = Packing.globalOffsets(df, "id", "len", stringPrefixLen = p)
+        .select("id", "start").as[(String, Long)].collect().toMap
+      assert(got == want, s"prefixLen=$p")
+    }
+  }
+
+  test("string ids: packChunks stream equals the ascending-string-id stream") {
+    val docs = corpus(40, 9L, 6).map { case (id, t) => (f"doc-$id%04d", t) }
+    val chunks = Packing.packChunks(docs.toDF("id", "tokens"), "id", "tokens",
+        chunkSize = 32, stringPrefixLen = 6)
+      .select("chunk_id", "tokens").as[(Long, Seq[Int])]
+      .collect().sortBy(_._1)
+    assert(chunks.flatMap(_._2).toSeq == docs.sortBy(_._1).flatMap(_._2).toSeq)
+  }
+
+  test("non-orderable-bucket id types are rejected loudly") {
+    val df = Seq((Array(1, 2), 3)).toDF("id", "len")
+    val e = intercept[IllegalArgumentException] {
+      Packing.globalOffsets(df, "id", "len")
+    }
+    assert(e.getMessage.contains("numeric or string"))
   }
 
   test("packManifest pieces tile every doc and every chunk exactly") {

@@ -716,6 +716,23 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.runTokens: excision + packing run on STRING doc ids (the north-rule shape)") {
+    // regression: packManifest bucketed by floor(id / width), which ANSI-
+    // throws on the funnel's real string doc_id — a spark-submit-only crash
+    // every Long-id fixture missed
+    val input = gen.SequenceGen.sequences(spark, 400L, 4, maxLen = 64)
+    val r = Curate.runTokens(spark, input, "doc_id", "tokens",
+      gramK = 5, jaccardThreshold = 0.7,
+      exciseK = Some(20), packChunkSize = Some(128))
+    assert(r.stats.map(_.stage) ==
+      Seq("validate", "exact_dedup", "near_dedup", "excise_spans", "pack_manifest"))
+    val m = r.packed.get
+    val totalTok = r.clean.agg(sum(size(col("tokens")))).as[Long].head()
+    assert(m.agg(sum(col("piece_len"))).as[Long].head() == totalTok)
+    assert(m.select("chunk_id").distinct().count() == (totalTok + 127) / 128)
+    r.unpersist()
+  }
+
   test("nearDupSurvivors keeps one row per dup group and all untouched rows") {
     val pairs = Dedup.minhashNearDups(docs, "text", "doc_id",
       shingleK = 5, numHashes = 32, bands = 16, threshold = 0.5)
