@@ -256,6 +256,35 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // --- CCNet head/middle/tail: per-source EXACT perplexity percentile
+    //     cutoffs (quantile_cont parity) + tie-low bucket assignment; the
+    //     oracle recomputes ppl relationally AND the per-source
+    //     quantile_cont cutoffs itself ---
+    "q_ppl_buckets" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      val model = pipeline.NgramLm.fit(d, "text", n = 2)
+      val scored = pipeline.NgramLm.scorePerplexity(d, model, "text", "doc_id")
+        .join(d.select(col("doc_id").as("id"), col("source")), Seq("id"))
+      pipeline.NgramLm.perplexityBuckets(scored, "source")
+        .select(col("id").as("doc_id"), col("source"), col("ppl"),
+          col("ppl_bucket"))
+    }),
+
+    // --- fastText-style hashed linear quality classifier: md5-bucket
+    //     features (replayable digit-by-digit in SQL), integer micro-unit
+    //     weight sums, one logistic at the end; weights materialized as
+    //     model input ---
+    "q_quality_classifier" -> ((s, dir) => {
+      val dim = 512
+      val weights = s.range(0, dim).select(col("id").as("idx"),
+        (pmod(xxhash64(col("id"), lit(7)), lit(2000001L)) - 1000000L)
+          .as("w_micro"))
+      val stored = materialize(s, weights, "q_clf_weights")
+      pipeline.Classifier.scoreLinear(T(s, dir, "documents"), "text",
+          "doc_id", stored, dim, wordNgrams = 2, biasMicro = 150000L)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
     "q_subword_vocab" -> ((s, dir) => {
       // VOCAB-DRIVEN greedy longest-match segmentation (wordpiece-style,
       // replacing the length/4 stand-in): the vocab is materialized so the
@@ -1308,6 +1337,62 @@ object SparkEntry {
         |       coalesce(agg.sum_lp_micro, 0) AS sum_lp_micro,
         |       CASE WHEN agg.n_grams > 0
         |            THEN round(exp(-agg.sum_lp_micro / (agg.n_grams * 1000000.0)), 4) END AS ppl
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the q_ngram_lm rebuild + per-source quantile_cont cutoffs + tie-low
+    // bucket CASE — cutoffs recomputed independently, not read from the
+    // engine
+    "q_ppl_buckets" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nrm),
+        |g AS (SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS gram FROM w),
+        |gc AS (SELECT gram, CAST(count(*) AS BIGINT) AS cnt FROM g GROUP BY gram),
+        |u AS (SELECT doc_id, unnest(ws) AS wrd FROM w),
+        |cc AS (SELECT wrd AS ctx, CAST(count(*) AS BIGINT) AS ctx_cnt FROM u GROUP BY wrd),
+        |v AS (SELECT CAST(count(DISTINCT wrd) AS BIGINT) AS v FROM u),
+        |lp AS (SELECT g.doc_id,
+        |         CAST(round(ln((coalesce(gc.cnt, 0) + 1) / CAST(coalesce(cc.ctx_cnt, 0) + v.v AS DOUBLE)) * 1000000) AS BIGINT) AS lpm
+        |       FROM g LEFT JOIN gc USING (gram)
+        |              LEFT JOIN cc ON cc.ctx = string_split(g.gram, ' ')[1]
+        |              CROSS JOIN v),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_grams,
+        |               CAST(sum(lpm) AS BIGINT) AS sum_lp_micro FROM lp GROUP BY doc_id),
+        |scored AS (SELECT d.doc_id, d.source,
+        |             CASE WHEN agg.n_grams > 0
+        |                  THEN round(exp(-agg.sum_lp_micro / (agg.n_grams * 1000000.0)), 4) END AS ppl
+        |           FROM documents d LEFT JOIN agg USING (doc_id)),
+        |cuts AS (SELECT source, quantile_cont(ppl, 1.0/3) AS c1,
+        |                quantile_cont(ppl, 2.0/3) AS c2
+        |         FROM scored GROUP BY source)
+        |SELECT s.doc_id, s.source, s.ppl,
+        |       CASE WHEN s.ppl IS NULL THEN NULL
+        |            WHEN s.ppl <= c.c1 THEN 'head'
+        |            WHEN s.ppl <= c.c2 THEN 'middle'
+        |            ELSE 'tail' END AS ppl_bucket
+        |FROM scored s JOIN cuts c USING (source)""".stripMargin,
+
+    // feature replay: normalized word uni+bigrams WITH multiplicity, the
+    // md5 bucket re-derived digit-by-digit (strpos over the hex alphabet),
+    // weight join, integer sum, one logistic
+    "q_quality_classifier" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nrm),
+        |f AS (SELECT doc_id, unnest(ws) AS f FROM w
+        |      UNION ALL
+        |      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS f FROM w),
+        |ix AS (SELECT doc_id,
+        |         CAST(list_sum([(strpos('0123456789abcdef', substring(md5(f), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+        |                        for i in generate_series(1, 8)]) AS BIGINT) % 512 AS idx
+        |       FROM f),
+        |wt AS (SELECT idx, w_micro FROM read_parquet('/root/repo/target/graft_oracle/q_clf_weights/*.parquet')),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |               CAST(sum(coalesce(w_micro, 0)) AS BIGINT) AS sum_w_micro
+        |        FROM ix LEFT JOIN wt USING (idx) GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |       coalesce(agg.n_feats, 0) AS n_feats,
+        |       coalesce(agg.sum_w_micro, 0) AS sum_w_micro,
+        |       CASE WHEN agg.n_feats > 0
+        |            THEN round(1.0 / (1.0 + exp(-(150000 + agg.sum_w_micro / CAST(agg.n_feats AS DOUBLE)) / 1000000.0)), 4) END AS score
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
     // replay the greedy longest-match walk: recursive CTE advances one piece

@@ -1,0 +1,76 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.functions.LmExprs
+
+/** fastText-style linear quality classifier scoring (Joulin et al. 2017,
+  * "Bag of Tricks for Efficient Text Classification") — the model family
+  * behind the classic corpus quality filters (GPT-3's WebText-vs-crawl
+  * classifier, CCNet/LLaMA's Wikipedia-reference filter): a document is a
+  * bag of hashed word n-gram features and the score is a logistic over
+  * their mean weight. Training happens offline; the ENGINE-side job —
+  * scoring billions of documents against a broadcast weight table — is
+  * the part that must scale, and is pure relational work.
+  *
+  * Hashing trick: feature index = first 8 hex digits of md5(gram),
+  * parsed as an integer, mod `dim` — md5 (not xxhash64) deliberately,
+  * so an independent SQL engine can replay the exact bucket assignment
+  * digit by digit. Weights live in a (idx, w_micro) table (micro-unit
+  * integers, = round(w · 10⁶)); indices absent from the table weigh 0,
+  * so sparse models stay sparse.
+  *
+  * Determinism: the per-doc aggregate is an integer SUM of micro-unit
+  * weights (order-independent and bit-replayable across partitionings —
+  * the same contract as NgramLm's micro-nat sums); the logistic is one
+  * float expression over the two integers at the end:
+  * score = sigmoid((bias_micro + sum_w_micro / n_feats) / 10⁶).
+  *
+  * Scale shape: explode to (id, gram) → hash to (id, idx) — 16 bytes —
+  * → broadcast-join the weight table (a fastText bucket table at
+  * dim = 2M × 8 bytes broadcasts trivially; `broadcastWeights = false`
+  * falls back to a shuffle join for exotic huge models) → one short-key
+  * regroup by id. The document payload never shuffles.
+  */
+object Classifier {
+
+  /** md5-bucket feature index of a gram string: parse the first 8 hex
+    * digits as an unsigned int, mod `dim`. Exposed for tests/oracles.
+    */
+  def featureIndex(gram: org.apache.spark.sql.Column, dim: Int) =
+    pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
+
+  /** (id, n_feats, sum_w_micro, score): feature count, integer micro-unit
+    * weight sum, and the rounded (4dp) logistic score. Docs with no
+    * feature (empty/whitespace text) keep n_feats = 0 and a NULL score —
+    * never dropped. Features are all word 1..`wordNgrams`-grams of the
+    * normalized text, WITH multiplicity (a repeated gram votes each time,
+    * fastText's bag semantics).
+    */
+  def scoreLinear(docs: DataFrame, textCol: String, idCol: String,
+                  weights: DataFrame, dim: Int, wordNgrams: Int = 2,
+                  biasMicro: Long = 0L, nfc: Boolean = false,
+                  broadcastWeights: Boolean = true): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    require(wordNgrams >= 1, s"wordNgrams=$wordNgrams must be >= 1")
+    val norm = TextFunctions.normalize(col(textCol), nfc)
+    val feats = (1 to wordNgrams).map(n => LmExprs.wordGrams(norm, n))
+      .reduce((a, b) => concat(a, b))
+    val idx = docs
+      .select(col(idCol).as("id"), explode(feats).as("f"))
+      .select(col("id"), featureIndex(col("f"), dim).as("idx"))
+    val w = if (broadcastWeights) broadcast(weights) else weights
+    val agg = idx.join(w, Seq("idx"), "left")
+      .groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"),
+        sum(coalesce(col("w_micro"), lit(0L))).as("sum_w_micro"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("sum_w_micro"), lit(0L)).as("sum_w_micro"))
+      .withColumn("score", when(col("n_feats") > 0,
+        round(lit(1.0) / (lit(1.0) +
+          exp(-(lit(biasMicro) + col("sum_w_micro") / col("n_feats")) /
+            lit(1000000d))), 4)))
+  }
+}

@@ -93,4 +93,46 @@ object NgramLm {
         round(exp(-col("sum_lp_micro") /
           (col("n_grams") * lit(1000000d))), 4)))
   }
+
+  /** CCNet's head/middle/tail split (Wenzek et al. 2020 §4.3): per GROUP
+    * (their per-language; here any column — source, language, shard),
+    * documents are bucketed by perplexity percentile — `head` is the
+    * lowest-perplexity (most reference-like) slice, `tail` the noisiest.
+    * The downstream policy (keep head+middle, or temperature-mix buckets)
+    * stays with the caller.
+    *
+    * Cutoffs use Spark's EXACT `percentile` (quantile_cont semantics —
+    * oracle-checkable; buffers each group's values per partial aggregate),
+    * or the bounded-state `percentile_approx` sketch with `approx = true`
+    * — the 100 TB path, same trade as numericProfile/approxNumericProfile.
+    * The cutoff table is one row per group and broadcasts back; the data
+    * table shuffles once for the cutoff aggregate, never for the join.
+    *
+    * A doc lands in bucket i when exactly i cutoffs are STRICTLY below its
+    * perplexity (ties stick to the lower bucket). NULL perplexity (doc
+    * shorter than n words) → NULL bucket; a group whose perplexities are
+    * all NULL has NULL cutoffs → NULL bucket.
+    */
+  def perplexityBuckets(scored: DataFrame, groupCol: String,
+                        pplCol: String = "ppl",
+                        cuts: Seq[Double] = Seq(1.0 / 3, 2.0 / 3),
+                        labels: Seq[String] = Seq("head", "middle", "tail"),
+                        approx: Boolean = false,
+                        accuracy: Int = 10000): DataFrame = {
+    require(cuts.nonEmpty && cuts == cuts.sorted &&
+      cuts.forall(c => c > 0 && c < 1),
+      s"cuts must be ascending fractions in (0,1): $cuts")
+    require(labels.length == cuts.length + 1,
+      s"${cuts.length} cuts need ${cuts.length + 1} labels, got ${labels.length}")
+    val pctl =
+      if (approx) percentile_approx(col(pplCol).cast("double"),
+        typedLit(cuts), lit(accuracy)).cast("array<double>")
+      else percentile(col(pplCol).cast("double"), typedLit(cuts))
+    val cutoffs = scored.groupBy(col(groupCol)).agg(pctl.as("__cuts"))
+    scored.join(broadcast(cutoffs), Seq(groupCol), "left")
+      .withColumn("ppl_bucket", when(col(pplCol).isNotNull,
+        element_at(typedLit(labels),
+          (size(filter(col("__cuts"), c => col(pplCol) > c)) + 1).cast("int"))))
+      .drop("__cuts")
+  }
 }

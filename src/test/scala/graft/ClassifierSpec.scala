@@ -1,0 +1,89 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Classifier
+
+/** fastText-style hashed linear classifier scoring, pinned against a
+  * driver-side reference that re-derives the md5 feature buckets, the
+  * integer micro-weight sums, and the rounded logistic independently.
+  */
+class ClassifierSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  /** Driver replica of Classifier.featureIndex: first 8 hex digits of the
+    * gram's md5, parsed unsigned, mod dim.
+    */
+  private def refIdx(gram: String, dim: Int): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes("UTF-8"))
+    val hex = d.map("%02x".format(_)).mkString.take(8)
+    java.lang.Long.parseLong(hex, 16) % dim
+  }
+
+  private def refScore(text: String, w: Map[Long, Long], dim: Int,
+                       biasMicro: Long): (Long, Long, Option[Double]) = {
+    val ws = text.trim.toLowerCase.split("\\s+").filter(_.nonEmpty)
+    val feats = ws.toSeq ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))
+    val sum = feats.map(f => w.getOrElse(refIdx(f, dim), 0L)).sum
+    val score = if (feats.isEmpty) None else Some(
+      BigDecimal(1.0 / (1.0 +
+        math.exp(-(biasMicro + sum.toDouble / feats.size) / 1e6)))
+        .setScale(4, BigDecimal.RoundingMode.HALF_UP).toDouble)
+    (feats.size.toLong, sum, score)
+  }
+
+  private def weightMap(seed: Int, n: Int): Map[Long, Long] = {
+    val rnd = new scala.util.Random(seed)
+    // sparse: weights for half the buckets only — absent indices weigh 0
+    (0 until n).map(_ => rnd.nextInt(Dim).toLong)
+      .distinct.map(i => i -> (rnd.nextInt(2000001) - 1000000).toLong).toMap
+  }
+
+  test("featureIndex matches the driver md5 replica") {
+    val grams = Seq("quick brown", "fox", "the", "über größe", "a b")
+    val got = grams.toDF("f")
+      .select(Classifier.featureIndex(col("f"), Dim).as("i"))
+      .as[Long].collect().toSeq
+    assert(got == grams.map(refIdx(_, Dim)))
+  }
+
+  test("scoreLinear matches the driver reference over a random corpus") {
+    val w = weightMap(7, 40)
+    val rnd = new scala.util.Random(11)
+    val vocab = Vector("red", "green", "blue", "cyan", "gold", "gray", "jade")
+    val docs = (0 until 50).map { i =>
+      (i.toLong, Seq.fill(rnd.nextInt(10))(
+        vocab(rnd.nextInt(vocab.size))).mkString(" "))
+    } :+ ((99L, "   "))
+    val got = Classifier.scoreLinear(docs.toDF("doc_id", "text"), "text",
+        "doc_id", w.toSeq.toDF("idx", "w_micro"), Dim, biasMicro = 250000L)
+      .select("id", "n_feats", "sum_w_micro", "score")
+      .as[(Long, Long, Long, Option[Double])].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) == refScore(t, w, Dim, 250000L), s"doc $id '$t'")
+    }
+    // the whitespace-only doc survives with no features and a NULL score
+    assert(got(99L) == ((0L, 0L, None)))
+  }
+
+  test("weights broadcast by default; document payload joins on short keys only") {
+    val w = weightMap(3, 30)
+    val docs = Seq((1L, "a b c"), (2L, "d e")).toDF("doc_id", "text")
+    val plan = Classifier.scoreLinear(docs, "text", "doc_id",
+        w.toSeq.toDF("idx", "w_micro"), Dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"weights not broadcast:\n$plan")
+  }
+
+  test("unigram-only mode drops bigram features") {
+    val w = weightMap(5, 30)
+    val docs = Seq((1L, "x y z")).toDF("doc_id", "text")
+    val got = Classifier.scoreLinear(docs, "text", "doc_id",
+        w.toSeq.toDF("idx", "w_micro"), Dim, wordNgrams = 1)
+      .select("n_feats").as[Long].head()
+    assert(got == 3L)
+  }
+}

@@ -57,6 +57,41 @@ class NgramLmSpec extends SparkSpec {
     assert(plan.contains("BroadcastHashJoin"), s"model joins not broadcast:\n$plan")
   }
 
+  test("perplexityBuckets: hand-checked cutoffs, ties stick low, nulls propagate") {
+    // group "a": ppls 1..9 → exact percentile at (1/3, 2/3) over 9 values:
+    // pos = 8/3 → 3.6667, pos = 16/3 → 6.3333
+    val rows = (1 to 9).map(i => ("a", i.toLong, Some(i.toDouble))) ++
+      Seq(("b", 20L, Some(5.0)), ("b", 21L, None), ("b", 22L, Some(5.0)))
+    val scored = rows.toDF("source", "id", "ppl")
+    val got = NgramLm.perplexityBuckets(scored, "source")
+      .select("id", "ppl_bucket").as[(Long, Option[String])]
+      .collect().toMap
+    (1 to 3).foreach(i => assert(got(i.toLong) == Some("head"), s"id $i"))
+    (4 to 6).foreach(i => assert(got(i.toLong) == Some("middle"), s"id $i"))
+    (7 to 9).foreach(i => assert(got(i.toLong) == Some("tail"), s"id $i"))
+    // group b: both cutoffs equal 5.0; ties stick to the LOWER bucket
+    assert(got(20L) == Some("head") && got(22L) == Some("head"))
+    assert(got(21L).isEmpty)
+  }
+
+  test("perplexityBuckets: approx path is monotone in ppl and broadcast-joined") {
+    val rnd = new scala.util.Random(31)
+    val scored = (0 until 300).map(i =>
+      (s"s${i % 3}", i.toLong, math.rint(rnd.nextDouble() * 1e4) / 1e4))
+      .toDF("source", "id", "ppl")
+    val b = NgramLm.perplexityBuckets(scored, "source", approx = true)
+    val plan = b.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"cutoffs not broadcast:\n$plan")
+    val rank = Map("head" -> 0, "middle" -> 1, "tail" -> 2)
+    b.select("source", "ppl", "ppl_bucket")
+      .as[(String, Double, String)].collect()
+      .groupBy(_._1).values.foreach { g =>
+        val sorted = g.sortBy(_._2).map(r => rank(r._3))
+        assert(sorted.zip(sorted.tail).forall { case (x, y) => x <= y },
+          s"bucket not monotone in ppl: ${g.sortBy(_._2).toSeq}")
+      }
+  }
+
   test("random corpus matches the driver reference (counts, smoothing, integer sum)") {
     val rnd = new scala.util.Random(13)
     val vocabWords = Vector("red", "green", "blue", "cyan", "gold", "gray")
