@@ -17,6 +17,11 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     [--id-col doc_id] [--text-col text] \
   *     [--minhash-threshold 0.8] [--contam-grams 13] [--redact-pii true] \
   *     [--nfc true]   # Unicode NFC fold through both dedup stages
+  *     [--clf-weights <parquet of (idx, w_micro)>] [--clf-dim 2097152] \
+  *     [--clf-threshold 0.5] [--clf-bias-micro 0]
+  *       # fastText-style quality classifier on the survivors: annotates
+  *       # clf_score; with --clf-threshold also drops rows below it (a
+  *       # counted clf_filter stage)
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
@@ -217,7 +222,11 @@ object Curate {
           contamStopGramMaxDf: Option[Long] = None,
           redactPii: Boolean = false,
           subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab,
-          nfc: Boolean = false): Result = {
+          nfc: Boolean = false,
+          clfWeights: Option[DataFrame] = None,
+          clfDim: Int = 1 << 21,
+          clfThreshold: Option[Double] = None,
+          clfBiasMicro: Long = 0L): Result = {
     val base = funnel(docs, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
       // language, quality, token counts — pure per-row columns. n_subwords
@@ -244,13 +253,37 @@ object Curate {
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
+    // fastText-style quality-classifier stage on the SURVIVING rows (the
+    // model is trained offline; `clfWeights` is its (idx, w_micro) bucket
+    // table). Scored on the RAW text — like dedup, and before redaction,
+    // which rewrites exactly the rare tokens a quality model keys on.
+    // Without a threshold the score only annotates (gating policy stays
+    // with the consumer, like gopher_ok); with one, rows below it — and
+    // featureless rows, whose score is NULL — drop as a counted stage.
+    val scored = clfWeights match {
+      case None => base
+      case Some(w) =>
+        val sc = pipeline.Classifier.scoreLinear(base.clean, textCol, idCol,
+            w, clfDim, biasMicro = clfBiasMicro)
+          .select(col("id").as(idCol), col("score").as("clf_score"))
+        val annotated = base.clean.join(sc, Seq(idCol), "left")
+        clfThreshold match {
+          case None => base.copy(clean = annotated)
+          case Some(t) =>
+            val nIn = base.stats.last.rowsOut
+            val kept = annotated.where(col("clf_score") >= t).persist()
+            base.copy(clean = kept,
+              stats = base.stats :+ StageStats("clf_filter", nIn, kept.count()),
+              persisted = base.persisted :+ kept)
+        }
+    }
     // PII scrub on the RELEASED rows only (after every filter stage — the
     // dropped rows never need scrubbing); pure projection, no extra scan
     // or stage count. Dedup/contamination above intentionally ran on the
     // RAW text: redaction collapses distinct PII into one token, which
     // would manufacture false near-dup matches
-    if (!redactPii) base
-    else base.copy(clean = base.clean
+    if (!redactPii) scored
+    else scored.copy(clean = scored.clean
       .withColumn("pii_redactions",
         pipeline.TextFunctions.piiCounts(col(textCol)).total)
       .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
@@ -299,7 +332,8 @@ object Curate {
       if (opts.contains("tokens-col"))
         common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
           "pack-chunk-size", "pack-id-prefix")
-      else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc")
+      else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
+        "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -328,7 +362,11 @@ object Curate {
         minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
         contamGrams = opts.getOrElse("contam-grams", "13").toInt,
         redactPii = opts.getOrElse("redact-pii", "false").toBoolean,
-        nfc = opts.getOrElse("nfc", "false").toBoolean)
+        nfc = opts.getOrElse("nfc", "false").toBoolean,
+        clfWeights = opts.get("clf-weights").map(spark.read.parquet(_)),
+        clfDim = opts.getOrElse("clf-dim", (1 << 21).toString).toInt,
+        clfThreshold = opts.get("clf-threshold").map(_.toDouble),
+        clfBiasMicro = opts.getOrElse("clf-bias-micro", "0").toLong)
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

@@ -657,6 +657,39 @@ class PipelineSpec extends SparkSpec {
     without.unpersist()
   }
 
+  test("Curate.run --clf-*: annotate-only scores, counted threshold gate, featureless drop") {
+    // empty weight table → every featured doc scores exactly
+    // sigmoid(bias/1e6); doc 3 is whitespace-only → no features → NULL
+    // score. With bias 0 the score is exactly 0.5 everywhere.
+    val input = Seq(
+      (0L, "plain words that survive the funnel"),
+      (1L, "another unrelated document body here"),
+      (3L, "   "))
+      .toDF("doc_id", "text")
+    val w = Seq.empty[(Long, Long)].toDF("idx", "w_micro")
+    // annotate-only: no stage, score column present
+    val ann = Curate.run(spark, input, "doc_id", "text",
+      clfWeights = Some(w), clfDim = 64)
+    assert(!ann.stats.exists(_.stage == "clf_filter"))
+    val scores = ann.clean.select("doc_id", "clf_score")
+      .as[(Long, Option[Double])].collect().toMap
+    assert(scores(0L) == Some(0.5) && scores(1L) == Some(0.5))
+    assert(scores(3L).isEmpty)
+    ann.unpersist()
+    // threshold 0.4 keeps the featured docs, drops the featureless one
+    val keep = Curate.run(spark, input, "doc_id", "text",
+      clfWeights = Some(w), clfDim = 64, clfThreshold = Some(0.4))
+    assert(keep.stats.last == Curate.StageStats("clf_filter", 3L, 2L))
+    assert(keep.clean.select("doc_id").as[Long].collect().toSet == Set(0L, 1L))
+    keep.unpersist()
+    // bias −1e6 → score sigmoid(−1) ≈ 0.2689 < 0.4 → everything drops
+    val drop = Curate.run(spark, input, "doc_id", "text",
+      clfWeights = Some(w), clfDim = 64, clfThreshold = Some(0.4),
+      clfBiasMicro = -1000000L)
+    assert(drop.stats.last == Curate.StageStats("clf_filter", 3L, 0L))
+    drop.unpersist()
+  }
+
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
     // 6 sequences: 1 = exact dup of 0; 2 = near-dup of 0 (suffix edit,
     // 5-gram J = 96/99 ≈ 0.97); 3 clean; 4 invalid (empty); 6 contaminated
