@@ -942,6 +942,26 @@ object SparkEntry {
           pairs = Some(materialize(s, pairs, "q_sem_pairs")))
         .select(col("vec_id"))
     }),
+    "q_semantic_contam" -> ((s, dir) => {
+      // embedding-space eval contamination: eval = the first 40 vectors,
+      // train = the rest (both sides filter the same base table, so no
+      // fixture parquet is needed); the oracle recomputes the FULL quadratic
+      // train x eval cosine matrix and the per-train argmax independently,
+      // checking the plan-embedded eval matrix, the rounded-tie argmax
+      // ordering, and the threshold end-to-end
+      val e = T(s, dir, "embeddings")
+      graft.pipeline.SemDedup.semanticContamination(
+        e.where(col("vec_id") >= 40), e.where(col("vec_id") < 40),
+        threshold = 0.35)
+    }),
+    "q_semantic_decontam" -> ((s, dir) => {
+      // the release direction of the same pass: surviving train ids
+      val e = T(s, dir, "embeddings")
+      graft.pipeline.SemDedup.semanticDecontaminate(
+        e.where(col("vec_id") >= 40), e.where(col("vec_id") < 40),
+        threshold = 0.35)
+        .select(col("vec_id"))
+    }),
     "q_seq_validate" -> ((s, dir) => {
       // flagship sequence validation at a dir-scaled row count; the generated
       // input is materialized so the oracle can evaluate the rule predicates
@@ -2059,6 +2079,32 @@ object SparkEntry {
         |nonwin AS (SELECT id FROM cs WHERE id NOT IN (SELECT id FROM win))
         |SELECT e.vec_id FROM embeddings e
         |WHERE e.vec_id NOT IN (SELECT id FROM nonwin)""".stripMargin,
+
+    // full quadratic train x eval cosine matrix, per-train argmax with the
+    // (round-6 DESC, eval_id ASC) ordering, threshold on the rounded max —
+    // the independent re-derivation of the plan-embedded eval-matrix pass
+    "q_semantic_contam" ->
+      """WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
+        |sc AS (SELECT tr.vec_id AS id, ev.vec_id AS eval_id,
+        |         round(list_dot_product(tr.v, ev.v) /
+        |           (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cos
+        |       FROM tr, ev),
+        |nn AS (SELECT id, eval_id, cos,
+        |         row_number() OVER (PARTITION BY id ORDER BY cos DESC, eval_id ASC) AS rn
+        |       FROM sc)
+        |SELECT id, eval_id AS nearest_eval_id, cos AS max_cos
+        |FROM nn WHERE rn = 1 AND cos >= 0.35""".stripMargin,
+
+    "q_semantic_decontam" ->
+      """WITH tr AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id >= 40),
+        |ev AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings WHERE vec_id < 40),
+        |sc AS (SELECT tr.vec_id AS id,
+        |         round(list_dot_product(tr.v, ev.v) /
+        |           (sqrt(list_dot_product(tr.v, tr.v)) * sqrt(list_dot_product(ev.v, ev.v))), 6) AS cos
+        |       FROM tr, ev),
+        |mx AS (SELECT id, max(cos) AS max_cos FROM sc GROUP BY id)
+        |SELECT id AS vec_id FROM mx WHERE max_cos < 0.35""".stripMargin,
 
     // rule predicates over the materialized generated input: every failing
     // row surfaces with kind SchemaError (fields present and non-null by

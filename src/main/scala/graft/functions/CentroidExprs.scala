@@ -19,6 +19,9 @@ object CentroidExprs {
     column(NearestCentroid(expression(v), centroids))
   def topCentroids(v: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     column(TopCentroids(expression(v), centroids, nProbe))
+  def nearestEval(v: Column, evalIds: Array[Long],
+                  evalVecs: Array[Array[Double]]): Column =
+    column(NearestEval(expression(v), evalIds, evalVecs))
 
   private[functions] def dots(v: ArrayData, dt: DataType,
                               cs: Array[Array[Double]]): Array[Double] = {
@@ -59,6 +62,67 @@ case class TopCentroids(child: Expression, centroids: Array[Array[Double]], nPro
     val d = CentroidExprs.dots(a.asInstanceOf[ArrayData], child.dataType, centroids)
     val idx = d.indices.sortBy(i => (-d(i), i)).take(math.min(nProbe, d.length))
     new GenericArrayData(idx.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Nearest eval vector by exact cosine, for embedding-space contamination:
+  * returns `struct(eval_id: long, cos: double)` — the argmax eval row and
+  * its EXACT cosine against the input vector. The eval matrix (raw, not
+  * pre-normalized) rides inside the expression like the centroid matrix
+  * above, so annotation is a narrow per-row pass: no join, no exchange.
+  *
+  * Determinism contract (mirrors the DuckDB re-derivation
+  * `row_number() OVER (ORDER BY round(cos, 6) DESC, eval_id ASC)`):
+  * candidates are compared on cosine ROUNDED to 6 dp, and within a rounded
+  * tie the SMALLEST eval id wins — `evalIds`/`evalVecs` must be sorted by
+  * id ascending (the builder in `SemDedup.collectEval` guarantees it).
+  * Cosine is computed exactly as the oracle writes it —
+  * dot(v,e) / (sqrt(dot(v,v)) * sqrt(dot(e,e))) in doubles, sequential
+  * element order — so the two engines round the same IEEE value.
+  * Zero-norm inputs (and a zero-norm eval row) yield no valid candidate;
+  * if none is valid the result is null.
+  */
+case class NearestEval(child: Expression, evalIds: Array[Long],
+                       evalVecs: Array[Array[Double]])
+  extends UnaryExpression with CodegenFallback {
+  require(evalIds.length == evalVecs.length && evalIds.nonEmpty,
+    "NearestEval: ids/vecs must be parallel and non-empty")
+  private lazy val evalNorms: Array[Double] = evalVecs.map { e =>
+    var s = 0.0; var i = 0
+    while (i < e.length) { s += e(i) * e(i); i += 1 }
+    math.sqrt(s)
+  }
+  override def dataType: DataType = StructType(Seq(
+    StructField("eval_id", LongType, nullable = false),
+    StructField("cos", DoubleType, nullable = false)))
+  // a zero-norm input yields null even when the child column is non-null
+  override def nullable: Boolean = true
+  // round half-away-from-zero to 6 dp, matching Spark/DuckDB round(x, 6)
+  private def rnd6(x: Double): Double =
+    if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6
+    else -math.floor(-x * 1e6 + 0.5) / 1e6
+  override def nullSafeEval(a: Any): Any = {
+    val v = a.asInstanceOf[ArrayData]
+    val dt = child.dataType
+    val n = v.numElements()
+    var vv = 0.0; var i = 0
+    while (i < n) { val x = VectorExprs.elemAt(dt, v, i); vv += x * x; i += 1 }
+    val vnorm = math.sqrt(vv)
+    if (vnorm == 0.0) return null
+    val d = CentroidExprs.dots(v, dt, evalVecs)
+    var best = -1; var bestR = Double.NegativeInfinity; var bestCos = 0.0
+    var j = 0
+    while (j < d.length) {
+      if (evalNorms(j) > 0.0) {
+        val cos = d(j) / (vnorm * evalNorms(j))
+        val r = rnd6(cos)
+        if (r > bestR) { best = j; bestR = r; bestCos = cos }
+      }
+      j += 1
+    }
+    if (best < 0) null
+    else org.apache.spark.sql.catalyst.InternalRow(evalIds(best), bestCos)
   }
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -113,4 +113,88 @@ object SemDedup {
       -centroidSim(col(vecCol), Ivf.cellOf(col(vecCol), centroids), centroids))
     Dedup.nearDupSurvivorsBy(pref, idCol, groups, "__csim").drop("__csim")
   }
+
+  // ===== embedding-space (semantic) eval-set contamination =====
+
+  /** Collect the eval embedding table to a driver-side matrix, sorted by id
+    * ascending (the `NearestEval` tie-break contract). Loud cap: eval sets
+    * are small by nature (10^2..10^5 rows); a table over `maxEvalRows` is
+    * the wrong regime for a plan-embedded matrix — fail with guidance
+    * instead of silently shipping a giant literal to every task.
+    */
+  private[pipeline] def collectEval(eval: DataFrame, idCol: String,
+      vecCol: String, maxEvalRows: Int): (Array[Long], Array[Array[Double]]) = {
+    import org.apache.spark.sql.types.{ArrayType, DoubleType, LongType}
+    val rows = eval
+      .select(col(idCol).cast(LongType).as("id"),
+        col(vecCol).cast(ArrayType(DoubleType)).as("v"))
+      .limit(maxEvalRows + 1).collect()
+    require(rows.length <= maxEvalRows,
+      s"semanticContamination: eval set exceeds maxEvalRows=$maxEvalRows — " +
+        "a plan-embedded eval matrix ships to every task; for eval sets " +
+        "this large use the LSH-bucketed path (Ann.cosineNearDups over the " +
+        "union, or raise maxEvalRows deliberately)")
+    require(rows.nonEmpty, "semanticContamination: eval set is empty")
+    val sorted = rows.map(r =>
+      (r.getLong(0), r.getSeq[Double](1).toArray)).sortBy(_._1)
+    (sorted.map(_._1), sorted.map(_._2))
+  }
+
+  /** Embedding-space train/eval contamination — the semantic complement of
+    * `Overlap.contamination` (token grams): a train document is contaminated
+    * when some eval embedding sits within cosine `threshold` of it, even if
+    * the texts share no tokens (paraphrased leakage). Returns
+    * `(id, nearest_eval_id, max_cos)` for contaminated train rows, with
+    * `max_cos` rounded to 6 dp and the rounded-tie winner at the smallest
+    * eval id (the oracle\u2019s exact ordering).
+    *
+    * Plan shape / 100 TB story: the eval matrix rides INSIDE the single
+    * `NearestEval` projection (like `Ivf.cellOf`) — the train scan is a
+    * narrow map-side pass with NO exchange anywhere: no join, no groupBy,
+    * nothing shuffles at any corpus size. Cost is rows \u00d7 |eval| \u00d7 dims
+    * multiply-adds, embarrassingly parallel. The `maxEvalRows` guard keeps
+    * the literal matrix sane; beyond it, bucket both sides with
+    * `Ann.bandedBuckets` instead (bounded recall, like contaminationBloom\u2019s
+    * regime split).
+    */
+  def semanticContamination(train: DataFrame, eval: DataFrame,
+      threshold: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "vec_id", evalVecCol: String = "embedding",
+      maxEvalRows: Int = 100000): DataFrame = {
+    val ann = semanticAnnotate(train, eval, idCol, vecCol,
+      evalIdCol, evalVecCol, maxEvalRows)
+    ann.where(col("max_cos") >= threshold)
+  }
+
+  /** Every train row annotated with its nearest eval neighbor:
+    * `(id, nearest_eval_id, max_cos)`; rows whose vector is null or
+    * zero-norm carry nulls. Shared by contaminate/decontaminate so both
+    * directions are one predicate over the same single-pass plan.
+    */
+  def semanticAnnotate(train: DataFrame, eval: DataFrame,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "vec_id", evalVecCol: String = "embedding",
+      maxEvalRows: Int = 100000): DataFrame = {
+    val (ids, vecs) = collectEval(eval, evalIdCol, evalVecCol, maxEvalRows)
+    val nn = graft.functions.CentroidExprs.nearestEval(col(vecCol), ids, vecs)
+    train.select(col(idCol).as("id"), nn.as("__nn"))
+      .select(col("id"), col("__nn.eval_id").as("nearest_eval_id"),
+        round(col("__nn.cos"), 6).as("max_cos"))
+  }
+
+  /** The release direction: train rows that are NOT semantically
+    * contaminated (max cosine against the eval set < `threshold`, or no
+    * valid cosine at all). Returns full `train` rows — the filter rides the
+    * scan as ONE `NearestEval` reference (null-keeps folded into a single
+    * coalesce so the matrix pass runs once per row), still zero exchanges.
+    */
+  def semanticDecontaminate(train: DataFrame, eval: DataFrame,
+      threshold: Double, idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "vec_id", evalVecCol: String = "embedding",
+      maxEvalRows: Int = 100000): DataFrame = {
+    val (ids, vecs) = collectEval(eval, evalIdCol, evalVecCol, maxEvalRows)
+    val nn = graft.functions.CentroidExprs.nearestEval(col(vecCol), ids, vecs)
+    // null nn (null/zero-norm vector) → null comparison → coalesce keeps
+    train.where(coalesce(round(nn.getField("cos"), 6) < threshold, lit(true)))
+  }
 }

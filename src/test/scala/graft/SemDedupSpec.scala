@@ -87,4 +87,70 @@ class SemDedupSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("maxCellRows"))
   }
+
+  // ===== embedding-space eval-set contamination =====
+
+  private val evalVecs = Seq(
+    (100L, Array(1.0f, 0.0f)),
+    (101L, Array(0.0f, 1.0f))).toDF("vec_id", "embedding")
+
+  private val trainVecs = Seq(
+    (0L, Array(1.0f, 0.0f)),              // cos 1.0 to eval 100
+    (1L, Array(0.6f, 0.8f)),              // 0.6 / 0.8 → nearest 101
+    (2L, Array(0.7071068f, 0.7071068f)),  // EXACT tie → min eval id 100
+    (3L, Array(0.0f, 0.0f)),              // zero norm → no valid cosine
+    (4L, Array(-1.0f, 0.0f))              // max cos 0.0 (to 101)
+  ).toDF("vec_id", "embedding")
+
+  test("semanticContamination flags rows within threshold; ties at min eval id") {
+    val got = SemDedup.semanticContamination(trainVecs, evalVecs, threshold = 0.7)
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, (r._2, r._3))).toMap
+    assert(got.keySet == Set(0L, 1L, 2L))
+    assert(got(0L) == ((100L, 1.0)))
+    assert(got(1L)._1 == 101L && math.abs(got(1L)._2 - 0.8) < 1e-6)
+    assert(got(2L)._1 == 100L) // mirrored components — exact rounded tie
+  }
+
+  test("semanticAnnotate matches a driver-computed argmax over the corpus fixture") {
+    val ev = Seq((100L, Array(1.0, 0.0)), (101L, Array(0.0, 1.0)))
+    def rnd6(x: Double) =
+      if (x >= 0) math.floor(x * 1e6 + 0.5) / 1e6 else -math.floor(-x * 1e6 + 0.5) / 1e6
+    val ref = vecs.as[(Long, Array[Float])].collect().map { case (id, v) =>
+      val vn = math.sqrt(v.map(x => x.toDouble * x).sum)
+      val scored = ev.map { case (eid, e) =>
+        val en = math.sqrt(e.map(x => x * x).sum)
+        val dot = v.map(_.toDouble).zip(e).map { case (a, b) => a * b }.sum
+        (eid, rnd6(dot / (vn * en)))
+      }
+      val best = scored.minBy { case (eid, c) => (-c, eid) }
+      (id, best._1, best._2)
+    }.toSet
+    val got = SemDedup.semanticAnnotate(vecs, evalVecs)
+      .as[(Long, Long, Double)].collect().toSet
+    assert(got == ref)
+  }
+
+  test("semanticDecontaminate keeps the complement plus invalid-vector rows") {
+    val kept = SemDedup.semanticDecontaminate(trainVecs, evalVecs, threshold = 0.7)
+      .select("vec_id").as[Long].collect().toSet
+    assert(kept == Set(3L, 4L)) // 3: zero norm passes through; 4: max cos 0.0
+  }
+
+  test("the contamination pass plans with zero exchanges") {
+    val plan = SemDedup.semanticContamination(trainVecs, evalVecs, threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange in:\n$plan")
+    val dplan = SemDedup.semanticDecontaminate(trainVecs, evalVecs, threshold = 0.7)
+      .queryExecution.executedPlan.toString
+    assert(!dplan.contains("Exchange"), s"unexpected exchange in:\n$dplan")
+  }
+
+  test("eval-set cap guard fails loudly instead of shipping a giant literal") {
+    val e = intercept[IllegalArgumentException] {
+      SemDedup.semanticContamination(trainVecs, evalVecs, threshold = 0.7,
+        maxEvalRows = 1)
+    }
+    assert(e.getMessage.contains("maxEvalRows"))
+  }
 }
