@@ -22,6 +22,9 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *       # fastText-style quality classifier on the survivors: annotates
   *       # clf_score; with --clf-threshold also drops rows below it (a
   *       # counted clf_filter stage)
+  *     [--strip-html true]
+  *       # crawled-HTML corpora: markup extraction BEFORE validation, so
+  *       # all-markup docs strip to empty and fail into violations/
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
@@ -226,8 +229,15 @@ object Curate {
           clfWeights: Option[DataFrame] = None,
           clfDim: Int = 1 << 21,
           clfThreshold: Option[Double] = None,
-          clfBiasMicro: Long = 0L): Result = {
-    val base = funnel(docs, idCol,
+          clfBiasMicro: Long = 0L,
+          stripHtml: Boolean = false): Result = {
+    // markup extraction runs FIRST (crawled-HTML corpora): validation must
+    // judge the extracted text — a doc that is all markup strips to empty
+    // and fails nonEmptyStr into violations/ rather than polluting dedup
+    // with boilerplate tag soup. Pure projection, rides the scan.
+    val input = if (!stripHtml) docs
+      else docs.withColumn(textCol, pipeline.TextFunctions.stripHtml(col(textCol)))
+    val base = funnel(input, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
       // language, quality, token counts — pure per-row columns. n_subwords
       // is the vocab-driven greedy segmentation count (pass the
@@ -333,7 +343,8 @@ object Curate {
         common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
           "pack-chunk-size", "pack-id-prefix")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
-        "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro")
+        "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
+        "strip-html")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -366,7 +377,8 @@ object Curate {
         clfWeights = opts.get("clf-weights").map(spark.read.parquet(_)),
         clfDim = opts.getOrElse("clf-dim", (1 << 21).toString).toInt,
         clfThreshold = opts.get("clf-threshold").map(_.toDouble),
-        clfBiasMicro = opts.getOrElse("clf-bias-micro", "0").toLong)
+        clfBiasMicro = opts.getOrElse("clf-bias-micro", "0").toLong,
+        stripHtml = opts.getOrElse("strip-html", "false").toBoolean)
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

@@ -422,6 +422,27 @@ object SparkEntry {
         (nTok >= 20 && nTok <= 120).as("len_ok"))
     }),
 
+    // --- HTML/markup extraction (the stage upstream of all text ops) ---
+    "q_html_strip" -> ((s, dir) => {
+      // wrap each document's text in a full HTML shell — multi-line script
+      // and style blocks, a comment, entity references (including the
+      // &amp;lt; double-decode trap and a URL-shaped attribute), block
+      // structure — materialized so DuckDB replays the identical regex
+      // cascade (Java∩RE2 subset) over the same rows
+      val d = T(s, dir, "documents").where(col("doc_id") % 3 === 0)
+      val html = d.select(col("doc_id"), concat(
+        lit("<html><head><title>doc "), col("doc_id").cast("string"),
+        lit("</title><style>\np { margin: 0 }\n</style><script type=\"text/javascript\">\nvar x = 1 < 2 && \"a\";\n</script></head><body><h1 class=\"t\">Doc &amp; title &#39;"),
+        col("doc_id").cast("string"),
+        lit("&#39;</h1><!-- hidden\ncomment --><p>"), col("text"),
+        lit("</p><ul><li>lang: "), col("lang"),
+        lit("</li><li>src &lt;"), col("source"),
+        lit("&gt; x &amp;lt; y</li></ul><a href=\"http://ex.co/?q=1&amp;r=2\">link</a><br/>tail&nbsp;note</body></html>")).as("html"))
+      val stored = materialize(s, html, "q_html_docs", files = 4)
+      stored.select(col("doc_id"),
+        graft.pipeline.TextFunctions.stripHtml(col("html")).as("text"))
+    }),
+
     // --- language-ID heuristic (stopword cascade) ---
     "q_lang_id" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
@@ -1551,6 +1572,23 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(t3, '\b[0-9]{7,}\b')) AS INT) AS n_nums,
         |       regexp_replace(t3, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted
         |FROM r3""".stripMargin,
+
+    // the identical markup-stripping cascade replayed in RE2 over the
+    // materialized HTML shells: block drops, structural newlines, tag
+    // removal, the ordered entity table (amp LAST), whitespace collapse
+    "q_html_strip" ->
+      """WITH d AS (SELECT doc_id, html FROM read_parquet('/root/repo/target/graft_oracle/q_html_docs/*.parquet')),
+        |s1 AS (SELECT doc_id, regexp_replace(html, '(?is)<script\b[^>]*>.*?</script\s*>', '', 'g') AS t FROM d),
+        |s2 AS (SELECT doc_id, regexp_replace(t, '(?is)<style\b[^>]*>.*?</style\s*>', '', 'g') AS t FROM s1),
+        |s3 AS (SELECT doc_id, regexp_replace(t, '(?s)<!--.*?-->', '', 'g') AS t FROM s2),
+        |s4 AS (SELECT doc_id, regexp_replace(t, '(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote|/pre)\b[^>]*>', chr(10), 'g') AS t FROM s3),
+        |s5 AS (SELECT doc_id, regexp_replace(t, '<[^>]*>', ' ', 'g') AS t FROM s4),
+        |e AS (SELECT doc_id, replace(replace(replace(replace(replace(replace(replace(t,
+        |         '&nbsp;', ' '), '&lt;', '<'), '&gt;', '>'), '&quot;', '"'),
+        |         '&#39;', ''''), '&apos;', ''''), '&amp;', '&') AS t FROM s5),
+        |w AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM e),
+        |l AS (SELECT doc_id, regexp_replace(t, ' ?(\n ?)+', chr(10), 'g') AS t FROM w)
+        |SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g') AS text FROM l""".stripMargin,
 
     // full replicas of qualityScore (normalized-token length score + raw
     // letters-only alpha + stopword marker), the langId cascade, and the

@@ -390,4 +390,49 @@ object TextFunctions {
       phones = regexp_count(afterIp, lit(PhoneRe)),
       nums = regexp_count(afterPhone, lit(LongNumRe)))
   }
+
+  // ===== HTML/markup stripping (the C4/CCNet extraction stage) =====
+
+  private[graft] val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>"
+  private[graft] val HtmlStyleRe = "(?is)<style\\b[^>]*>.*?</style\\s*>"
+  private[graft] val HtmlCommentRe = "(?s)<!--.*?-->"
+  private[graft] val HtmlBlockRe =
+    "(?i)<(?:br|/p|/div|/li|/tr|/h[1-6]|/ul|/ol|/table|/blockquote|/pre)\\b[^>]*>"
+  private[graft] val HtmlTagRe = "<[^>]*>"
+
+  /** Markup-to-text extraction, the stage upstream of every text-quality
+    * and dedup operator when the corpus arrives as crawled HTML (C4 and
+    * CCNet run exactly this shape before any filtering). Heuristic by
+    * design \u2014 a regex cascade, not a DOM parser \u2014 which is the standard
+    * trade at corpus scale: script/style/comment BLOCKS drop first (their
+    * content is never prose, `(?is)` so multi-line bodies fold), block-level
+    * closers and `<br>` become newlines (paragraph structure survives for
+    * the line-level operators), every remaining tag becomes a space, the
+    * fixed high-frequency entity set decodes (`&amp;` LAST, so
+    * `&amp;lt;` correctly yields the literal text `&lt;` rather than
+    * double-decoding to `<`), and whitespace collapses (space/tab runs to
+    * one space, newline runs with surrounding spaces to one newline).
+    * Numeric character references beyond `&#39;` are left as-is \u2014
+    * decoding them needs per-match code-point synthesis, the wrong trade
+    * for a codegen'd Column (extend the entity table per corpus instead).
+    *
+    * Pure codegen'd regexp_replace/replace cascade: zero shuffle, rides the
+    * scan like `redactPii`. Patterns stay in the Java\u2229RE2 subset so the
+    * DuckDB oracle replays them byte-for-byte.
+    */
+  def stripHtml(html: Column): Column = {
+    val noScript = regexp_replace(html, HtmlScriptRe, "")
+    val noStyle = regexp_replace(noScript, HtmlStyleRe, "")
+    val noComment = regexp_replace(noStyle, HtmlCommentRe, "")
+    val blocks = regexp_replace(noComment, HtmlBlockRe, "\n")
+    val noTags = regexp_replace(blocks, HtmlTagRe, " ")
+    val entities = Seq("&nbsp;" -> " ", "&lt;" -> "<", "&gt;" -> ">",
+      "&quot;" -> "\"", "&#39;" -> "'", "&apos;" -> "'", "&amp;" -> "&")
+    val decoded = entities.foldLeft(noTags) { case (c, (from, to)) =>
+      replace(c, lit(from), lit(to)) }
+    val spaces = regexp_replace(decoded, "[ \\t\\r]+", " ")
+    val lines = regexp_replace(spaces, " ?(\\n ?)+", "\n")
+    // trim() strips spaces only — edge newlines need the regex anchor pair
+    regexp_replace(lines, "^\\s+|\\s+$", "")
+  }
 }

@@ -607,6 +607,27 @@ class PipelineSpec extends SparkSpec {
       Seq((2L, 100L, 6L))) // 6 shared word-3-grams of the 8-word text
   }
 
+  test("Curate.run with stripHtml extracts before validation and dedup") {
+    val input = Seq(
+      // 0 and 1 differ only in markup — dedup must collapse them AFTER
+      // extraction (raw texts are distinct)
+      (0L, "<p>the quick brown fox jumps</p>"),
+      (1L, "<div class=\"x\">the quick   brown <b>fox</b> jumps</div>"),
+      (2L, "totally different catalyst optimizer prose"),
+      // all markup: strips to empty → must FAIL validation, not release
+      (3L, "<script>var a = 1;</script><style>p{}</style><!-- c -->"))
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text", stripHtml = true)
+    val kept = r.clean.select("doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(kept.keySet == Set(0L, 2L)) // 1 deduped into 0, 3 invalid
+    assert(kept(0L) == "the quick brown fox jumps") // tags gone, ws collapsed
+    assert(r.violations.select("doc_id").as[Long].collect().toSeq == Seq(3L))
+    assert(r.stats.map(s => (s.stage, s.rowsIn, s.rowsOut)) ==
+      Seq(("validate", 4L, 3L), ("exact_dedup", 3L, 2L), ("near_dedup", 2L, 2L)))
+    r.unpersist()
+  }
+
   test("Curate.run with redactPii scrubs the released text only") {
     val input = Seq(
       (0L, "the quick brown fox writes to admin@corp.example every day"),
@@ -1052,6 +1073,33 @@ class PipelineSpec extends SparkSpec {
       }).head().getStruct(0)
     assert((aud.getInt(0), aud.getInt(1), aud.getInt(2), aud.getInt(3),
       aud.getInt(4), aud.getInt(5)) == ((1, 0, 0, 2, 0, 3)))
+  }
+
+  test("stripHtml: blocks drop, structure becomes newlines, entities decode once") {
+    def strip(in: String): String = Seq(in).toDF("html")
+      .select(TextFunctions.stripHtml(col("html"))).head().getString(0)
+    // multi-line script/style bodies and comments vanish entirely — including
+    // markup-looking content inside them (1 < 2 is not a tag)
+    assert(strip("<style>\np { x: 1 }\n</style>keep<script>\nif (1 < 2) a();\n</script>") == "keep")
+    assert(strip("a<!-- multi\nline -->b") == "ab")
+    // block closers and <br> preserve paragraph structure as newlines;
+    // inline tags become spaces and collapse
+    assert(strip("<p>one</p><p>two</p>") == "one\ntwo")
+    assert(strip("x<br/>y <b>bold</b> z") == "x\ny bold z")
+    // entity table decodes ONCE: &amp;lt; is the literal text &lt;, never <
+    assert(strip("A &amp; B &lt;tag&gt; &quot;q&quot; &#39;s&#39; &amp;lt; end") ==
+      "A & B <tag> \"q\" 's' &lt; end")
+    assert(strip("a&nbsp;&nbsp;b") == "a b")
+    // attributes with entities and URLs ride inside the tag and vanish
+    assert(strip("<a href=\"http://x.co/?a=1&amp;b=2\" title='t'>link</a>") == "link")
+    // whitespace: space/tab runs collapse, newline runs fold to one
+    assert(strip("a  \t b\n\n\n c") == "a b\nc")
+    // null propagates; markup-free text is untouched
+    val r = Seq((1L, Option.empty[String]), (2L, Some("plain, no markup")))
+      .toDF("id", "html")
+      .select(col("id"), TextFunctions.stripHtml(col("html")).as("t"))
+      .collect().map(r => r.getLong(0) -> Option(r.getString(1))).toMap
+    assert(r(1L).isEmpty && r(2L).contains("plain, no markup"))
   }
 
   test("nearDupSurvivorsBy: best-pref wins, min id on ties, null prefs fall back") {
