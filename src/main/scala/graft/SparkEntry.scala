@@ -694,6 +694,24 @@ object SparkEntry {
       Dedup.exactDedup(T(s, dir, "documents"), "text", "doc_id")
         .select(col("doc_id"))
     }),
+    "q_dedup_incremental" -> ((s, dir) => {
+      // incremental ingest dedup: history = docs with doc_id % 3 == 0,
+      // materialized as a fingerprint index that ALSO carries the
+      // normalized text, so DuckDB re-derives index membership from the
+      // text itself (no hash replay); batch = the remaining docs. Checks
+      // batch-internal min-id winners AND the index anti-join end-to-end.
+      val d = T(s, dir, "documents")
+      val tf = graft.pipeline.TextFunctions
+      val index = materialize(s,
+        d.where(col("doc_id") % 3 === 0)
+          .select(tf.fingerprint(col("text")).as("fp"),
+            tf.normalize(col("text")).as("norm")).distinct(),
+        "q_dedup_index", files = 4)
+      graft.pipeline.Dedup.exactDedupIncremental(
+          d.where(col("doc_id") % 3 =!= 0), index.select(col("fp")),
+          "text", "doc_id")
+        .fresh.select(col("doc_id"))
+    }),
     "q_nfc_dedup" -> ((s, dir) => {
       // Unicode-aware exact dedup (the nfc flag ON): composed é, decomposed
       // e+combining-acute, spacing and case variants all collapse to one
@@ -1671,6 +1689,18 @@ object SparkEntry {
         |    PARTITION BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
         |    ORDER BY doc_id) AS rn
         |  FROM documents) t WHERE rn = 1""".stripMargin,
+
+    // batch winners by normalized text (min doc_id), anti-joined against
+    // the index fixture's normalized text — membership re-derived without
+    // the fingerprint hash (collision-free at oracle scale, same contract
+    // as q_dedup_fingerprint)
+    "q_dedup_incremental" ->
+      """WITH idx AS (SELECT DISTINCT norm FROM read_parquet('/root/repo/target/graft_oracle/q_dedup_index/*.parquet')),
+        |b AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS norm
+        |      FROM documents WHERE doc_id % 3 <> 0),
+        |w AS (SELECT norm, min(doc_id) AS doc_id FROM b GROUP BY norm)
+        |SELECT doc_id FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.norm = w.norm)""".stripMargin,
 
     // Unicode flag ON: the oracle groups by nfc_normalize (DuckDB's NFC ==
     // JDK Normalizer NFC) composed with the same trim/collapse/lower chain,

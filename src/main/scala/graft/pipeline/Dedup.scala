@@ -36,6 +36,46 @@ object Dedup {
     fp.join(keep, Seq("__fp", idCol), "left_semi").drop("__fp")
   }
 
+  /** Result of an incremental ingest dedup: `fresh` = the batch rows that
+    * survive (batch-internal min-id winner AND unseen in the index), and
+    * `newFingerprints` = their fingerprints — the rows to APPEND to the
+    * index so the next ingest sees them (single `fp` column, matching the
+    * index schema).
+    */
+  final case class Incremental(fresh: DataFrame, newFingerprints: DataFrame)
+
+  /** Exact dedup of an INGEST BATCH against a persisted fingerprint index —
+    * the shape a continuously-ingested 100 TB corpus needs: history is
+    * never rescanned, only its 8-byte fingerprints are. The index is a
+    * table of `fp: long` (append `newFingerprints` after each ingest);
+    * `exactDedup` over (history ∪ batch) gives the same survivor set but
+    * re-reads the full corpus text every ingest.
+    *
+    * Semantics match running `exactDedup` over the union with all history
+    * ids ordered before batch ids: a batch row survives iff it is the
+    * min-id instance of its normalized text within the batch AND the text
+    * never appeared historically. Collision contract is `fingerprint`'s
+    * (~3·10⁻¹⁵ at 10¹² rows).
+    *
+    * Plan shape: batch fingerprints → min-id winners (one shuffle, 16-byte
+    * rows) → left-anti against the index on `fp` (short keys both sides;
+    * store the index BUCKETED by fp — `sources.Tables.writeBucketed` — and
+    * the index side's exchange disappears) → left-semi id join brings back
+    * only surviving payloads. The batch text never rides the index join.
+    */
+  def exactDedupIncremental(batch: DataFrame, index: DataFrame,
+                            textCol: String, idCol: String,
+                            nfc: Boolean = false,
+                            fpCol: String = "fp"): Incremental = {
+    val winners = batch
+      .select(col(idCol), TextFunctions.fingerprint(col(textCol), nfc).as("__fp"))
+      .groupBy(col("__fp")).agg(min(col(idCol)).as(idCol))
+    val unseen = winners.join(
+      index.select(col(fpCol).as("__fp")), Seq("__fp"), "left_anti")
+    val fresh = batch.join(unseen.select(col(idCol)), Seq(idCol), "left_semi")
+    Incremental(fresh, unseen.select(col("__fp").as(fpCol)))
+  }
+
   /** MinHash signature: H permutation-free min-hashes
     * (`min over shingles of xxhash64(shingle, i)`) — overflow-safe under ANSI
     * mode and fully expression-based. Kept as the built-in-composed reference

@@ -1075,6 +1075,39 @@ class PipelineSpec extends SparkSpec {
       aud.getInt(4), aud.getInt(5)) == ((1, 0, 0, 2, 0, 3)))
   }
 
+  test("exactDedupIncremental: union equivalence, idempotence, index growth") {
+    val history = Seq(
+      (0L, "seen text one"), (1L, "seen text two"),
+      (2L, "Seen   TEXT one")) // normalizes into 0's group
+      .toDF("doc_id", "text")
+    val batch = Seq(
+      (10L, "seen text one"),        // duplicate of history → drop
+      (11L, "fresh text alpha"),     // new → keep
+      (12L, "fresh text alpha "),    // batch-internal dup of 11 → drop
+      (13L, "fresh text beta"))      // new → keep
+      .toDF("doc_id", "text")
+    val index = history.select(
+      TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    val inc = Dedup.exactDedupIncremental(batch, index, "text", "doc_id")
+    val fresh = inc.fresh.select("doc_id").as[Long].collect().toSet
+    assert(fresh == Set(11L, 13L))
+    // 1:1 with fresh rows, and disjoint from the existing index
+    assert(inc.newFingerprints.count() == 2)
+    assert(inc.newFingerprints.join(index, Seq("fp"), "left_semi").count() == 0)
+
+    // union equivalence: incremental == exactDedup over history ∪ batch,
+    // restricted to batch ids (history ids order first by construction)
+    val unionSurvivors = Dedup.exactDedup(history.union(batch), "text", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(fresh == unionSurvivors.filter(_ >= 10L))
+
+    // idempotence: re-ingesting the same batch against the grown index
+    // yields nothing
+    val grown = index.union(inc.newFingerprints)
+    val again = Dedup.exactDedupIncremental(batch, grown, "text", "doc_id")
+    assert(again.fresh.count() == 0 && again.newFingerprints.count() == 0)
+  }
+
   test("stripHtml: blocks drop, structure becomes newlines, entities decode once") {
     def strip(in: String): String = Seq(in).toDF("html")
       .select(TextFunctions.stripHtml(col("html"))).head().getString(0)
