@@ -712,6 +712,29 @@ object SparkEntry {
           "text", "doc_id")
         .fresh.select(col("doc_id"))
     }),
+    "q_token_incremental" -> ((s, dir) => {
+      // token-sequence incremental ingest: the index fixture carries the
+      // RAW token arrays next to the 128-bit structural fingerprints, so
+      // DuckDB re-derives membership by array equality (no hash replay).
+      // Seeds overlap by construction: history seeds 0..119, batch seeds
+      // 0..159 — three quarters of the batch is historically seen.
+      val V = graft.gen.SequenceGen.Vocab
+      val g = graft.functions.GenExprs
+      val hist = s.range(0, 300, 1, 8).select(col("id"),
+        g.genTokens(pmod(col("id"), lit(120L)), 60, V).as("tokens"))
+      val index = materialize(s,
+        hist.select(xxhash64(col("tokens")).as("fp"),
+          xxhash64(lit(1L), col("tokens")).as("fp2"),
+          col("tokens")).distinct(),
+        "q_tokinc_index", files = 4)
+      val batch = materialize(s,
+        s.range(1000, 1400, 1, 8).select(col("id"),
+          g.genTokens(pmod(col("id"), lit(160L)), 60, V).as("tokens")),
+        "q_tokinc_batch", files = 4)
+      graft.pipeline.Dedup.tokenExactDedupIncremental(
+          batch, index.select(col("fp"), col("fp2")), "tokens", "id")
+        .fresh.select(col("id"))
+    }),
     "q_nfc_dedup" -> ((s, dir) => {
       // Unicode-aware exact dedup (the nfc flag ON): composed é, decomposed
       // e+combining-acute, spacing and case variants all collapse to one
@@ -1701,6 +1724,16 @@ object SparkEntry {
         |w AS (SELECT norm, min(doc_id) AS doc_id FROM b GROUP BY norm)
         |SELECT doc_id FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.norm = w.norm)""".stripMargin,
+
+    // token-array winners (min id per ARRAY, not per hash) anti-joined
+    // against the index fixture's raw arrays — 128-bit-fingerprint
+    // equality re-derived as list equality
+    "q_token_incremental" ->
+      """WITH idx AS (SELECT DISTINCT tokens FROM read_parquet('/root/repo/target/graft_oracle/q_tokinc_index/*.parquet')),
+        |b AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_tokinc_batch/*.parquet')),
+        |w AS (SELECT tokens, min(id) AS id FROM b GROUP BY tokens)
+        |SELECT id FROM w
+        |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.tokens = w.tokens)""".stripMargin,
 
     // Unicode flag ON: the oracle groups by nfc_normalize (DuckDB's NFC ==
     // JDK Normalizer NFC) composed with the same trim/collapse/lower chain,

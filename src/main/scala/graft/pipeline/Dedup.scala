@@ -624,6 +624,27 @@ object Dedup {
     fp.join(keep, Seq("__fp", "__fp2", idCol), "left_semi").drop("__fp", "__fp2")
   }
 
+  /** Incremental ingest dedup for TOKEN SEQUENCES — `exactDedupIncremental`
+    * over the structural 128-bit fingerprint: the index is `(fp, fp2)`
+    * (append `newFingerprints` after each ingest), history token arrays are
+    * never rescanned. Same union-equivalence and collision contracts as the
+    * text and batch-token operators above.
+    */
+  def tokenExactDedupIncremental(batch: DataFrame, index: DataFrame,
+                                 tokensCol: String, idCol: String,
+                                 fpCols: (String, String) = ("fp", "fp2")): Incremental = {
+    val winners = batch
+      .select(col(idCol), xxhash64(col(tokensCol)).as("__fp"),
+        xxhash64(lit(1L), col(tokensCol)).as("__fp2"))
+      .groupBy(col("__fp"), col("__fp2")).agg(min(col(idCol)).as(idCol))
+    val unseen = winners.join(
+      index.select(col(fpCols._1).as("__fp"), col(fpCols._2).as("__fp2")),
+      Seq("__fp", "__fp2"), "left_anti")
+    val fresh = batch.join(unseen.select(col(idCol)), Seq(idCol), "left_semi")
+    Incremental(fresh,
+      unseen.select(col("__fp").as(fpCols._1), col("__fp2").as(fpCols._2)))
+  }
+
   /** NEAR-duplicate token sequences by k-token-gram Jaccard: `IntGramSet`
     * sketch (sorted distinct gram hashes) + the prefix-filtered similarity
     * join. Catches re-tokenized near-copies (insertions/suffix edits) that

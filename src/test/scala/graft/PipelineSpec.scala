@@ -1108,6 +1108,30 @@ class PipelineSpec extends SparkSpec {
     assert(again.fresh.count() == 0 && again.newFingerprints.count() == 0)
   }
 
+  test("tokenExactDedupIncremental: union equivalence over structural fingerprints") {
+    val history = Seq(
+      (0L, Seq(1, 2, 3)), (1L, Seq(4, 5, 6))).toDF("doc_id", "tokens")
+    val batch = Seq(
+      (10L, Seq(1, 2, 3)),   // historically seen → drop
+      (11L, Seq(7, 8)),      // new → keep
+      (12L, Seq(7, 8)),      // batch-internal dup → drop
+      (13L, Seq(4, 5, 6, 7)) // PREFIX of nothing seen: structural, not fuzzy
+    ).toDF("doc_id", "tokens")
+    val index = history.select(
+      xxhash64(col("tokens")).as("fp"),
+      xxhash64(lit(1L), col("tokens")).as("fp2")).distinct()
+    val inc = Dedup.tokenExactDedupIncremental(batch, index, "tokens", "doc_id")
+    assert(inc.fresh.select("doc_id").as[Long].collect().toSet == Set(11L, 13L))
+    assert(inc.newFingerprints.count() == 2)
+    val unionSurvivors = Dedup.tokenExactDedup(
+        history.union(batch), "tokens", "doc_id")
+      .select("doc_id").as[Long].collect().toSet
+    assert(unionSurvivors.filter(_ >= 10L) == Set(11L, 13L))
+    val again = Dedup.tokenExactDedupIncremental(
+      batch, index.union(inc.newFingerprints), "tokens", "doc_id")
+    assert(again.fresh.count() == 0)
+  }
+
   test("stripHtml: blocks drop, structure becomes newlines, entities decode once") {
     def strip(in: String): String = Seq(in).toDF("html")
       .select(TextFunctions.stripHtml(col("html"))).head().getString(0)
