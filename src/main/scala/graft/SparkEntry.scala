@@ -1016,6 +1016,23 @@ object SparkEntry {
         e.where(col("vec_id") >= 40), e.where(col("vec_id") < 40),
         threshold = 0.35)
     }),
+    "q_semantic_contam_lsh" -> ((s, dir) => {
+      // the LARGE-eval-set regime: both sides' LSH buckets materialized, so
+      // the oracle recomputes candidates from the SAME bucket tables and the
+      // exact-cosine argmax from the raw arrays — candidate generation,
+      // payload-split verification, and the struct-max argmax all checked
+      val e = T(s, dir, "embeddings")
+      val train = e.where(col("vec_id") >= 40)
+      val ev = e.where(col("vec_id") < 40)
+      def bk(df: org.apache.spark.sql.DataFrame, as: String) =
+        df.select(col("vec_id").as(as),
+          explode(Ann.bandedBuckets(col("embedding"), 8, 8)).as("bk"))
+          .select(col(as), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      materialize(s, bk(train, "id"), "q_sclsh_train")
+      materialize(s, bk(ev, "eid"), "q_sclsh_eval")
+      graft.pipeline.SemDedup.semanticContaminationLsh(train, ev,
+        threshold = 0.35, bands = 8, bitsPerBand = 8)
+    }),
     "q_semantic_decontam" -> ((s, dir) => {
       // the release direction of the same pass: surviving train ids
       val e = T(s, dir, "embeddings")
@@ -2195,6 +2212,22 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY id ORDER BY cos DESC, eval_id ASC) AS rn
         |       FROM sc)
         |SELECT id, eval_id AS nearest_eval_id, cos AS max_cos
+        |FROM nn WHERE rn = 1 AND cos >= 0.35""".stripMargin,
+
+    "q_semantic_contam_lsh" ->
+      """WITH tb AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_sclsh_train/*.parquet')),
+        |eb AS (SELECT * FROM read_parquet('/root/repo/target/graft_oracle/q_sclsh_eval/*.parquet')),
+        |cand AS (SELECT DISTINCT tb.id AS id, eb.eid AS eid
+        |         FROM tb JOIN eb ON tb.band = eb.band AND tb.bucket = eb.bucket),
+        |sc AS (SELECT id, eid,
+        |         round(list_dot_product(CAST(ta.embedding AS DOUBLE[]), CAST(te.embedding AS DOUBLE[])) /
+        |           (sqrt(list_dot_product(CAST(ta.embedding AS DOUBLE[]), CAST(ta.embedding AS DOUBLE[]))) *
+        |            sqrt(list_dot_product(CAST(te.embedding AS DOUBLE[]), CAST(te.embedding AS DOUBLE[])))), 6) AS cos
+        |       FROM cand JOIN embeddings ta ON ta.vec_id = id JOIN embeddings te ON te.vec_id = eid),
+        |nn AS (SELECT id, eid, cos,
+        |         row_number() OVER (PARTITION BY id ORDER BY cos DESC, eid ASC) AS rn
+        |       FROM sc)
+        |SELECT id, eid AS nearest_eval_id, cos AS max_cos
         |FROM nn WHERE rn = 1 AND cos >= 0.35""".stripMargin,
 
     "q_semantic_decontam" ->

@@ -182,6 +182,46 @@ object SemDedup {
         round(col("__nn.cos"), 6).as("max_cos"))
   }
 
+  /** The LARGE-eval-set regime of `semanticContamination`: when the eval
+    * table exceeds the plan-embedded-matrix cap, bucket BOTH sides with the
+    * hyperplane LSH (`Ann.bandedBuckets`) and join on (band, bucket).
+    * Returns the same `(id, nearest_eval_id, max_cos)` shape, where the
+    * argmax ranges over LSH CANDIDATES only — recall is bounded by the
+    * band structure (a train/eval pair colliding in NO band is missed;
+    * more bands or fewer bits per band raise recall at more candidates),
+    * the regime split mirroring `Overlap.contaminationBloom` vs the
+    * broadcast gram index.
+    *
+    * Plan shape: both sides explode to (id, band, bucket) short rows ONLY —
+    * vectors never ride the candidate join; candidate pairs are distinct
+    * (two 8-byte ids), vectors join back once per side, the cosine is
+    * scored once per candidate, and the per-train argmax is a partial-agg
+    * max over a (cos, -eval_id) struct, so rounded-cosine ties break at
+    * the smallest eval id exactly like the matrix pass.
+    */
+  def semanticContaminationLsh(train: DataFrame, eval: DataFrame,
+      threshold: Double, bands: Int = 8, bitsPerBand: Int = 8,
+      idCol: String = "vec_id", vecCol: String = "embedding",
+      evalIdCol: String = "vec_id", evalVecCol: String = "embedding"): DataFrame = {
+    def buckets(df: DataFrame, id: String, vec: String, as: String) =
+      df.select(col(id).as(as),
+        explode(Ann.bandedBuckets(col(vec), bands, bitsPerBand)).as("bk"))
+        .select(col(as), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+    val cand = buckets(train, idCol, vecCol, "id")
+      .join(buckets(eval, evalIdCol, evalVecCol, "eid"), Seq("band", "bucket"))
+      .select(col("id"), col("eid")).distinct()
+    val scored = cand
+      .join(train.select(col(idCol).as("id"), col(vecCol).as("va")), Seq("id"))
+      .join(eval.select(col(evalIdCol).as("eid"), col(evalVecCol).as("vb")), Seq("eid"))
+      .select(col("id"), col("eid"),
+        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+    scored.groupBy(col("id"))
+      .agg(max(struct(col("cos"), (-col("eid")).as("neg"))).as("m"))
+      .select(col("id"), (-col("m.neg")).as("nearest_eval_id"),
+        col("m.cos").as("max_cos"))
+      .where(col("max_cos") >= threshold)
+  }
+
   /** The release direction: train rows that are NOT semantically
     * contaminated (max cosine against the eval set < `threshold`, or no
     * valid cosine at all). Returns full `train` rows — the filter rides the

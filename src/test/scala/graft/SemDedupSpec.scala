@@ -146,6 +146,26 @@ class SemDedupSpec extends SparkSpec {
     assert(!dplan.contains("Exchange"), s"unexpected exchange in:\n$dplan")
   }
 
+  test("semanticContaminationLsh: subset of the matrix pass, exact dups always collide") {
+    val matrix = SemDedup.semanticContamination(trainVecs, evalVecs, threshold = 0.7)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    val lsh = SemDedup.semanticContaminationLsh(trainVecs, evalVecs,
+        threshold = 0.7, bands = 16, bitsPerBand = 1)
+      .as[(Long, Long, Double)].collect().map(r => r._1 -> ((r._2, r._3))).toMap
+    // bounded recall: LSH never returns a row the exhaustive pass doesn't,
+    // and its candidate-argmax cosine never exceeds the true max
+    assert(lsh.keySet.subsetOf(matrix.keySet))
+    for ((id, (_, c)) <- lsh) assert(c <= matrix(id)._2)
+    // an identical train/eval vector has equal hyperplane signs in EVERY
+    // band — exact duplicates cannot be missed at any band structure
+    assert(lsh.contains(0L) && lsh(0L) == ((100L, 1.0)))
+    // the candidate join must key on (band, bucket), never a cartesian
+    val plan = SemDedup.semanticContaminationLsh(trainVecs, evalVecs,
+      threshold = 0.7).queryExecution.executedPlan.toString
+    assert(!plan.contains("Cartesian") && !plan.contains("BroadcastNestedLoop"),
+      s"unkeyed candidate join in:\n$plan")
+  }
+
   test("eval-set cap guard fails loudly instead of shipping a giant literal") {
     val e = intercept[IllegalArgumentException] {
       SemDedup.semanticContamination(trainVecs, evalVecs, threshold = 0.7,
