@@ -712,6 +712,13 @@ object SparkEntry {
           "text", "doc_id")
         .fresh.select(col("doc_id"))
     }),
+    "q_assign_splits" -> ((s, dir) => {
+      // deterministic split assignment: md5-keyed 48-bit draw against exact
+      // integer thresholds, replayed digit-by-digit in the oracle
+      graft.pipeline.Sampling.assignSplits(T(s, dir, "documents"),
+        "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .select(col("doc_id"), col("split"))
+    }),
     "q_token_incremental" -> ((s, dir) => {
       // token-sequence incremental ingest: the index fixture carries the
       // RAW token arrays next to the 128-bit structural fingerprints, so
@@ -1741,6 +1748,19 @@ object SparkEntry {
         |w AS (SELECT norm, min(doc_id) AS doc_id FROM b GROUP BY norm)
         |SELECT doc_id FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.norm = w.norm)""".stripMargin,
+
+    // the 48-bit md5 draw re-derived digit-by-digit (the classifier-oracle
+    // hex-parse idiom), compared against the SAME integer thresholds
+    // floor(0.8·2^48) / floor(0.9·2^48)
+    "q_assign_splits" ->
+      """WITH k AS (SELECT doc_id,
+        |  CAST(list_sum([(strpos('0123456789abcdef', substring(md5(CAST(doc_id AS VARCHAR)), i, 1)) - 1) * CAST(pow(16, 12 - i) AS BIGINT)
+        |                 for i in generate_series(1, 12)]) AS BIGINT) AS k
+        |  FROM documents)
+        |SELECT doc_id, CASE WHEN k < 225179981368524 THEN 'train'
+        |                    WHEN k < 253327479039590 THEN 'val'
+        |                    ELSE 'test' END AS split
+        |FROM k""".stripMargin,
 
     // token-array winners (min id per ARRAY, not per hash) anti-joined
     // against the index fixture's raw arrays — 128-bit-fingerprint

@@ -124,4 +124,41 @@ object Sampling {
                         alpha: Double, budget: Long): DataFrame =
     sampleToTargets(df, idCol, sourceCol,
       temperatureTargets(df, sourceCol, alpha, budget))
+
+  /** Deterministic train/val/test split assignment — a `split` column from
+    * a pure per-id hash, the property a 100 TB pipeline needs: ZERO
+    * shuffle (one map-side projection), and STABLE under growth — an id's
+    * split never changes when other rows are added, removed, or
+    * repartitioned, because nothing depends on ranks or counts. Weights
+    * must sum to 1 (±1e-9); each id draws u = the first 12 hex digits of
+    * md5(seed ++ id) as a 48-bit integer and lands in the half-open
+    * cumulative-weight interval containing it (exact INTEGER thresholds —
+    * floor(cum · 2⁴⁸) — so an independent engine replays the boundary
+    * decision digit-for-digit; md5 over xxhash64 for the same SQL-replay
+    * reason as `Classifier.featureIndex`). Fractions are exact in
+    * expectation with O(n^-1/2) realization error; `seed` re-deals the
+    * whole assignment.
+    */
+  def assignSplits(df: DataFrame, idCol: String,
+                   splits: Seq[(String, Double)],
+                   seed: String = ""): DataFrame = {
+    require(splits.nonEmpty, "assignSplits: at least one split")
+    require(splits.forall(_._2 > 0), s"assignSplits: weights must be positive: $splits")
+    val total = splits.map(_._2).sum
+    require(math.abs(total - 1.0) < 1e-9,
+      s"assignSplits: weights must sum to 1, got $total")
+    val M = 1L << 48
+    val key = conv(substring(md5(concat(lit(seed),
+      col(idCol).cast("string"))), 1, 12), 16, 10).cast("long")
+    // integer thresholds; the LAST split claims everything below 2^48, so
+    // float rounding in the cumulative sum can never leave a row unassigned
+    val cums = splits.map(_._2).scanLeft(0.0)(_ + _).tail
+    val thresholds = cums.init.map(c => math.floor(c * M.toDouble).toLong) :+ M
+    // when-cascade in declared order (first matching threshold wins)
+    val assigned = splits.map(_._1).zip(thresholds)
+      .foldRight(lit(null).cast("string")) { case ((name, t), rest) =>
+        when(key < t, name).otherwise(rest)
+      }
+    df.withColumn("split", assigned)
+  }
 }

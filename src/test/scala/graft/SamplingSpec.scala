@@ -101,4 +101,54 @@ class SamplingSpec extends SparkSpec {
       s"thresholds not broadcast:\n$plan")
     assert(!plan.contains("SortMergeJoin"), s"data table shuffled for the join:\n$plan")
   }
+
+  test("assignSplits: driver-replica agreement, exhaustive, stable under growth") {
+    val ids = spark.range(0, 4000, 1, 8).toDF("doc_id")
+    val splits = Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1)
+    val got = Sampling.assignSplits(ids, "doc_id", splits)
+      .select(col("doc_id"), col("split"))
+      .as[(Long, String)].collect().toMap
+
+    // driver replica: first 12 md5 hex digits of the decimal id string
+    val M = 1L << 48
+    val t1 = math.floor(0.8 * M.toDouble).toLong
+    val t2 = math.floor(0.9 * M.toDouble).toLong
+    def ref(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = d.map(b => f"$b%02x").mkString.substring(0, 12)
+      val k = java.lang.Long.parseLong(hex, 16)
+      if (k < t1) "train" else if (k < t2) "val" else "test"
+    }
+    assert(got.size == 4000)
+    got.foreach { case (id, s) => assert(s == ref(id), s"id=$id") }
+    // realized fractions near the weights (binomial ±5 sigma)
+    val n = got.values.groupBy(identity).view.mapValues(_.size).toMap
+    assert(math.abs(n("train") - 3200) < 5 * math.sqrt(4000 * 0.8 * 0.2))
+    assert(math.abs(n("val") - 400) < 5 * math.sqrt(4000 * 0.1 * 0.9))
+
+    // growth stability: the same ids keep their split inside a larger table
+    val grown = Sampling.assignSplits(
+      spark.range(0, 8000, 1, 8).toDF("doc_id"), "doc_id", splits)
+      .as[(Long, String)].collect().toMap
+    got.foreach { case (id, s) => assert(grown(id) == s) }
+
+    // a different seed re-deals, same replica law
+    val reseeded = Sampling.assignSplits(ids, "doc_id", splits, seed = "v2")
+      .as[(Long, String)].collect().toMap
+    assert(reseeded != got)
+
+    // zero exchanges: pure map-side projection
+    val plan = Sampling.assignSplits(ids, "doc_id", splits)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Exchange"), s"unexpected exchange:\n$plan")
+
+    // guards
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "doc_id", Seq("a" -> 0.5, "b" -> 0.4))
+    }
+    intercept[IllegalArgumentException] {
+      Sampling.assignSplits(ids, "doc_id", Seq("a" -> 1.5, "b" -> -0.5))
+    }
+  }
 }
