@@ -34,6 +34,19 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Deterministic planted-URL fixture shared by q_url_domains /
+    * q_domain_blocked: uppercase hosts, userinfo+port subdomain URLs on
+    * even ids, markup-free tails.
+    */
+  private def urlDocsFixture(s: SparkSession): DataFrame =
+    s.range(0, 400, 1, 8).select(col("id"), concat(
+      lit("see http://EXAMPLE"), pmod(col("id"), lit(7L)).cast("string"),
+      lit(".com/p?x=1 and "),
+      when(col("id") % 2 === 0, concat(lit("https://u:p@sub"),
+        pmod(col("id"), lit(5L)).cast("string"),
+        lit(".host.org:8443/a#f "))).otherwise(lit("")),
+      lit("tail with no markup")).as("text"))
+
   /** Flagship: validate a deterministic synthetic sequence table
     * (BASELINE.json input_hint shape, sf0.001-scale row count) and return the
     * violation rows — non-empty by construction (violation injection,
@@ -441,6 +454,30 @@ object SparkEntry {
       val stored = materialize(s, html, "q_html_docs", files = 4)
       stored.select(col("doc_id"),
         graft.pipeline.TextFunctions.stripHtml(col("html")).as("text"))
+    }),
+
+    // --- URL extraction / domain blocklist (web-corpus curation) ---
+    // planted URL shapes: uppercase hosts, userinfo, ports, paths, queries,
+    // fragments. Both queries materialize the SAME deterministic fixture
+    // (overwrite with identical rows), so their evaluation order is free.
+    "q_url_domains" -> ((s, dir) => {
+      val tf = graft.pipeline.TextFunctions
+      val stored = materialize(s, urlDocsFixture(s), "q_url_docs", files = 4)
+      stored.select(col("id"),
+          explode(tf.extractUrls(col("text"))).as("url"))
+        .select(col("id"), col("url"),
+          tf.urlDomain(col("url")).as("domain"))
+    }),
+    "q_domain_blocked" -> ((s, dir) => {
+      // the gate direction: ids whose ANY url domain is blocklisted,
+      // subdomain-aware (host.org blocks sub0.host.org)
+      val tf = graft.pipeline.TextFunctions
+      val stored = materialize(s, urlDocsFixture(s), "q_url_docs", files = 4)
+      stored.select(col("id"),
+          explode(tf.extractUrls(col("text"))).as("url"))
+        .where(tf.domainBlocked(tf.urlDomain(col("url")),
+          Seq("example3.com", "host.org")))
+        .select(col("id")).distinct()
     }),
 
     // --- language-ID heuristic (stopword cascade) ---
@@ -1637,6 +1674,23 @@ object SparkEntry {
         |       CAST(len(regexp_extract_all(t3, '\b[0-9]{7,}\b')) AS INT) AS n_nums,
         |       regexp_replace(t3, '\b[0-9]{7,}\b', '<NUM>', 'g') AS redacted
         |FROM r3""".stripMargin,
+
+    // URL extraction + host capture replayed in RE2 over the planted fixture
+    "q_url_domains" ->
+      """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_url_docs/*.parquet')),
+        |u AS (SELECT id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM d)
+        |SELECT id, url,
+        |       lower(regexp_extract(url, '^https?://(?:[^@/?#\s]+@)?([^:/?#\s]+)', 1)) AS domain
+        |FROM u""".stripMargin,
+
+    // subdomain-aware blocklist gate: exact domain or dot-suffix match
+    "q_domain_blocked" ->
+      """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_url_docs/*.parquet')),
+        |u AS (SELECT id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM d),
+        |dom AS (SELECT id, lower(regexp_extract(url, '^https?://(?:[^@/?#\s]+@)?([^:/?#\s]+)', 1)) AS domain FROM u)
+        |SELECT DISTINCT id FROM dom
+        |WHERE domain = 'example3.com' OR domain LIKE '%.example3.com'
+        |   OR domain = 'host.org' OR domain LIKE '%.host.org'""".stripMargin,
 
     // the identical markup-stripping cascade replayed in RE2 over the
     // materialized HTML shells: block drops, structural newlines, tag

@@ -391,6 +391,36 @@ object TextFunctions {
       nums = regexp_count(afterPhone, lit(LongNumRe)))
   }
 
+  // ===== URL / domain curation (RefinedWeb-style URL filtering) =====
+
+  private[graft] val UrlDomainRe = "^https?://(?:[^@/?#\\s]+@)?([^:/?#\\s]+)"
+
+  /** Every URL in a text, in order (empty array when none) — the audit
+    * companion of the `<URL>` redaction class, sharing its pattern.
+    */
+  def extractUrls(text: Column): Column =
+    regexp_extract_all(text, lit(UrlRe), lit(0))
+
+  /** The lowercased host of a URL (empty string for non-URLs): scheme and
+    * userinfo skipped, port/path/query/fragment cut. A regex capture, not
+    * a URL parser — the standard corpus-scale trade (cf. `stripHtml`).
+    */
+  def urlDomain(url: Column): Column =
+    lower(regexp_extract(url, UrlDomainRe, 1))
+
+  /** True when `domain` is one of `blocked` or any subdomain of one
+    * (`ads.example.com` is blocked by `example.com` but `notexample.com`
+    * is not). The RefinedWeb-style blocklist gate: blocklists are
+    * 10⁴..10⁶ entries — a driver-side Seq folded into a codegen'd
+    * predicate works to ~10³; past that, broadcast-join a blocklist table
+    * on the exact domain plus its parent suffixes instead.
+    */
+  def domainBlocked(domain: Column, blocked: Seq[String]): Column = {
+    require(blocked.nonEmpty, "domainBlocked: empty blocklist")
+    blocked.map(b => domain === b || domain.endsWith("." + b))
+      .reduce(_ || _)
+  }
+
   // ===== HTML/markup stripping (the C4/CCNet extraction stage) =====
 
   private[graft] val HtmlScriptRe = "(?is)<script\\b[^>]*>.*?</script\\s*>"

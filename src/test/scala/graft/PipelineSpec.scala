@@ -1132,6 +1132,32 @@ class PipelineSpec extends SparkSpec {
     assert(again.fresh.count() == 0)
   }
 
+  test("urlDomain/extractUrls/domainBlocked: hosts normalize, suffixes gate") {
+    val cases = Seq(
+      "http://Example.COM/path?q=1" -> "example.com",
+      "https://u:p@sub.host.org:8443/a#f" -> "sub.host.org",
+      "https://bare.io" -> "bare.io",
+      "not a url" -> "") // non-URL → empty domain
+    for ((in, want) <- cases) {
+      val got = Seq(in).toDF("u")
+        .select(TextFunctions.urlDomain(col("u"))).head().getString(0)
+      assert(got == want, s"urlDomain($in) = $got")
+    }
+    val urls = Seq("a http://x.io/1 b https://y.io/2 c").toDF("text")
+      .select(TextFunctions.extractUrls(col("text"))).head().getSeq[String](0)
+    assert(urls == Seq("http://x.io/1", "https://y.io/2")) // in order
+
+    val blocked = Seq("example.com", "host.org")
+    val gate = Seq(
+      ("example.com", true), ("ads.example.com", true),
+      ("notexample.com", false), ("host.org", true),
+      ("a.b.host.org", true), ("ghost.org", false))
+      .toDF("domain", "want")
+    val wrong = gate.where(
+      TextFunctions.domainBlocked(col("domain"), blocked) =!= col("want"))
+    assert(wrong.count() == 0, wrong.collect().mkString(", "))
+  }
+
   test("stripHtml: blocks drop, structure becomes newlines, entities decode once") {
     def strip(in: String): String = Seq(in).toDF("html")
       .select(TextFunctions.stripHtml(col("html"))).head().getString(0)
