@@ -25,6 +25,10 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     [--strip-html true]
   *       # crawled-HTML corpora: markup extraction BEFORE validation, so
   *       # all-markup docs strip to empty and fail into violations/
+  *     [--sem-eval <parquet of (vec_id, embedding)>] [--sem-threshold 0.9] \
+  *     [--embedding-col embedding]
+  *       # embedding-space decontamination of the survivors — catches
+  *       # paraphrased eval leakage the gram-based --eval stage misses
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
@@ -230,7 +234,10 @@ object Curate {
           clfDim: Int = 1 << 21,
           clfThreshold: Option[Double] = None,
           clfBiasMicro: Long = 0L,
-          stripHtml: Boolean = false): Result = {
+          stripHtml: Boolean = false,
+          semEval: Option[DataFrame] = None,
+          semThreshold: Double = 0.9,
+          embeddingCol: String = "embedding"): Result = {
     // markup extraction runs FIRST (crawled-HTML corpora): validation must
     // judge the extracted text — a doc that is all markup strips to empty
     // and fails nonEmptyStr into violations/ rather than polluting dedup
@@ -263,6 +270,21 @@ object Curate {
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
+    // SEMANTIC decontamination on the survivors (docs carry an embedding
+    // column; `semEval` is a (vec_id, embedding) eval table): the
+    // embedding-space complement of the gram-based --eval stage — catches
+    // paraphrased eval leakage that shares no token grams. Counted stage;
+    // rows with null embeddings pass through (the operator's contract).
+    val semClean = semEval match {
+      case None => base
+      case Some(ev) =>
+        val nIn = base.stats.last.rowsOut
+        val kept = pipeline.SemDedup.semanticDecontaminate(base.clean, ev,
+          semThreshold, idCol = idCol, vecCol = embeddingCol).persist()
+        base.copy(clean = kept,
+          stats = base.stats :+ StageStats("sem_decontaminate", nIn, kept.count()),
+          persisted = base.persisted :+ kept)
+    }
     // fastText-style quality-classifier stage on the SURVIVING rows (the
     // model is trained offline; `clfWeights` is its (idx, w_micro) bucket
     // table). Scored on the RAW text — like dedup, and before redaction,
@@ -271,20 +293,20 @@ object Curate {
     // with the consumer, like gopher_ok); with one, rows below it — and
     // featureless rows, whose score is NULL — drop as a counted stage.
     val scored = clfWeights match {
-      case None => base
+      case None => semClean
       case Some(w) =>
-        val sc = pipeline.Classifier.scoreLinear(base.clean, textCol, idCol,
+        val sc = pipeline.Classifier.scoreLinear(semClean.clean, textCol, idCol,
             w, clfDim, biasMicro = clfBiasMicro)
           .select(col("id").as(idCol), col("score").as("clf_score"))
-        val annotated = base.clean.join(sc, Seq(idCol), "left")
+        val annotated = semClean.clean.join(sc, Seq(idCol), "left")
         clfThreshold match {
-          case None => base.copy(clean = annotated)
+          case None => semClean.copy(clean = annotated)
           case Some(t) =>
-            val nIn = base.stats.last.rowsOut
+            val nIn = semClean.stats.last.rowsOut
             val kept = annotated.where(col("clf_score") >= t).persist()
-            base.copy(clean = kept,
-              stats = base.stats :+ StageStats("clf_filter", nIn, kept.count()),
-              persisted = base.persisted :+ kept)
+            semClean.copy(clean = kept,
+              stats = semClean.stats :+ StageStats("clf_filter", nIn, kept.count()),
+              persisted = semClean.persisted :+ kept)
         }
     }
     // PII scrub on the RELEASED rows only (after every filter stage — the
@@ -344,7 +366,7 @@ object Curate {
           "pack-chunk-size", "pack-id-prefix")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
-        "strip-html")
+        "strip-html", "sem-eval", "sem-threshold", "embedding-col")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -378,7 +400,10 @@ object Curate {
         clfDim = opts.getOrElse("clf-dim", (1 << 21).toString).toInt,
         clfThreshold = opts.get("clf-threshold").map(_.toDouble),
         clfBiasMicro = opts.getOrElse("clf-bias-micro", "0").toLong,
-        stripHtml = opts.getOrElse("strip-html", "false").toBoolean)
+        stripHtml = opts.getOrElse("strip-html", "false").toBoolean,
+        semEval = opts.get("sem-eval").map(spark.read.parquet(_)),
+        semThreshold = opts.getOrElse("sem-threshold", "0.9").toDouble,
+        embeddingCol = opts.getOrElse("embedding-col", "embedding"))
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

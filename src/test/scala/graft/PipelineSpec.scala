@@ -628,6 +628,22 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.run with semEval drops embedding-near survivors as a counted stage") {
+    val input = Seq(
+      (0L, "about catalyst optimizer internals", Array(1.0f, 0.0f)),
+      (1L, "completely unrelated gardening prose", Array(0.0f, 1.0f)),
+      (2L, "a third distinct document body", Array(0.7071f, 0.7071f)))
+      .toDF("doc_id", "text", "embedding")
+    // eval vector aligned with doc 0 (cos 1.0); 2 sits at cos ~0.707
+    val ev = Seq((100L, Array(1.0f, 0.0f))).toDF("vec_id", "embedding")
+    val r = Curate.run(spark, input, "doc_id", "text",
+      semEval = Some(ev), semThreshold = 0.9)
+    assert(r.clean.select("doc_id").as[Long].collect().toSet == Set(1L, 2L))
+    assert(r.stats.map(s => (s.stage, s.rowsIn, s.rowsOut)).last ==
+      (("sem_decontaminate", 3L, 2L)))
+    r.unpersist()
+  }
+
   test("Curate.run with redactPii scrubs the released text only") {
     val input = Seq(
       (0L, "the quick brown fox writes to admin@corp.example every day"),
