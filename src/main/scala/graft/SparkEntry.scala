@@ -749,6 +749,23 @@ object SparkEntry {
           "text", "doc_id")
         .fresh.select(col("doc_id"))
     }),
+    "q_jaccard_incremental" -> ((s, dir) => {
+      // incremental NEAR-dup ingest: history = docs with doc_id % 3 == 0
+      // (their sketch index persisted), batch = the rest; the oracle is the
+      // all-pairs union jaccard restricted to batch-involving pairs —
+      // checking prefix candidates from STORED index rows, the cross-table
+      // join, and exact verification end-to-end
+      val tf = graft.pipeline.TextFunctions
+      def sets(d: org.apache.spark.sql.DataFrame) = d.select(
+        col("doc_id").as("id"),
+        graft.functions.TextExprs.wordGramSet(
+          tf.normalize(col("text")), 3).as("g"))
+      val d = T(s, dir, "documents")
+      val idx = graft.pipeline.Dedup.buildSketchIndex(
+        sets(d.where(col("doc_id") % 3 === 0)), indexThreshold = 0.2)
+      graft.pipeline.Dedup.jaccardPairsIncremental(
+        sets(d.where(col("doc_id") % 3 =!= 0)), idx, threshold = 0.2).pairs
+    }),
     "q_assign_splits" -> ((s, dir) => {
       // deterministic split assignment: md5-keyed 48-bit draw against exact
       // integer thresholds, replayed digit-by-digit in the oracle
@@ -1802,6 +1819,23 @@ object SparkEntry {
         |w AS (SELECT norm, min(doc_id) AS doc_id FROM b GROUP BY norm)
         |SELECT doc_id FROM w
         |WHERE NOT EXISTS (SELECT 1 FROM idx WHERE idx.norm = w.norm)""".stripMargin,
+
+    // all-pairs union jaccard restricted to pairs with a batch side
+    // (doc_id % 3 <> 0) — the independent re-derivation of the stored-index
+    // prefix join; same gram derivation as the q_ngram_jaccard oracle
+    "q_jaccard_incremental" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, string_split(t, ' ') AS ws, t FROM n),
+        |g AS (SELECT doc_id,
+        |        CASE WHEN len(ws) <= 3 THEN [t]
+        |             ELSE list_distinct([array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)]) END AS gs
+        |      FROM w),
+        |p AS (SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+        |        CAST(len(list_intersect(a.gs, b.gs)) AS DOUBLE) /
+        |        (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))) AS j
+        |      FROM g a JOIN g b ON a.doc_id < b.doc_id
+        |      WHERE a.doc_id % 3 <> 0 OR b.doc_id % 3 <> 0)
+        |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.2""".stripMargin,
 
     // the 48-bit md5 draw re-derived digit-by-digit (the classifier-oracle
     // hex-parse idiom), compared against the SAME integer thresholds

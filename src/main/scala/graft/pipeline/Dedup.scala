@@ -525,6 +525,91 @@ object Dedup {
     }
   }
 
+  // ===== incremental NEAR-dup ingest against a persisted sketch index =====
+
+  /** A persisted similarity-sketch index over the history corpus:
+    * `sets` = (id, g) sorted-distinct gram-hash arrays (the verification
+    * payload), `prefix` = (tok, id, sz) — each history doc's HASH-ORDER
+    * prefix exploded once at index-build time. Hash order (not df order)
+    * deliberately: it is STABLE under growth, so history prefixes never
+    * need recomputing when new batches arrive — the df order is a
+    * performance heuristic, not a recall condition (any consistent total
+    * order gives recall 1), and an incremental index must pick an order
+    * that does not shift with every ingest. The trade: ubiquitous
+    * template grams land in prefixes at natural rates (the hot-key profile
+    * df ordering exists to fix) — for heavily templated corpora run the
+    * batch `jaccardPairsFromSets` rebuild instead, or strip boilerplate
+    * upstream (`Overlap.stripBoilerplateLines`).
+    *
+    * Prefixes are sliced for `indexThreshold`; the index serves ANY query
+    * threshold >= indexThreshold (lower t ⇒ LONGER prefixes required, so a
+    * higher-t slice would under-index; enforced at use).
+    */
+  final case class SketchIndex(prefix: DataFrame, sets: DataFrame,
+                               indexThreshold: Double)
+
+  /** Build (or extend — see `jaccardPairsIncremental.newIndexRows`) the
+    * sketch index from an (id, g) sorted-distinct set table.
+    */
+  def buildSketchIndex(sets: DataFrame, indexThreshold: Double): SketchIndex = {
+    require(indexThreshold > 0 && indexThreshold < 1, "indexThreshold in (0,1)")
+    def pfxLen(sz: Column): Column =
+      (sz - ceilT(sz, indexThreshold) + 1).cast("int")
+    val prefix = sets.select(col("id"), size(col("g")).as("sz"),
+      explode(slice(col("g"), lit(1), pfxLen(size(col("g"))))).as("tok"))
+      .select(col("tok"), col("id"), col("sz"))
+    SketchIndex(prefix, sets, indexThreshold)
+  }
+
+  /** Result of an incremental near-dup ingest: `pairs` = every qualifying
+    * (id_a, id_b, jaccard) pair with AT LEAST ONE batch side — batch×batch
+    * and batch×history; history×history pairs were resolved by earlier
+    * ingests and are never recomputed. `newPrefix`/`newSets` extend the
+    * index for the next ingest.
+    */
+  final case class IncrementalPairs(pairs: DataFrame,
+                                    newPrefix: DataFrame, newSets: DataFrame)
+
+  /** Near-duplicate pairs of an INGEST BATCH against a persisted sketch
+    * index — the nightly-ingest shape of `jaccardPairsFromSets`: history
+    * raw text/tokens are never rescanned; candidate generation touches only
+    * the stored prefix rows (20 bytes each) and verification only the
+    * matched docs' stored gram sets. RECALL 1 against the union contract:
+    * `pairs` equals `jaccardPairsFromSets(history ∪ batch, t, dfOrdered =
+    * false)` restricted to pairs with a batch side (both operators filter
+    * prefixes under the same stable hash order, and a qualifying pair
+    * always shares a prefix gram under ANY consistent total order).
+    * Ids must be unique across history ∪ batch and mutually comparable
+    * (pairs are emitted with id_a < id_b).
+    */
+  def jaccardPairsIncremental(batchSets: DataFrame, index: SketchIndex,
+                              threshold: Double): IncrementalPairs = {
+    require(threshold >= index.indexThreshold,
+      s"threshold=$threshold below indexThreshold=${index.indexThreshold}: " +
+        "stored prefixes are too short for a lower threshold — rebuild the " +
+        "index at the lower bound you intend to query")
+    val batchIdx = buildSketchIndex(batchSets, index.indexThreshold)
+    def sized(p: DataFrame, side: String) = p.select(col("tok"),
+      col("id").as(s"id_$side"), col("sz").as(s"sz_$side"))
+    val sizeOk = col("sz_a") >= ceilT(col("sz_b"), threshold) &&
+      col("sz_b") >= ceilT(col("sz_a"), threshold)
+    // batch × batch: the standard self-join; batch × history: same join
+    // across tables (no id order constraint — ids are disjoint), then
+    // normalized to id_a < id_b
+    val bb = sized(batchIdx.prefix, "a").join(sized(batchIdx.prefix, "b"), Seq("tok"))
+      .where(col("id_a") < col("id_b") && sizeOk)
+      .select(col("id_a"), col("id_b"))
+    val bh = sized(batchIdx.prefix, "a").join(sized(index.prefix, "b"), Seq("tok"))
+      // ids are contract-disjoint across batch/history; the inequality is a
+      // cheap guard so an accidental re-ingest can't emit jaccard-1 self-pairs
+      .where(col("id_a") =!= col("id_b") && sizeOk)
+      .select(least(col("id_a"), col("id_b")).as("id_a"),
+        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val cand = bb.union(bh).distinct()
+    val pairs = verifySetPairs(cand, batchSets.union(index.sets), threshold)
+    IncrementalPairs(pairs, batchIdx.prefix, batchSets)
+  }
+
   /** The df-order index source: per id, the set size and the
     * (df asc, gram asc)-sorted struct array `dg`.
     */

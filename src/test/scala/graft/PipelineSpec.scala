@@ -1124,6 +1124,50 @@ class PipelineSpec extends SparkSpec {
     assert(again.fresh.count() == 0 && again.newFingerprints.count() == 0)
   }
 
+  test("jaccardPairsIncremental: union equivalence across two ingests, threshold guard") {
+    def sets(rows: Seq[(Long, String)]) = rows.toDF("id", "text").select(col("id"),
+      graft.functions.TextExprs.wordGramSet(
+        TextFunctions.normalize(col("text")), 3).as("g"))
+    val history = sets(Seq(
+      (0L, "the quick brown fox jumps over the lazy dog tonight"),
+      (1L, "the quick brown fox jumps over the lazy cat tonight"),
+      (2L, "completely unrelated prose about catalyst internals here")))
+    val batch1 = sets(Seq(
+      (100L, "the quick brown fox jumps over the lazy dog today"), // near 0/1
+      (101L, "another isolated document with its own vocabulary entirely"),
+      (102L, "the quick brown fox jumps over the lazy dog tonight"))) // dup of 0
+    val batch2 = sets(Seq(
+      (200L, "another isolated document with its own vocabulary mostly"), // near 101
+      (201L, "the quick brown fox jumps over the lazy cat tonight"))) // dup of 1
+
+    val t = 0.3
+    def unionPairsWith(all: org.apache.spark.sql.DataFrame, newIds: Long => Boolean) =
+      Dedup.jaccardPairsFromSets(all, t, dfOrdered = false)
+        .as[(Long, Long, Double)].collect().toSet
+        .filter(p => newIds(p._1) || newIds(p._2))
+
+    val idx1 = Dedup.buildSketchIndex(history, t)
+    val inc1 = Dedup.jaccardPairsIncremental(batch1, idx1, t)
+    assert(inc1.pairs.as[(Long, Long, Double)].collect().toSet ==
+      unionPairsWith(history.union(batch1), _ >= 100L))
+
+    // extend the index with ingest 1 and run ingest 2 against it
+    val idx2 = Dedup.SketchIndex(idx1.prefix.union(inc1.newPrefix),
+      idx1.sets.union(inc1.newSets), t)
+    val inc2 = Dedup.jaccardPairsIncremental(batch2, idx2, t)
+    assert(inc2.pairs.as[(Long, Long, Double)].collect().toSet ==
+      unionPairsWith(history.union(batch1).union(batch2), _ >= 200L))
+    // the dup-of-1 in batch2 really surfaced through the stored index
+    assert(inc2.pairs.where(col("id_a") === 1L && col("id_b") === 201L)
+      .head().getDouble(2) == 1.0)
+
+    // stored prefixes cannot serve a LOWER threshold
+    val e = intercept[IllegalArgumentException] {
+      Dedup.jaccardPairsIncremental(batch1, idx1, 0.2)
+    }
+    assert(e.getMessage.contains("indexThreshold"))
+  }
+
   test("tokenExactDedupIncremental: union equivalence over structural fingerprints") {
     val history = Seq(
       (0L, Seq(1, 2, 3)), (1L, Seq(4, 5, 6))).toDF("doc_id", "tokens")
