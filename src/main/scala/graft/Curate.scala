@@ -29,6 +29,10 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     [--embedding-col embedding]
   *       # embedding-space decontamination of the survivors — catches
   *       # paraphrased eval leakage the gram-based --eval stage misses
+  *     [--index-dir <parquet of (fp)>]
+  *       # INCREMENTAL ingest: exact dedup also drops texts seen in any
+  *       # prior run; the grown index lands at <output>/fp_index (rotate
+  *       # it into --index-dir for the next ingest)
   *
   * TOKEN-SEQUENCE mode (`--tokens-col tokens`): the same funnel over the
   * north-rule payload — structural-fingerprint exact dedup, k-token-gram
@@ -60,7 +64,8 @@ object Curate {
                           groups: DataFrame, contaminated: Option[DataFrame],
                           stats: Seq[StageStats],
                           private[Curate] val persisted: Seq[DataFrame],
-                          packed: Option[DataFrame] = None) {
+                          packed: Option[DataFrame] = None,
+                          updatedFpIndex: Option[DataFrame] = None) {
     /** Release the stage caches once the outputs are written — a long-lived
       * session would otherwise hold every intermediate in executor memory.
       */
@@ -237,7 +242,11 @@ object Curate {
           stripHtml: Boolean = false,
           semEval: Option[DataFrame] = None,
           semThreshold: Double = 0.9,
-          embeddingCol: String = "embedding"): Result = {
+          embeddingCol: String = "embedding",
+          fpIndex: Option[DataFrame] = None): Result = {
+    // set by the incremental exact-dedup closure below (funnel stages run
+    // eagerly — counted — so the holder is populated before base returns)
+    var newFpsHolder: Option[DataFrame] = None
     // markup extraction runs FIRST (crawled-HTML corpora): validation must
     // judge the extracted text — a doc that is all markup strips to empty
     // and fails nonEmptyStr into violations/ rather than polluting dedup
@@ -263,8 +272,21 @@ object Curate {
         .withColumn("gopher_rep_ok",
           pipeline.TextFunctions.gopherRepetitionOk(col(textCol))),
       // nfc threads into BOTH dedup stages (a flag on one but not the
-      // other would dedup composed/decomposed variants inconsistently)
-      exactDedup = Dedup.exactDedup(_, textCol, idCol, nfc = nfc),
+      // other would dedup composed/decomposed variants inconsistently).
+      // With an fpIndex, the stage becomes the INCREMENTAL form: rows
+      // whose text was ever seen historically drop here too, and the new
+      // fingerprints surface on Result.updatedFpIndex so the caller can
+      // persist the grown index for the next ingest (main writes
+      // $output/fp_index). The fps recorded are the batch's distinct NEW
+      // ones — texts already indexed add nothing, so ix ∪ new == ix ∪ all.
+      exactDedup = fpIndex match {
+        case None => Dedup.exactDedup(_, textCol, idCol, nfc = nfc)
+        case Some(ix) => (d: DataFrame) => {
+          val r = Dedup.exactDedupIncremental(d, ix, textCol, idCol, nfc = nfc)
+          newFpsHolder = Some(r.newFingerprints)
+          r.fresh
+        }
+      },
       nearDupPairs = Dedup.minhashNearDups(_, textCol, idCol,
         threshold = minhashThreshold, nfc = nfc),
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
@@ -314,17 +336,23 @@ object Curate {
     // or stage count. Dedup/contamination above intentionally ran on the
     // RAW text: redaction collapses distinct PII into one token, which
     // would manufacture false near-dup matches
-    if (!redactPii) scored
-    else scored.copy(clean = scored.clean
-      .withColumn("pii_redactions",
-        pipeline.TextFunctions.piiCounts(col(textCol)).total)
-      .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
-      // violations are persisted output too — a run that asked for PII
-      // scrubbing must not land raw emails/phones on disk via the
-      // quarantine path (round-4 advice). Scrub the text column AND the
-      // message columns: error messages embed Python-style value reprs
-      // (PyRepr), so a failing text value leaks into `code`/`autos`/`errors`
-      violations = scrubViolations(base.violations, textCol))
+    val out =
+      if (!redactPii) scored
+      else scored.copy(clean = scored.clean
+        .withColumn("pii_redactions",
+          pipeline.TextFunctions.piiCounts(col(textCol)).total)
+        .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
+        // violations are persisted output too — a run that asked for PII
+        // scrubbing must not land raw emails/phones on disk via the
+        // quarantine path (round-4 advice). Scrub the text column AND the
+        // message columns: error messages embed Python-style value reprs
+        // (PyRepr), so a failing text value leaks into `code`/`autos`/`errors`
+        violations = scrubViolations(base.violations, textCol))
+    fpIndex match {
+      case None => out
+      case Some(ix) =>
+        out.copy(updatedFpIndex = Some(ix.union(newFpsHolder.get)))
+    }
   }
 
   /** PII-scrub a violations frame: the text column plus every
@@ -366,7 +394,8 @@ object Curate {
           "pack-chunk-size", "pack-id-prefix")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
-        "strip-html", "sem-eval", "sem-threshold", "embedding-col")
+        "strip-html", "sem-eval", "sem-threshold", "embedding-col",
+        "index-dir")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -403,10 +432,16 @@ object Curate {
         stripHtml = opts.getOrElse("strip-html", "false").toBoolean,
         semEval = opts.get("sem-eval").map(spark.read.parquet(_)),
         semThreshold = opts.getOrElse("sem-threshold", "0.9").toDouble,
-        embeddingCol = opts.getOrElse("embedding-col", "embedding"))
+        embeddingCol = opts.getOrElse("embedding-col", "embedding"),
+        fpIndex = opts.get("index-dir").map(spark.read.parquet(_)))
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")
+    // the grown exact-dedup index for the NEXT ingest, written to the
+    // output (never back onto --index-dir: overwriting an input a lazy
+    // plan still reads corrupts the run) — rotate dirs between ingests
+    r.updatedFpIndex.foreach(
+      _.write.mode("overwrite").parquet(s"$output/fp_index"))
     r.violations.write.mode("overwrite").parquet(s"$output/violations")
     r.groups.write.mode("overwrite").parquet(s"$output/dup_groups")
     r.contaminated.foreach(_.write.mode("overwrite").parquet(s"$output/contaminated"))

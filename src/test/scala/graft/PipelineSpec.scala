@@ -628,6 +628,30 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.run with fpIndex dedups against history and grows the index") {
+    val history = Seq((0L, "the quick brown fox jumps over everything"))
+      .toDF("doc_id", "text")
+    val index = history.select(
+      TextFunctions.fingerprint(col("text")).as("fp")).distinct()
+    val batch = Seq(
+      (10L, "the quick brown fox jumps over everything"), // seen → drops
+      (11L, "a genuinely new document body this time"))
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, batch, "doc_id", "text", fpIndex = Some(index))
+    assert(r.clean.select("doc_id").as[Long].collect().toSet == Set(11L))
+    assert(r.stats.map(s => (s.stage, s.rowsIn, s.rowsOut)).take(2) ==
+      Seq(("validate", 2L, 2L), ("exact_dedup", 2L, 1L)))
+    // grown index: the old fp plus the one new text's fp
+    val grown = r.updatedFpIndex.get
+    assert(grown.count() == 2)
+    assert(index.join(grown, Seq("fp"), "left_anti").count() == 0)
+    // re-ingesting the same batch against the grown index releases nothing
+    val again = Curate.run(spark, batch, "doc_id", "text", fpIndex = Some(grown))
+    assert(again.clean.count() == 0)
+    assert(again.updatedFpIndex.get.count() == 2)
+    r.unpersist(); again.unpersist()
+  }
+
   test("Curate.run with semEval drops embedding-near survivors as a counted stage") {
     val input = Seq(
       (0L, "about catalyst optimizer internals", Array(1.0f, 0.0f)),
