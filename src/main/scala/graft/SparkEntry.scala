@@ -773,6 +773,15 @@ object SparkEntry {
         "doc_id", Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
         .select(col("doc_id"), col("split"))
     }),
+    "q_shuffle_rank" -> ((s, dir) => {
+      // deterministic corpus shuffle: dense 0-based rank under the
+      // (md5 ++ ':' ++ id) total order, built from the two-level prefix
+      // sum (no global window); the oracle IS a global window — the
+      // single-partition formulation the operator exists to avoid
+      graft.pipeline.Sampling.deterministicShuffle(
+          T(s, dir, "documents").select(col("doc_id")), "doc_id")
+        .select(col("doc_id"), col("shuffle_rank"))
+    }),
     "q_token_incremental" -> ((s, dir) => {
       // token-sequence incremental ingest: the index fixture carries the
       // RAW token arrays next to the 128-bit structural fingerprints, so
@@ -1836,6 +1845,15 @@ object SparkEntry {
         |      FROM g a JOIN g b ON a.doc_id < b.doc_id
         |      WHERE a.doc_id % 3 <> 0 OR b.doc_id % 3 <> 0)
         |SELECT id_a, id_b, round(j, 4) AS jaccard FROM p WHERE j >= 0.2""".stripMargin,
+
+    // the operator's distributed prefix-sum rank re-derived as ONE global
+    // row_number over the identical (md5-prefix ++ ':' ++ id) sort key
+    "q_shuffle_rank" ->
+      """SELECT doc_id,
+        |  CAST(row_number() OVER (
+        |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) || ':' || CAST(doc_id AS VARCHAR)
+        |  ) - 1 AS BIGINT) AS shuffle_rank
+        |FROM documents""".stripMargin,
 
     // the 48-bit md5 draw re-derived digit-by-digit (the classifier-oracle
     // hex-parse idiom), compared against the SAME integer thresholds

@@ -125,6 +125,38 @@ object Sampling {
     sampleToTargets(df, idCol, sourceCol,
       temperatureTargets(df, sourceCol, alpha, budget))
 
+  /** Deterministic global corpus shuffle — the training-order prep step: a
+    * `shuffle_rank` column (0-based, dense, total) under the order
+    * (md5(seed ++ id), id). Training pipelines must randomize document
+    * order before packing, and the order has to be REPRODUCIBLE (a re-run
+    * of the job, or a different cluster size, must yield the same epoch
+    * order) — so the key is a hash of the id, never a partition-dependent
+    * RNG, and ties are impossible (the id disambiguates inside the key).
+    *
+    * Scale shape: ranks come from the same two-level distributed prefix
+    * sum as the packing manifests (`Packing.globalOffsets`) — per-bucket
+    * counts, one single-partition window over #buckets rows only (16^4
+    * buckets at the default prefix; md5 keys are uniform, so buckets are
+    * balanced), per-row ranks inside each bucket. NO global window, no
+    * single-partition pass over the data. Compose with `packManifest` by
+    * packing on the rank (cast to a zero-padded string or used as the
+    * numeric id) instead of the natural id order.
+    */
+  def deterministicShuffle(df: DataFrame, idCol: String, seed: String = "",
+                           bucketPrefixLen: Int = 4): DataFrame = {
+    // 12 md5 hex digits order the shuffle; the appended id makes the key
+    // total (hex prefix collisions fall back to id order, identically in
+    // any engine under binary string comparison)
+    val skey = concat(
+      substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 12),
+      lit(":"), col(idCol).cast("string"))
+    Packing.globalOffsets(
+        df.withColumn("__skey", skey).withColumn("__one", lit(1L)),
+        "__skey", "__one", stringPrefixLen = bucketPrefixLen)
+      .withColumnRenamed("start", "shuffle_rank")
+      .drop("__skey", "__one")
+  }
+
   /** Deterministic train/val/test split assignment — a `split` column from
     * a pure per-id hash, the property a 100 TB pipeline needs: ZERO
     * shuffle (one map-side projection), and STABLE under growth — an id's

@@ -151,4 +151,33 @@ class SamplingSpec extends SparkSpec {
       Sampling.assignSplits(ids, "doc_id", Seq("a" -> 1.5, "b" -> -0.5))
     }
   }
+
+  test("deterministicShuffle: dense total rank, driver-replica order, stable") {
+    val ids = spark.range(0, 1000, 1, 8).toDF("doc_id")
+    val got = Sampling.deterministicShuffle(ids, "doc_id")
+      .select(col("doc_id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(got.values.toSet == (0L until 1000L).toSet) // dense, total
+
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.substring(0, 12) + ":" + id
+    }
+    val ref = (0L until 1000L).sortBy(key).zipWithIndex
+      .map { case (id, r) => id -> r.toLong }.toMap
+    got.foreach { case (id, r) => assert(r == ref(id), s"id=$id") }
+
+    // the rank is a function of (seed, id) ONLY — partitioning is irrelevant
+    val again = Sampling.deterministicShuffle(ids.repartition(3), "doc_id")
+      .select(col("doc_id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+
+    // reseeding re-deals the order
+    val reseeded = Sampling.deterministicShuffle(ids, "doc_id", seed = "epoch2")
+      .select(col("doc_id"), col("shuffle_rank"))
+      .as[(Long, Long)].collect().toMap
+    assert(reseeded != got && reseeded.values.toSet == got.values.toSet)
+  }
 }
