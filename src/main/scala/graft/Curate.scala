@@ -42,7 +42,8 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   * every corpus-duplicated token window of length >= k out of the
   * released rows (span-level ExactSubstr dedup; docs excised to empty
   * drop), and `--pack-chunk-size <C>` emits the concat-then-chunk packing
-  * manifest over the released rows.
+  * manifest over the released rows (`--shuffle-seed <s>` packs in the
+  * deterministic-shuffle epoch order instead of id order).
   *
   * Output layout: `clean/` (surviving annotated rows), `violations/`,
   * `dup_groups/` (id → group), `contaminated/` (train_id, test_id,
@@ -177,7 +178,8 @@ object Curate {
                 contamStopGramMaxDf: Option[Long] = None,
                 exciseK: Option[Int] = None,
                 packChunkSize: Option[Int] = None,
-                packIdPrefixLen: Int = 12): Result = {
+                packIdPrefixLen: Int = 12,
+                shuffleSeed: Option[String] = None): Result = {
     val base = funnel(docs, idCol,
       rule.getOrElse(defaultTokenRule(docs, idCol, tokensCol)),
       annotate = _.withColumn("n_tok_actual", size(col(tokensCol))),
@@ -214,10 +216,19 @@ object Curate {
       case Some(c) =>
         // string doc ids bucket by a fixed prefix (order-preserving
         // truncation); 12 suits doc-%012d-shaped ids — tune --pack-id-prefix
-        // so that id prefixes of that length carve bounded buckets
-        val manifest = pipeline.Packing.packManifest(
-          afterExcise.clean.select(col(idCol), size(col(tokensCol)).as("__len")),
-          idCol, "__len", c, stringPrefixLen = packIdPrefixLen).persist()
+        // so that id prefixes of that length carve bounded buckets. With a
+        // shuffle seed, stream position comes from the deterministic
+        // shuffle rank instead of id order — the trainer-feed epoch order,
+        // reproducible across runs and cluster sizes.
+        val lens = afterExcise.clean
+          .select(col(idCol), size(col(tokensCol)).as("__len"))
+        val manifest = (shuffleSeed match {
+          case None => pipeline.Packing.packManifest(
+            lens, idCol, "__len", c, stringPrefixLen = packIdPrefixLen)
+          case Some(seed) => pipeline.Packing.packManifestBy(
+            pipeline.Sampling.deterministicShuffle(lens, idCol, seed),
+            idCol, "__len", "shuffle_rank", c)
+        }).persist()
         val nChunks = manifest.select(col("chunk_id")).distinct().count()
         afterExcise.copy(packed = Some(manifest),
           stats = afterExcise.stats :+
@@ -391,7 +402,7 @@ object Curate {
     val allowed =
       if (opts.contains("tokens-col"))
         common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
-          "pack-chunk-size", "pack-id-prefix")
+          "pack-chunk-size", "pack-id-prefix", "shuffle-seed")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
         "strip-html", "sem-eval", "sem-threshold", "embedding-col",
@@ -417,7 +428,8 @@ object Curate {
         contamGrams = opts.getOrElse("contam-grams", "13").toInt,
         exciseK = opts.get("excise-k").map(_.toInt),
         packChunkSize = opts.get("pack-chunk-size").map(_.toInt),
-        packIdPrefixLen = opts.getOrElse("pack-id-prefix", "12").toInt)
+        packIdPrefixLen = opts.getOrElse("pack-id-prefix", "12").toInt,
+        shuffleSeed = opts.get("shuffle-seed"))
       case None => run(spark, docs,
         opts.getOrElse("id-col", "doc_id"), opts.getOrElse("text-col", "text"),
         eval = eval,

@@ -34,6 +34,18 @@ object SparkEntry {
     s.read.parquet(path)
   }
 
+  /** Deterministic (id, len) packing fixture shared by q_pack_manifest /
+    * q_pack_shuffled: gappy non-contiguous numeric ids, generated-sequence
+    * lengths.
+    */
+  private def packLensFixture(s: SparkSession): DataFrame = {
+    val V = graft.gen.SequenceGen.Vocab
+    s.range(0, 500, 1, 8).select(
+        (col("id") * 3 + pmod(col("id"), lit(2L))).as("id"),
+        graft.functions.GenExprs.genTokens(col("id") + 41000, 200, V).as("tokens"))
+      .select(col("id"), size(col("tokens")).as("len"))
+  }
+
   /** Deterministic planted-URL fixture shared by q_url_domains /
     * q_domain_blocked: uppercase hosts, userinfo+port subdomain URLs on
     * even ids, markup-free tails.
@@ -944,15 +956,21 @@ object SparkEntry {
     //     oracle replays the offsets with a plain running-sum window and
     //     re-derives every (chunk, piece) span ---
     "q_pack_manifest" -> ((s, dir) => {
-      val V = graft.gen.SequenceGen.Vocab
-      val seqs = s.range(0, 500, 1, 8).select(
-        (col("id") * 3 + pmod(col("id"), lit(2L))).as("id"),
-        graft.functions.GenExprs.genTokens(col("id") + 41000, 200, V).as("tokens"))
-      val stored = materialize(s,
-        seqs.select(col("id"), size(col("tokens")).as("len")),
-        "q_packm_lens", files = 4)
+      val stored = materialize(s, packLensFixture(s), "q_packm_lens", files = 4)
       graft.pipeline.Packing.packManifest(stored, "id", "len",
         chunkSize = 128, bucketWidth = 100L)
+    }),
+
+    "q_pack_shuffled" -> ((s, dir) => {
+      // shuffle-then-pack composition: stream position = the deterministic
+      // shuffle rank, manifest rows still name documents; the oracle
+      // replays the running sum ORDERED BY the md5 key instead of the id.
+      // Same fixture as q_pack_manifest, materialized identically by both.
+      val stored = materialize(s, packLensFixture(s), "q_packm_lens", files = 4)
+      val ranked = graft.pipeline.Sampling.deterministicShuffle(
+        stored, "id", seed = "epoch0")
+      graft.pipeline.Packing.packManifestBy(ranked, "id", "len",
+        "shuffle_rank", chunkSize = 128, bucketWidth = 100L)
     }),
 
     // --- packing over STRING doc ids (the north-rule table's real id
@@ -2163,6 +2181,22 @@ object SparkEntry {
       """WITH l AS (SELECT id, len FROM read_parquet('/root/repo/target/graft_oracle/q_packm_lens/*.parquet')),
         |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
         |      FROM l WHERE len > 0),
+        |m AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o)
+        |SELECT chunk_id, id,
+        |  CAST(greatest(strt, chunk_id * 128) - strt AS INT) AS doc_from,
+        |  CAST(greatest(strt, chunk_id * 128) - chunk_id * 128 AS INT) AS chunk_from,
+        |  CAST(least(strt + len, (chunk_id + 1) * 128) - greatest(strt, chunk_id * 128) AS INT) AS piece_len
+        |FROM m""".stripMargin,
+
+    // the same chunk arithmetic, running sum ORDERED BY the shuffle key
+    // (md5-prefix ++ ':' ++ id) — the shuffle-then-pack composition
+    "q_pack_shuffled" ->
+      """WITH l AS (SELECT id, len FROM read_parquet('/root/repo/target/graft_oracle/q_packm_lens/*.parquet')),
+        |k AS (SELECT id, len,
+        |        substring(md5('epoch0' || CAST(id AS VARCHAR)), 1, 12) || ':' || CAST(id AS VARCHAR) AS sk
+        |      FROM l),
+        |o AS (SELECT id, len, CAST(coalesce(sum(len) OVER (ORDER BY sk ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS strt
+        |      FROM k WHERE len > 0),
         |m AS (SELECT id, len, strt, unnest([c for c in generate_series(strt // 128, (strt + len - 1) // 128)]) AS chunk_id FROM o)
         |SELECT chunk_id, id,
         |  CAST(greatest(strt, chunk_id * 128) - strt AS INT) AS doc_from,

@@ -95,11 +95,26 @@ object Packing {
     */
   def packManifest(df: DataFrame, idCol: String, lenCol: String,
                    chunkSize: Int, bucketWidth: Long = 100000L,
-                   stringPrefixLen: Int = 8): DataFrame = {
+                   stringPrefixLen: Int = 8): DataFrame =
+    packManifestBy(df, idCol, lenCol, idCol, chunkSize,
+      bucketWidth, stringPrefixLen)
+
+  /** `packManifest` under an EXPLICIT total-order column instead of the
+    * natural id order — the trainer-feed composition with
+    * `Sampling.deterministicShuffle`: shuffle ranks decide stream position,
+    * the manifest still names documents by `idCol`. `orderCol` must be a
+    * total order (duplicate order keys make within-bucket offsets
+    * ill-defined — the shuffle rank is dense and total by construction).
+    */
+  def packManifestBy(df: DataFrame, idCol: String, lenCol: String,
+                     orderCol: String, chunkSize: Int,
+                     bucketWidth: Long = 100000L,
+                     stringPrefixLen: Int = 8): DataFrame = {
     require(chunkSize > 0, s"chunkSize=$chunkSize must be positive")
     val c = lit(chunkSize.toLong)
-    globalOffsets(df.select(col(idCol), col(lenCol))
-        .where(col(lenCol) > 0), idCol, lenCol, bucketWidth, stringPrefixLen)
+    val keep = (if (orderCol == idCol) Seq(idCol) else Seq(orderCol, idCol)) :+ lenCol
+    globalOffsets(df.select(keep.map(col): _*)
+        .where(col(lenCol) > 0), orderCol, lenCol, bucketWidth, stringPrefixLen)
       .withColumn("chunk_id", explode(sequence(
         floor(col("start") / c),
         floor((col("start") + col(lenCol) - 1) / c))))

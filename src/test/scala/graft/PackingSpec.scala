@@ -253,4 +253,33 @@ class PackingSpec extends SparkSpec {
     assert(plan.contains("windowspecdefinition(__bucket"),
       s"data-table window is not bucket-partitioned:\n$plan")
   }
+
+  test("packManifestBy: identity order == packManifest; shuffle order replays the driver") {
+    val lens = (0L until 100L).map(i => (i, 7L + i % 13)).toDF("id", "len")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.as[(Long, Long, Int, Int, Int)].collect().sortBy(r => (r._1, r._4)).toSeq
+    assert(canon(Packing.packManifestBy(lens, "id", "len", "id", 32)) ==
+      canon(Packing.packManifest(lens, "id", "len", 32)))
+
+    val ranked = graft.pipeline.Sampling.deterministicShuffle(lens, "id", "s")
+    val got = canon(Packing.packManifestBy(ranked, "id", "len", "shuffle_rank", 32))
+    // driver replay: running sum in md5-key order, then the chunk arithmetic
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("s" + id).getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.substring(0, 12) + ":" + id
+    }
+    var off = 0L
+    val ref = scala.collection.mutable.ArrayBuffer[(Long, Long, Int, Int, Int)]()
+    for ((id, len) <- (0L until 100L).map(i => (i, 7L + i % 13)).sortBy(p => key(p._1))) {
+      var c = off / 32
+      while (c * 32 < off + len) {
+        val gFrom = math.max(off, c * 32); val gTo = math.min(off + len, (c + 1) * 32)
+        ref += ((c, id, (gFrom - off).toInt, (gFrom - c * 32).toInt, (gTo - gFrom).toInt))
+        c += 1
+      }
+      off += len
+    }
+    assert(got == ref.sortBy(r => (r._1, r._4)).toSeq)
+  }
 }
