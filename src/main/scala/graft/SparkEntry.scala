@@ -50,6 +50,43 @@ object SparkEntry {
     * q_domain_blocked: uppercase hosts, userinfo+port subdomain URLs on
     * even ids, markup-free tails.
     */
+  /** Deterministic multilingual fixture for q_script_profile: per-id
+    * mixes of latin/cyrillic/arabic/cjk words plus the latin+digit tail
+    * every row carries (so the no-script-letters branch never fires here;
+    * PipelineSpec pins it on crafted strings).
+    */
+  private def scriptDocsFixture(s: SparkSession): DataFrame = {
+    val latin = "alpha beta gamma delta"
+    val cyr = "привет мир данные поток"
+    val ara = "مرحبا بيانات نهر ضوء"
+    val cjk = "データ 処理 規模 分散 한국어 처리"
+    s.range(0, 360, 1, 8).select(col("id"), concat(
+      when(col("id") % 3 === 0, lit(latin + " ")).otherwise(lit("")),
+      when(col("id") % 4 === 0, lit(cyr + " ")).otherwise(lit("")),
+      when(col("id") % 5 === 0, lit(ara + " ")).otherwise(lit("")),
+      when(col("id") % 2 === 0, lit(cjk + " ")).otherwise(lit("")),
+      lit("id "), col("id").cast("string")).as("text"))
+  }
+
+  /** Deterministic license-header fixture for q_license_scan: the cascade's
+    * families cycle by id, each with a body tail.
+    */
+  private def licenseDocsFixture(s: SparkSession): DataFrame = {
+    val headers = array(
+      lit("SPDX-License-Identifier: MIT\ncode follows"),
+      lit("Permission is hereby granted, free of charge, to any person"),
+      lit("Licensed under the Apache License, Version 2.0 (the \"License\")"),
+      lit("This program is free software: GNU General Public License"),
+      lit("Subject to the Mozilla Public License Version 2.0"),
+      lit("Redistribution and use in source and binary forms, with or without"),
+      lit("This work is licensed under a Creative Commons Attribution 4.0"),
+      lit("Copyright (c) 2019 Acme Corp. All rights reserved."),
+      lit("plain text body with no license marker"))
+    s.range(0, 450, 1, 8).select(col("id"),
+      concat(element_at(headers, (pmod(col("id"), lit(9L)) + 1).cast("int")),
+        lit(" tail "), col("id").cast("string")).as("text"))
+  }
+
   private def urlDocsFixture(s: SparkSession): DataFrame =
     s.range(0, 400, 1, 8).select(col("id"), concat(
       lit("see http://EXAMPLE"), pmod(col("id"), lit(7L)).cast("string"),
@@ -310,6 +347,30 @@ object SparkEntry {
         .withColumnRenamed("id", "doc_id")
     }),
 
+    // --- DSIR importance weights: raw = all documents, target = the
+    //     English slice; hashed uni+bigram buckets (dim 1024), Laplace-
+    //     smoothed micro-nat log-ratio sums — the oracle re-derives the
+    //     md5 bucket of every feature occurrence, both bucket
+    //     multinomials, and the integer sums ---
+    "q_dsir_weights" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      pipeline.Dsir.importanceWeights(d, "text", "doc_id",
+          pipeline.Dsir.bucketCounts(d, "text", 1024),
+          pipeline.Dsir.bucketCounts(d.where(col("lang") === "en"), "text", 1024),
+          dim = 1024)
+        .withColumnRenamed("id", "doc_id")
+    }),
+
+    // --- DSIR Gumbel-top-k selection: the composed fit→weight→resample
+    //     pass (k=150 of 500 at sf0.01); the oracle replays the weights
+    //     AND the md5-derived Gumbel keys, then takes the same
+    //     (key DESC, id ASC) prefix ---
+    "q_dsir_select" -> ((s, dir) => {
+      val d = T(s, dir, "documents")
+      pipeline.Dsir.select(d, "text", "doc_id",
+          d.where(col("lang") === "en"), dim = 1024, k = 150, seed = "r5")
+    }),
+
     "q_subword_vocab" -> ((s, dir) => {
       // VOCAB-DRIVEN greedy longest-match segmentation (wordpiece-style,
       // replacing the length/4 stand-in): the vocab is materialized so the
@@ -490,6 +551,44 @@ object SparkEntry {
         .where(tf.domainBlocked(tf.urlDomain(col("url")),
           Seq("example3.com", "host.org")))
         .select(col("id")).distinct()
+    }),
+
+    // --- Unicode script profile: per-class code-point counts (length
+    //     arithmetic over literal-range classes — identical pattern bytes
+    //     in Java and RE2) + the dominant-script cascade ---
+    "q_script_profile" -> ((s, dir) => {
+      val tf = pipeline.TextFunctions
+      val stored = materialize(s, scriptDocsFixture(s), "q_script_docs", files = 4)
+      stored.select(col("id"),
+        length(col("text")).as("n_cp"),
+        tf.charClassCount(col("text"), tf.LatinRe).as("n_latin"),
+        tf.charClassCount(col("text"), tf.CyrillicRe).as("n_cyrillic"),
+        tf.charClassCount(col("text"), tf.ArabicRe).as("n_arabic"),
+        tf.charClassCount(col("text"), tf.CjkRe).as("n_cjk"),
+        tf.charClassCount(col("text"), tf.DigitRe).as("n_digit"),
+        tf.dominantScript(col("text")).as("script"))
+    }),
+
+    // --- character entropy: integer micro-nat Shannon entropy over code
+    //     points (native one-pass expression); the oracle rebuilds every
+    //     per-char term relationally ---
+    "q_char_entropy" -> ((s, dir) => {
+      val tf = pipeline.TextFunctions
+      T(s, dir, "documents").select(col("doc_id"),
+        length(col("text")).as("n_cp"),
+        tf.charEntropyMicro(col("text")).as("entropy_micro"),
+        tf.charEntropy(col("text")).as("entropy"))
+    }),
+
+    // --- license/copyright scan: SPDX tag extraction + the phrase-family
+    //     cascade + copyright detection over a planted header fixture ---
+    "q_license_scan" -> ((s, dir) => {
+      val tf = pipeline.TextFunctions
+      val stored = materialize(s, licenseDocsFixture(s), "q_license_docs", files = 4)
+      stored.select(col("id"),
+        tf.licenseClass(col("text")).as("license_class"),
+        tf.spdxId(col("text")).as("spdx_id"),
+        tf.hasCopyright(col("text")).as("has_copyright"))
     }),
 
     // --- language-ID heuristic (stopword cascade) ---
@@ -1059,6 +1158,29 @@ object SparkEntry {
       materialize(s, probes, "q_ivf_probes")
       graft.pipeline.Ivf.ivfTopK(e, e.where(col("vec_id") < 8), k = 5, cents, nProbe = 2)
     }),
+    // --- distributed Lloyd refinement: sample-phase seeds materialized,
+    //     then 2 full-corpus refine rounds (micro-nat sums, sequential-dot
+    //     norms); the oracle replays BOTH iterations — assignment argmax,
+    //     integer sums, mean/renormalize/quantize — from the seed table ---
+    "q_kmeans_refine" -> ((s, dir) => {
+      import s.implicits._
+      val e = T(s, dir, "embeddings")
+      val seeds = pipeline.Ivf.trainCentroids(e, k = 8)
+      materialize(s, seeds.toSeq.zipWithIndex
+        .map { case (c, i) => (i, c.toSeq) }.toDF("cell", "cvec"),
+        "q_kmeans_seeds", files = 1)
+      val refined = pipeline.Ivf.refineCentroids(e, seeds, iters = 2)
+      refined.toSeq.zipWithIndex.flatMap { case (c, i) =>
+        c.zipWithIndex.map { case (x, d) => (i, d, math.round(x * 1e6)) } }
+        .toDF("cell", "dim", "c_micro")
+    }),
+
+    // --- corpus composition report: one aggregation pass, integer sums
+    //     only (counts + micro-nat entropy), per (source, lang) ---
+    "q_corpus_report" -> ((s, dir) =>
+      pipeline.Report.corpusReport(T(s, dir, "documents"), "text",
+        Seq("source", "lang"))),
+
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle
       // recomputes the within-cell ALL-PAIRS exact cosine independently —
@@ -1582,6 +1704,71 @@ object SparkEntry {
         |            THEN round(1.0 / (1.0 + exp(-(150000 + agg.sum_w_micro / CAST(agg.n_feats AS DOUBLE)) / 1000000.0)), 4) END AS score
         |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
 
+    // DSIR replay: the q_quality_classifier feature/bucket re-derivation,
+    // then BOTH smoothed bucket multinomials (raw = all docs, target = the
+    // lang='en' slice), micro-nat log-ratio per occurrence, integer sums
+    "q_dsir_weights" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nrm),
+        |f AS (SELECT doc_id, unnest(ws) AS f FROM w
+        |      UNION ALL
+        |      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS f FROM w),
+        |ix AS (SELECT doc_id,
+        |         CAST(list_sum([(strpos('0123456789abcdef', substring(md5(f), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+        |                        for i in generate_series(1, 8)]) AS BIGINT) % 1024 AS idx
+        |       FROM f),
+        |rc AS (SELECT idx, CAST(count(*) AS BIGINT) AS cnt_r FROM ix GROUP BY idx),
+        |tc AS (SELECT idx, CAST(count(*) AS BIGINT) AS cnt_t
+        |       FROM ix JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY idx),
+        |rt AS (SELECT coalesce(sum(cnt_r), 0) AS total_r FROM rc),
+        |tt AS (SELECT coalesce(sum(cnt_t), 0) AS total_t FROM tc),
+        |lr AS (SELECT ix.doc_id,
+        |         CAST(round(ln((coalesce(tc.cnt_t, 0) + 1) / CAST(tt.total_t + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+        |       - CAST(round(ln((coalesce(rc.cnt_r, 0) + 1) / CAST(rt.total_r + 1024 AS DOUBLE)) * 1000000) AS BIGINT) AS lrm
+        |       FROM ix LEFT JOIN rc USING (idx) LEFT JOIN tc USING (idx)
+        |            CROSS JOIN rt CROSS JOIN tt),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |               CAST(sum(lrm) AS BIGINT) AS logw_micro FROM lr GROUP BY doc_id)
+        |SELECT d.doc_id, coalesce(agg.n_feats, 0) AS n_feats,
+        |       coalesce(agg.logw_micro, 0) AS logw_micro
+        |FROM documents d LEFT JOIN agg USING (doc_id)""".stripMargin,
+
+    // the composed selection: q_dsir_weights' pipeline + the md5-derived
+    // Gumbel key (u = (h48 + 0.5)/2^48, key = logw + round(-ln(-ln u)*1e6))
+    // + the identical (key DESC, id ASC) top-150 prefix
+    "q_dsir_select" ->
+      """WITH nrm AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, list_filter(string_split(t, ' '), x -> x <> '') AS ws FROM nrm),
+        |f AS (SELECT doc_id, unnest(ws) AS f FROM w
+        |      UNION ALL
+        |      SELECT doc_id, unnest([ws[i] || ' ' || ws[i+1] for i in generate_series(1, len(ws) - 1)]) AS f FROM w),
+        |ix AS (SELECT doc_id,
+        |         CAST(list_sum([(strpos('0123456789abcdef', substring(md5(f), i, 1)) - 1) * CAST(pow(16, 8 - i) AS BIGINT)
+        |                        for i in generate_series(1, 8)]) AS BIGINT) % 1024 AS idx
+        |       FROM f),
+        |rc AS (SELECT idx, CAST(count(*) AS BIGINT) AS cnt_r FROM ix GROUP BY idx),
+        |tc AS (SELECT idx, CAST(count(*) AS BIGINT) AS cnt_t
+        |       FROM ix JOIN documents USING (doc_id) WHERE lang = 'en' GROUP BY idx),
+        |rt AS (SELECT coalesce(sum(cnt_r), 0) AS total_r FROM rc),
+        |tt AS (SELECT coalesce(sum(cnt_t), 0) AS total_t FROM tc),
+        |lr AS (SELECT ix.doc_id,
+        |         CAST(round(ln((coalesce(tc.cnt_t, 0) + 1) / CAST(tt.total_t + 1024 AS DOUBLE)) * 1000000) AS BIGINT)
+        |       - CAST(round(ln((coalesce(rc.cnt_r, 0) + 1) / CAST(rt.total_r + 1024 AS DOUBLE)) * 1000000) AS BIGINT) AS lrm
+        |       FROM ix LEFT JOIN rc USING (idx) LEFT JOIN tc USING (idx)
+        |            CROSS JOIN rt CROSS JOIN tt),
+        |agg AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_feats,
+        |               CAST(sum(lrm) AS BIGINT) AS logw_micro FROM lr GROUP BY doc_id),
+        |wt AS (SELECT d.doc_id, coalesce(agg.logw_micro, 0) AS logw_micro
+        |       FROM documents d LEFT JOIN agg USING (doc_id)),
+        |keyed AS (SELECT doc_id, logw_micro,
+        |            logw_micro + CAST(round(-ln(-ln(
+        |              (CAST(list_sum([(strpos('0123456789abcdef', substring(md5('r5' || CAST(doc_id AS VARCHAR)), i, 1)) - 1) * CAST(pow(16, 12 - i) AS BIGINT)
+        |                              for i in generate_series(1, 12)]) AS BIGINT) + 0.5) / 281474976710656.0
+        |            )) * 1000000) AS BIGINT) AS key_micro
+        |          FROM wt)
+        |SELECT doc_id, logw_micro, key_micro FROM keyed
+        |ORDER BY key_micro DESC, doc_id LIMIT 150""".stripMargin,
+
     // replay the greedy longest-match walk: recursive CTE advances one piece
     // per level (space → skip, else the longest vocab entry matching at pos
     // via a lateral ORDER BY len DESC LIMIT 1 probe, else one char of
@@ -1720,6 +1907,59 @@ object SparkEntry {
         |FROM r3""".stripMargin,
 
     // URL extraction + host capture replayed in RE2 over the planted fixture
+    // script profile: identical literal-range classes, same length
+    // arithmetic, same tie-ordered CASE
+    "q_script_profile" ->
+      """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_script_docs/*.parquet')),
+        |c AS (SELECT id, length(text) AS n_cp,
+        |        length(text) - length(regexp_replace(text, '[A-Za-zÀ-ɏ]', '', 'g')) AS n_latin,
+        |        length(text) - length(regexp_replace(text, '[Ѐ-ӿ]', '', 'g')) AS n_cyrillic,
+        |        length(text) - length(regexp_replace(text, '[؀-ۿ]', '', 'g')) AS n_arabic,
+        |        length(text) - length(regexp_replace(text, '[぀-ヿ一-鿿가-힯]', '', 'g')) AS n_cjk,
+        |        length(text) - length(regexp_replace(text, '[0-9]', '', 'g')) AS n_digit
+        |      FROM d)
+        |SELECT id, n_cp, n_latin, n_cyrillic, n_arabic, n_cjk, n_digit,
+        |       CASE WHEN n_latin = 0 AND n_cyrillic = 0 AND n_arabic = 0 AND n_cjk = 0 THEN 'none'
+        |            WHEN n_latin >= n_cyrillic AND n_latin >= n_arabic AND n_latin >= n_cjk THEN 'latin'
+        |            WHEN n_cyrillic >= n_arabic AND n_cyrillic >= n_cjk THEN 'cyrillic'
+        |            WHEN n_arabic >= n_cjk THEN 'arabic'
+        |            ELSE 'cjk' END AS script
+        |FROM c""".stripMargin,
+
+    // entropy: every per-code-point term rebuilt relationally (unnest →
+    // count → micro-nat round → BIGINT sum), code points via
+    // string_split(t, '') = Java codePoints()
+    "q_char_entropy" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |k AS (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt FROM c GROUP BY doc_id, ch),
+        |n AS (SELECT doc_id, CAST(sum(cnt) AS BIGINT) AS n FROM k GROUP BY doc_id),
+        |e AS (SELECT k.doc_id,
+        |        CAST(sum(CAST(round(-(cnt / CAST(n.n AS DOUBLE)) * ln(cnt / CAST(n.n AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS entropy_micro
+        |      FROM k JOIN n USING (doc_id) GROUP BY k.doc_id)
+        |SELECT d.doc_id, length(d.text) AS n_cp,
+        |       coalesce(e.entropy_micro, 0) AS entropy_micro,
+        |       coalesce(e.entropy_micro, 0) / 1000000.0 AS entropy
+        |FROM documents d LEFT JOIN e USING (doc_id)""".stripMargin,
+
+    // license scan: SPDX extraction + the same first-match phrase cascade
+    // + copyright marker, replayed in RE2 over the planted fixture
+    "q_license_scan" ->
+      """WITH d AS (SELECT id, lower(text) AS t FROM read_parquet('/root/repo/target/graft_oracle/q_license_docs/*.parquet')),
+        |s AS (SELECT id, t, regexp_extract(t, 'spdx-license-identifier: ?([a-z0-9.+-]+)', 1) AS spdx_id FROM d)
+        |SELECT id,
+        |       CASE WHEN spdx_id <> '' THEN 'spdx:' || spdx_id
+        |            WHEN regexp_matches(t, 'permission is hereby granted, free of charge') THEN 'mit'
+        |            WHEN regexp_matches(t, 'apache license,? version 2') THEN 'apache-2.0'
+        |            WHEN regexp_matches(t, 'gnu (affero |lesser )?general public license') THEN 'gpl-family'
+        |            WHEN regexp_matches(t, 'mozilla public license') THEN 'mpl'
+        |            WHEN regexp_matches(t, 'redistribution and use in source and binary forms') THEN 'bsd'
+        |            WHEN regexp_matches(t, 'creative commons|cc-by(-[a-z]{2})*') THEN 'cc'
+        |            WHEN regexp_matches(t, 'all rights reserved') THEN 'restricted'
+        |            ELSE 'none' END AS license_class,
+        |       spdx_id,
+        |       regexp_matches(t, 'copyright (\(c\) ?|© ?)?[0-9]{4}') AS has_copyright
+        |FROM s""".stripMargin,
+
     "q_url_domains" ->
       """WITH d AS (SELECT id, text FROM read_parquet('/root/repo/target/graft_oracle/q_url_docs/*.parquet')),
         |u AS (SELECT id, unnest(regexp_extract_all(text, 'https?://[^\s]+')) AS url FROM d)
@@ -2315,6 +2555,83 @@ object SparkEntry {
         |  SELECT query_id, neighbor_id, cos,
         |         row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM sc) t WHERE rank <= 5""".stripMargin,
+
+    // Lloyd replay: per iteration, the argmax assignment (dot DESC, cell
+    // ASC), per-(cell,dim) micro sums, mean = (s/1e6)/n, the SEQUENTIAL
+    // list_dot_product norm, scale by *(1/sqrt) and micro-quantize; empty
+    // cells keep the previous centroid, zero-norm means go all-zero
+    "q_kmeans_refine" ->
+      """WITH sd AS (SELECT cell, CAST(cvec AS DOUBLE[]) AS cvec FROM read_parquet('/root/repo/target/graft_oracle/q_kmeans_seeds/*.parquet')),
+        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a1 AS (SELECT vec_id, v, cell FROM (
+        |         SELECT e.vec_id, e.v, sd.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, sd.cvec) DESC, sd.cell ASC) AS rn
+        |         FROM e CROSS JOIN sd) t WHERE rn = 1),
+        |s1 AS (SELECT cell, s.d AS dim,
+        |              CAST(sum(CAST(round(s.x * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT cell, unnest([{d: i - 1, x: v[i]} for i in generate_series(1, len(v))]) AS s FROM a1)
+        |       GROUP BY cell, s.d),
+        |m1 AS (SELECT cell, list((sm / 1000000.0) / n ORDER BY dim) AS mean FROM s1 GROUP BY cell),
+        |c1 AS (SELECT sd.cell,
+        |         CASE WHEN m1.mean IS NULL THEN sd.cvec
+        |              WHEN list_dot_product(m1.mean, m1.mean) = 0 THEN [0.0 for x in m1.mean]
+        |              ELSE [CAST(round(x * (1.0 / sqrt(list_dot_product(m1.mean, m1.mean))) * 1000000) AS BIGINT) / 1000000.0 for x in m1.mean]
+        |         END AS cvec
+        |       FROM sd LEFT JOIN m1 USING (cell)),
+        |a2 AS (SELECT vec_id, v, cell FROM (
+        |         SELECT e.vec_id, e.v, c1.cell,
+        |                row_number() OVER (PARTITION BY e.vec_id ORDER BY list_dot_product(e.v, c1.cvec) DESC, c1.cell ASC) AS rn
+        |         FROM e CROSS JOIN c1) t WHERE rn = 1),
+        |s2 AS (SELECT cell, s.d AS dim,
+        |              CAST(sum(CAST(round(s.x * 1000000) AS BIGINT)) AS BIGINT) AS sm,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM (SELECT cell, unnest([{d: i - 1, x: v[i]} for i in generate_series(1, len(v))]) AS s FROM a2)
+        |       GROUP BY cell, s.d),
+        |m2 AS (SELECT cell, list((sm / 1000000.0) / n ORDER BY dim) AS mean FROM s2 GROUP BY cell),
+        |c2 AS (SELECT c1.cell,
+        |         CASE WHEN m2.mean IS NULL THEN c1.cvec
+        |              WHEN list_dot_product(m2.mean, m2.mean) = 0 THEN [0.0 for x in m2.mean]
+        |              ELSE [CAST(round(x * (1.0 / sqrt(list_dot_product(m2.mean, m2.mean))) * 1000000) AS BIGINT) / 1000000.0 for x in m2.mean]
+        |         END AS cvec
+        |       FROM c1 LEFT JOIN m2 USING (cell))
+        |SELECT cell, s.d AS dim, CAST(round(s.x * 1000000) AS BIGINT) AS c_micro
+        |FROM (SELECT cell, unnest([{d: i - 1, x: cvec[i]} for i in generate_series(1, len(cvec))]) AS s FROM c2)""".stripMargin,
+
+    // corpus report replay: per-doc normalized tokens, quality, langId,
+    // and the per-char entropy terms, then ONE integer-sum rollup per
+    // (source, lang)
+    "q_corpus_report" ->
+      """WITH n AS (SELECT doc_id, source, lang, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |tok AS (SELECT doc_id, source, lang, text, t,
+        |          CASE WHEN t = '' THEN 0 ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok
+        |        FROM n),
+        |q AS (SELECT doc_id, source, lang, text, ntok,
+        |        round(least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |               CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
+        |              (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality,
+        |        CASE WHEN regexp_matches(text, '(^| )(the|and|of|with)( |$)') THEN 'en'
+        |             WHEN regexp_matches(text, '(^| )(le|la|les|et|avec)( |$)') THEN 'fr'
+        |             WHEN regexp_matches(text, '(^| )(der|die|das|und|mit)( |$)') THEN 'de'
+        |             WHEN regexp_matches(text, '(^| )(el|los|las|con)( |$)') THEN 'es'
+        |             ELSE 'und' END AS lang_id
+        |      FROM tok),
+        |ent AS (SELECT doc_id,
+        |          CAST(sum(CAST(round(-(cnt / CAST(nn AS DOUBLE)) * ln(cnt / CAST(nn AS DOUBLE)) * 1000000) AS BIGINT)) AS BIGINT) AS em
+        |        FROM (SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS cnt,
+        |                     CAST(sum(count(*)) OVER (PARTITION BY doc_id) AS BIGINT) AS nn
+        |              FROM (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents)
+        |              GROUP BY doc_id, ch)
+        |        GROUP BY doc_id)
+        |SELECT q.source, q.lang, CAST(count(*) AS BIGINT) AS n_docs,
+        |       CAST(sum(length(q.text)) AS BIGINT) AS n_chars,
+        |       CAST(sum(q.ntok) AS BIGINT) AS n_tokens,
+        |       CAST(sum(CASE WHEN q.quality >= 0.5 THEN 1 ELSE 0 END) AS BIGINT) AS n_quality,
+        |       CAST(sum(CASE WHEN q.lang_id = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |       CAST(sum(coalesce(ent.em, 0)) AS BIGINT) AS entropy_micro_sum
+        |FROM q LEFT JOIN ent USING (doc_id)
+        |GROUP BY q.source, q.lang""".stripMargin,
 
     // within-cell all-pairs exact cosine over the materialized k-means
     // cell assignments — the SemDeDup pairing recomputed independently

@@ -65,6 +65,8 @@ object TextExprs {
     column(BpePieces(expression(text), merges))
   def unicodeNormalize(text: Column, form: String = "NFC"): Column =
     column(UnicodeNormalize(expression(text), form))
+  def charEntropyMicro(text: Column): Column =
+    column(CharEntropyMicro(expression(text)))
 
   /** Hashes of word k-grams (with duplicates): FNV per word, polynomial
     * combine over k consecutive words. */
@@ -734,4 +736,45 @@ case class JaccardWordGrams(left: Expression, right: Expression, k: Int)
 
   override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
     copy(left = l, right = r)
+}
+
+/** Shannon character entropy in integer MICRO-nats: for each distinct code
+  * point c with count k of n total, the term round(−(k/n)·ln(k/n)·10⁶) —
+  * summed as a LONG, so the per-doc value is order-independent and
+  * replayable digit-for-digit by an ANSI-SQL oracle (the NgramLm micro-nat
+  * contract; a raw double Σ would vary with iteration/aggregation order).
+  * Code points (not bytes, not grapheme clusters) are the unit — Java's
+  * `String.codePoints()` here, `string_split(t, '')`/`length()` in DuckDB
+  * agree, surrogate pairs count once. Empty string → 0; uniform ASCII
+  * noise ≈ ln(charset)·10⁶; single-char runs → 0 — the classic "gibberish
+  * vs natural text" quality signal (low entropy = repetitive filler, high
+  * entropy ≈ random bytes; natural language sits in a mid band).
+  * CodegenFallback like the sketch family: one HashMap pass per call.
+  */
+case class CharEntropyMicro(child: Expression)
+  extends UnaryExpression with CodegenFallback {
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    TextExprs.checkString(child.dataType, "graft_char_entropy")
+  override def dataType: DataType = LongType
+
+  override def nullSafeEval(s: Any): Any = {
+    val counts = new java.util.HashMap[Integer, Int]()
+    val it = s.asInstanceOf[UTF8String].toString.codePoints().iterator()
+    var n = 0L
+    while (it.hasNext) {
+      counts.merge(it.next(), 1, (a, b) => a + b)
+      n += 1
+    }
+    if (n == 0L) 0L
+    else {
+      var sum = 0L
+      val vals = counts.values().iterator()
+      while (vals.hasNext) {
+        val p = vals.next().toDouble / n.toDouble
+        sum += math.round(-(p * math.log(p)) * 1e6)
+      }
+      sum
+    }
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

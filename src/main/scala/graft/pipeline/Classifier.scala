@@ -40,6 +40,18 @@ object Classifier {
   def featureIndex(gram: org.apache.spark.sql.Column, dim: Int) =
     pmod(conv(substring(md5(gram), 1, 8), 16, 10).cast("long"), lit(dim.toLong))
 
+  /** The shared bag-of-features gram array: all word 1..`wordNgrams`-grams
+    * of the normalized text, WITH multiplicity. One definition so the
+    * classifier and DSIR (`Dsir`) hash the IDENTICAL feature stream — a
+    * DSIR raw/target distribution fit with this function is directly
+    * comparable to classifier features on the same corpus.
+    */
+  def featureGrams(text: org.apache.spark.sql.Column, wordNgrams: Int,
+                   nfc: Boolean): org.apache.spark.sql.Column =
+    (1 to wordNgrams).map(n =>
+      LmExprs.wordGrams(TextFunctions.normalize(text, nfc), n))
+      .reduce((a, b) => concat(a, b))
+
   /** (id, n_feats, sum_w_micro, score): feature count, integer micro-unit
     * weight sum, and the rounded (4dp) logistic score. Docs with no
     * feature (empty/whitespace text) keep n_feats = 0 and a NULL score —
@@ -53,9 +65,7 @@ object Classifier {
                   broadcastWeights: Boolean = true): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
     require(wordNgrams >= 1, s"wordNgrams=$wordNgrams must be >= 1")
-    val norm = TextFunctions.normalize(col(textCol), nfc)
-    val feats = (1 to wordNgrams).map(n => LmExprs.wordGrams(norm, n))
-      .reduce((a, b) => concat(a, b))
+    val feats = featureGrams(col(textCol), wordNgrams, nfc)
     val idx = docs
       .select(col(idCol).as("id"), explode(feats).as("f"))
       .select(col("id"), featureIndex(col("f"), dim).as("idx"))

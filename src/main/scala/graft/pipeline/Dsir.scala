@@ -1,0 +1,160 @@
+package graft.pipeline
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** DSIR — Data Selection via Importance Resampling (Xie et al. 2023,
+  * "Data Selection for Language Models via Importance Resampling",
+  * arXiv:2302.03169): pick raw-corpus documents whose hashed n-gram
+  * feature distribution looks like a TARGET corpus (the "make the crawl
+  * look like Wikipedia/books" selection behind several published
+  * pretraining mixes). The recipe:
+  *
+  *   1. featurize every document as a bag of hashed word n-grams
+  *      (the hashing trick, `Classifier.featureIndex` — md5 buckets so an
+  *      independent SQL engine replays the assignment digit by digit);
+  *   2. fit two smoothed bucket multinomials — p_raw from the raw corpus,
+  *      p_target from the target corpus (`bucketCounts`: the sufficient
+  *      statistic is just (idx, cnt));
+  *   3. per-doc log importance weight
+  *      log w(x) = Σ_occurrences [ln p_target(f) − ln p_raw(f)]
+  *      (`importanceWeights`);
+  *   4. sample k docs WITHOUT replacement with probability ∝ w(x) via the
+  *      Gumbel-top-k trick (`resampleTopK`).
+  *
+  * Determinism: per-feature log-probs are rounded to integer MICRO-nats
+  * and summed as BIGINTs (NgramLm's contract — order-independent,
+  * bit-identical across partitionings and in the ANSI-SQL oracle); the
+  * Gumbel noise is derived from md5(seed ++ id), not rand(), so the
+  * selected set is reproducible run-to-run, cluster-size-to-cluster-size,
+  * and in the oracle.
+  *
+  * Scale shape: fitting shuffles (idx, partial-count) short keys only —
+  * `dim` rows out regardless of corpus size. Weighting explodes docs to
+  * (id, idx) pairs (16 bytes), broadcast-joins the two dim-row count
+  * tables plus their one-row totals, and regroups by id; the document
+  * payload never shuffles. Selection keeps a size-bounded k-heap in every
+  * partial aggregate (`TopKAgg`), so the global top-k shuffles at most
+  * k × partitions (score, id) structs to one reducer — fine for the
+  * k ≤ 10⁵..10⁶ selections DSIR is used for; for larger k, select a
+  * per-shard quota instead (compose with `Sampling.capPerSourceKeys`).
+  */
+object Dsir {
+
+  /** Hashed-feature bucket counts (idx, cnt) over a corpus — the
+    * sufficient statistic of a DSIR feature distribution. At most `dim`
+    * rows; persist/materialize it to reuse a fitted distribution across
+    * jobs (it is the whole "model").
+    */
+  def bucketCounts(corpus: DataFrame, textCol: String, dim: Int,
+                   wordNgrams: Int = 2, nfc: Boolean = false): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    require(wordNgrams >= 1, s"wordNgrams=$wordNgrams must be >= 1")
+    corpus
+      .select(explode(Classifier.featureGrams(col(textCol), wordNgrams, nfc))
+        .as("f"))
+      .select(Classifier.featureIndex(col("f"), dim).as("idx"))
+      .groupBy(col("idx")).agg(count(lit(1)).as("cnt"))
+  }
+
+  /** Laplace-smoothed micro-nat bucket log-prob: round(ln((cnt + 1) /
+    * (total + dim)) · 10⁶). Unseen buckets get the smoothed floor — both
+    * distributions stay strictly positive, so the log-ratio is always
+    * finite.
+    */
+  private def lpMicro(cnt: Column, total: Column, dim: Int): Column =
+    round(log((coalesce(cnt, lit(0L)) + 1).cast("double") /
+      (total + lit(dim.toLong)).cast("double")) * 1000000d, 0).cast("long")
+
+  /** (id, n_feats, logw_micro): per-doc feature count and integer
+    * micro-nat log importance weight Σ [lp_target − lp_raw] over feature
+    * OCCURRENCES (= Σ_f c_f(x)·log-ratio, the DSIR bag score). Docs with
+    * no feature keep n_feats = 0 and logw_micro = 0 (an empty product —
+    * weight 1) — never dropped. `rawCounts` / `targetCounts` are
+    * `bucketCounts` frames fit with the SAME (dim, wordNgrams, nfc).
+    */
+  def importanceWeights(docs: DataFrame, textCol: String, idCol: String,
+                        rawCounts: DataFrame, targetCounts: DataFrame,
+                        dim: Int, wordNgrams: Int = 2, nfc: Boolean = false,
+                        broadcastModel: Boolean = true): DataFrame = {
+    require(dim > 0, s"dim=$dim must be positive")
+    val hint: DataFrame => DataFrame =
+      if (broadcastModel) broadcast(_) else identity
+    val rawTot = rawCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_r"))
+    val tgtTot = targetCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_t"))
+    val feats = docs
+      .select(col(idCol).as("id"),
+        explode(Classifier.featureGrams(col(textCol), wordNgrams, nfc)).as("f"))
+      .select(col("id"), Classifier.featureIndex(col("f"), dim).as("idx"))
+    val lr = feats
+      .join(hint(rawCounts.select(col("idx"), col("cnt").as("cnt_r"))),
+        Seq("idx"), "left")
+      .join(hint(targetCounts.select(col("idx"), col("cnt").as("cnt_t"))),
+        Seq("idx"), "left")
+      .crossJoin(broadcast(rawTot)).crossJoin(broadcast(tgtTot))
+      .select(col("id"),
+        (lpMicro(col("cnt_t"), col("total_t"), dim) -
+          lpMicro(col("cnt_r"), col("total_r"), dim)).as("lrm"))
+    val agg = lr.groupBy(col("id"))
+      .agg(count(lit(1)).as("n_feats"), sum(col("lrm")).as("logw_micro"))
+    docs.select(col(idCol).as("id")).join(agg, Seq("id"), "left")
+      .select(col("id"),
+        coalesce(col("n_feats"), lit(0L)).as("n_feats"),
+        coalesce(col("logw_micro"), lit(0L)).as("logw_micro"))
+  }
+
+  /** Deterministic micro-nat Gumbel noise for an id: round(−ln(−ln u)·10⁶)
+    * with u = (h48 + 0.5) / 2⁴⁸ and h48 the first 12 md5 hex digits of
+    * seed ++ id — u ∈ (0, 1) strictly, so both logs are finite. md5 (not
+    * xxhash64) and the +0.5 midpoint keep every step replayable in exact
+    * double arithmetic by the ANSI-SQL oracle.
+    */
+  def gumbelMicro(id: Column, seed: String): Column = {
+    val u = (conv(substring(md5(concat(lit(seed), id.cast("string"))), 1, 12),
+      16, 10).cast("double") + lit(0.5)) / lit(281474976710656d)
+    round(-log(-log(u)) * 1000000d, 0).cast("long")
+  }
+
+  /** Gumbel-top-k importance resample: the k docs with the largest
+    * key_micro = logw_micro + gumbelMicro(id) — a without-replacement
+    * sample with inclusion probability ∝ w(x) (the Gumbel-max argument
+    * applied top-k-wise), ties broken by ascending id. Input is an
+    * `importanceWeights` frame; output (id, logw_micro, key_micro).
+    * logw_micro is recovered arithmetically from the selected key (the
+    * noise is a pure function of the id), so the weights frame is
+    * consumed exactly once — no re-join, no recompute.
+    */
+  def resampleTopK(weighted: DataFrame, idCol: String, k: Int,
+                   seed: String = ""): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    weighted
+      .select(col(idCol),
+        (col("logw_micro") + gumbelMicro(col(idCol), seed)).as("key_micro"))
+      .groupBy()
+      .agg(graft.functions.TopKAgg.topKByScore(
+        col("key_micro").cast("double"), col(idCol), k).as("kept"))
+      .select(explode(col("kept")).as("e"))
+      .select(col("e.nid").as(idCol), col("e.score").cast("long").as("key_micro"))
+      .select(col(idCol),
+        (col("key_micro") - gumbelMicro(col(idCol), seed)).as("logw_micro"),
+        col("key_micro"))
+  }
+
+  /** The composed selection: fit p_raw on `docs`, p_target on
+    * `targetDocs`, weight every doc, resample k. The two fits and the
+    * weighting are one pass each over their corpus; see the individual
+    * operators for reuse (persist the `bucketCounts` frames to amortize
+    * fits across selections).
+    */
+  def select(docs: DataFrame, textCol: String, idCol: String,
+             targetDocs: DataFrame, dim: Int, k: Int,
+             wordNgrams: Int = 2, nfc: Boolean = false,
+             seed: String = ""): DataFrame =
+    resampleTopK(
+      importanceWeights(docs, textCol, idCol,
+        bucketCounts(docs, textCol, dim, wordNgrams, nfc),
+        bucketCounts(targetDocs, textCol, dim, wordNgrams, nfc),
+        dim, wordNgrams, nfc),
+      "id", k, seed)  // importanceWeights outputs its id as "id"
+      .withColumnRenamed("id", idCol)
+}

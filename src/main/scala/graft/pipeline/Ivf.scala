@@ -113,6 +113,68 @@ object Ivf {
   def cellOf(vec: Column, centroids: Array[Array[Double]]): Column =
     CentroidExprs.nearestCentroid(vec, centroids)
 
+  /** Distributed Lloyd refinement over the FULL corpus — the upgrade of
+    * `trainCentroids`' bounded-sample fit when cluster structure matters
+    * beyond ANN recall (SemDeDup cells, domain-discovery clustering,
+    * cluster-balanced mixing): `iters` rounds of assign → per-cell mean →
+    * renormalize, each round ONE pass over the data.
+    *
+    * Scale shape per round: assignment is the narrow in-plan expression
+    * (no join); per-cell per-dimension sums go through posexplode →
+    * partial aggregation, so each partition contributes ≤ k·dims partial
+    * rows and the exchange carries k·dims·partitions 24-byte rows — never
+    * the vectors; the k·dims result collects to the driver (trivial) where
+    * the mean/renormalize arithmetic runs.
+    *
+    * Determinism (the oracle contract): per-element contributions are
+    * rounded to integer MICRO units and summed as BIGINTs
+    * (order-independent across partitionings); the driver computes
+    * mean_d = (sum_micro/10⁶)/n, the norm as the ASCENDING-dim sequential
+    * dot (= SQL `list_dot_product(mean, mean)`), scales by `* (1/√s2)`
+    * (not `/√s2` — a different IEEE op), and re-quantizes each coordinate
+    * to micro units, so every refined centroid is replayable
+    * digit-for-digit in SQL. Empty cells keep their previous centroid;
+    * a zero-norm mean yields the all-zero centroid.
+    */
+  def refineCentroids(df: DataFrame, centroids: Array[Array[Double]],
+                      iters: Int,
+                      vecCol: String = "embedding"): Array[Array[Double]] = {
+    require(iters >= 0, s"iters=$iters must be >= 0")
+    var cs = centroids
+    val k = cs.length
+    val dims = cs.head.length
+    var it = 0
+    while (it < iters) {
+      val rows = df
+        .select(cellOf(col(vecCol), cs).as("cell"),
+          posexplode(col(vecCol).cast("array<double>")).as(Seq("dim", "x")))
+        .groupBy(col("cell"), col("dim"))
+        .agg(sum(round(col("x") * 1000000d, 0).cast("long")).as("s_micro"),
+          count(lit(1)).as("n"))
+        .collect()
+      val sums = Array.fill(k, dims)(0L)
+      val n = new Array[Long](k)
+      rows.foreach { r =>
+        val c = r.getInt(0)
+        sums(c)(r.getInt(1)) = r.getLong(2)
+        n(c) = r.getLong(3)
+      }
+      cs = Array.tabulate(k) { c =>
+        if (n(c) == 0L) cs(c)
+        else {
+          val mean = Array.tabulate(dims)(d => (sums(c)(d).toDouble / 1e6) / n(c))
+          var s2 = 0.0
+          var d = 0
+          while (d < dims) { s2 += mean(d) * mean(d); d += 1 }
+          val inv = if (s2 == 0.0) 0.0 else 1.0 / math.sqrt(s2)
+          Array.tabulate(dims)(d => math.round(mean(d) * inv * 1e6) / 1e6)
+        }
+      }
+      it += 1
+    }
+    cs
+  }
+
   /** The `nProbe` nearest cell ids for a query vector. */
   def probeCells(vec: Column, centroids: Array[Array[Double]], nProbe: Int): Column =
     CentroidExprs.topCentroids(vec, centroids, nProbe)

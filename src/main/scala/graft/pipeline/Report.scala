@@ -1,0 +1,41 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Corpus composition reporting — the one-stop per-group summary a pipeline
+  * team reads before and after every curation change: volume (docs, chars,
+  * whitespace tokens), quality-gate pass counts, language mix, and the
+  * entropy signal, per (source, lang, shard, …) group.
+  *
+  * ONE aggregation pass over the corpus (every metric is a map-side
+  * partial-aggregable sum/count — no second scan per metric, the
+  * profileWith lesson), and every sum is an INTEGER (counts + micro-nat
+  * BIGINTs), so the report is order-independent and bit-reproducible
+  * across partitionings, runs, and the ANSI-SQL oracle. Derived ratios
+  * (means, rates) are left to the reader/oracle — they are one division
+  * over exact integers.
+  */
+object Report {
+
+  /** Per-group composition: n_docs, n_chars (code points), n_tokens
+    * (whitespace tokens of the normalized text), n_quality (qualityScore
+    * ≥ `qualityMin`), n_en (langId = 'en'), entropy_micro_sum (Σ per-doc
+    * code-point entropy, micro-nats). Group columns pass through.
+    */
+  def corpusReport(docs: DataFrame, textCol: String,
+                   groupCols: Seq[String],
+                   qualityMin: Double = 0.5): DataFrame = {
+    require(groupCols.nonEmpty, "corpusReport: at least one group column")
+    val t = col(textCol)
+    docs.groupBy(groupCols.map(col): _*).agg(
+      count(lit(1)).as("n_docs"),
+      sum(length(t).cast("long")).as("n_chars"),
+      sum(TextFunctions.tokenCount(TextFunctions.normalize(t)).cast("long"))
+        .as("n_tokens"),
+      sum(when(TextFunctions.qualityScore(t) >= qualityMin, 1L).otherwise(0L))
+        .as("n_quality"),
+      sum(when(TextFunctions.langId(t) === "en", 1L).otherwise(0L)).as("n_en"),
+      sum(TextFunctions.charEntropyMicro(t)).as("entropy_micro_sum"))
+  }
+}

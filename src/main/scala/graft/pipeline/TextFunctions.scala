@@ -465,4 +465,103 @@ object TextFunctions {
     // trim() strips spaces only — edge newlines need the regex anchor pair
     regexp_replace(lines, "^\\s+|\\s+$", "")
   }
+
+  // ===== Unicode script profile (multilingual corpus composition) =====
+
+  /** Character classes as LITERAL code-point ranges — deliberately not
+    * `\p{Script=...}` property classes, whose spelling differs between
+    * Java (`\p{IsLatin}`) and RE2 (`\p{Latin}`): a literal range is the
+    * one form both engines (and the DuckDB oracle) parse byte-identically.
+    * Coverage is the practical core of each script (Latin incl. the
+    * 1-supplement/A/B accent blocks; CJK = kana + unified han + hangul
+    * syllables), not exhaustive Unicode — extend ranges per corpus.
+    */
+  private[graft] val LatinRe = "[A-Za-zÀ-ɏ]"
+  private[graft] val CyrillicRe = "[Ѐ-ӿ]"
+  private[graft] val ArabicRe = "[؀-ۿ]"
+  private[graft] val CjkRe = "[぀-ヿ一-鿿가-힯]"
+  private[graft] val DigitRe = "[0-9]"
+
+  /** Code points of `text` matching a one-char class pattern: length
+    * difference against the class-stripped text — pure codegen'd
+    * arithmetic, replayable verbatim in ANSI SQL (`length` is code points
+    * in both Spark and DuckDB).
+    */
+  def charClassCount(text: Column, clsPattern: String): Column =
+    length(text) - length(regexp_replace(text, clsPattern, ""))
+
+  /** Dominant script label among latin/cyrillic/arabic/cjk by code-point
+    * count — "none" when the text has no letter of any of the four. Ties
+    * break in declared order (latin first): a fixed when-cascade, so the
+    * label is deterministic and the oracle replays it as the same CASE.
+    * The n-gram `langId` guesses a LANGUAGE from stopwords; this reads the
+    * writing SYSTEM — the cheap first split of a multilingual crawl
+    * (langId only speaks Latin-script languages, so gate langId by
+    * `dominantScript = 'latin'` and route other scripts to per-script
+    * models).
+    */
+  def dominantScript(text: Column): Column = {
+    val la = charClassCount(text, LatinRe)
+    val cy = charClassCount(text, CyrillicRe)
+    val ar = charClassCount(text, ArabicRe)
+    val cj = charClassCount(text, CjkRe)
+    when(la === 0 && cy === 0 && ar === 0 && cj === 0, "none")
+      .when(la >= cy && la >= ar && la >= cj, "latin")
+      .when(cy >= ar && cy >= cj, "cyrillic")
+      .when(ar >= cj, "arabic")
+      .otherwise("cjk")
+  }
+
+  // ===== Character entropy (gibberish / stuck-generation signal) =====
+
+  /** Shannon code-point entropy in integer micro-nats (order-independent
+    * BIGINT; see `functions.CharEntropyMicro` for the unit and replay
+    * contract). Low = repetitive filler ("aaaa…"), high ≈ random bytes;
+    * natural language sits in a mid band (≈ 2.9–3.3 nats for English
+    * prose) — gate both tails.
+    */
+  def charEntropyMicro(text: Column): Column =
+    graft.functions.TextExprs.charEntropyMicro(text)
+
+  /** The derived nats value: micro / 10⁶ exactly — one IEEE division, NO
+    * re-rounding (the micro contract already is the 6dp rounding; a
+    * second decimal round would re-open the halfway-case divergence
+    * between engines that round the decimal string vs the binary double).
+    */
+  def charEntropy(text: Column): Column =
+    charEntropyMicro(text).cast("double") / lit(1000000d)
+
+  // ===== License / copyright scan (code-and-docs corpus gating) =====
+
+  /** SPDX identifier of the first `SPDX-License-Identifier:` tag
+    * (lowercased), '' when absent. The Stack/StarCoder-style corpora key
+    * their keep/drop policy on exactly this tag.
+    */
+  def spdxId(text: Column): Column =
+    regexp_extract(lower(text), "spdx-license-identifier: ?([a-z0-9.+-]+)", 1)
+
+  /** License-class label from a fixed cascade: the SPDX tag wins
+    * (`spdx:<id>`), else the canonical phrase of each license family —
+    * literal lowercase patterns in the Java∩RE2 subset, first match wins,
+    * "none" otherwise. A corpus policy maps labels → keep/drop/attribute;
+    * the cascade ORDER is the contract (a dual-licensed header labels as
+    * its first listed family).
+    */
+  def licenseClass(text: Column): Column = {
+    val t = lower(text)
+    when(spdxId(text) =!= "", concat(lit("spdx:"), spdxId(text)))
+      .when(t.rlike("permission is hereby granted, free of charge"), "mit")
+      .when(t.rlike("apache license,? version 2"), "apache-2.0")
+      .when(t.rlike("gnu (affero |lesser )?general public license"), "gpl-family")
+      .when(t.rlike("mozilla public license"), "mpl")
+      .when(t.rlike("redistribution and use in source and binary forms"), "bsd")
+      .when(t.rlike("creative commons|cc-by(-[a-z]{2})*"), "cc")
+      .when(t.rlike("all rights reserved"), "restricted")
+      .otherwise("none")
+  }
+
+  /** Any copyright notice present: `copyright` followed by a (c)/©/year
+    * marker within the line. */
+  def hasCopyright(text: Column): Column =
+    lower(text).rlike("copyright (\\(c\\) ?|© ?)?[0-9]{4}")
 }

@@ -1,0 +1,122 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.Dsir
+
+/** DSIR importance resampling, pinned against a driver-side reference
+  * that re-derives the md5 feature buckets, both smoothed bucket
+  * multinomials, the integer micro-nat log-ratio sums, and the
+  * md5-Gumbel top-k selection independently.
+  */
+class DsirSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val Dim = 64
+
+  private def refIdx(gram: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest(gram.getBytes("UTF-8"))
+    java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(8), 16) % Dim
+  }
+
+  private def refFeats(text: String): Seq[Long] = {
+    val ws = text.trim.toLowerCase.replaceAll("\\s+", " ")
+      .split(" ").filter(_.nonEmpty).toSeq
+    (ws ++ ws.sliding(2).filter(_.length == 2).map(_.mkString(" "))).map(refIdx)
+  }
+
+  private def refCounts(corpus: Seq[String]): Map[Long, Long] =
+    corpus.flatMap(refFeats).groupBy(identity).map { case (k, v) => k -> v.size.toLong }
+
+  private def lpMicro(cnt: Long, total: Long): Long =
+    math.round(math.log((cnt + 1).toDouble / (total + Dim).toDouble) * 1e6)
+
+  private def refLogw(text: String, raw: Map[Long, Long],
+                      tgt: Map[Long, Long]): (Long, Long) = {
+    val (rt, tt) = (raw.values.sum, tgt.values.sum)
+    val fs = refFeats(text)
+    (fs.size.toLong, fs.map(f =>
+      lpMicro(tgt.getOrElse(f, 0L), tt) - lpMicro(raw.getOrElse(f, 0L), rt)).sum)
+  }
+
+  private def refGumbel(id: Long, seed: String): Long = {
+    val d = java.security.MessageDigest.getInstance("MD5")
+      .digest((seed + id.toString).getBytes("UTF-8"))
+    val h48 = java.lang.Long.parseLong(d.map("%02x".format(_)).mkString.take(12), 16)
+    val u = (h48 + 0.5) / 281474976710656.0
+    math.round(-math.log(-math.log(u)) * 1e6)
+  }
+
+  private def corpus(seed: Int, n: Int): Seq[(Long, String)] = {
+    val rnd = new scala.util.Random(seed)
+    val vocab = Vector("red", "green", "blue", "cyan", "gold", "gray", "jade",
+      "iron", "opal", "ruby")
+    (0 until n).map(i => (i.toLong,
+      Seq.fill(rnd.nextInt(12))(vocab(rnd.nextInt(vocab.size))).mkString(" ")))
+  }
+
+  test("bucketCounts matches the driver multinomial") {
+    val docs = corpus(3, 40)
+    val got = Dsir.bucketCounts(docs.toDF("doc_id", "text"), "text", Dim)
+      .as[(Long, Long)].collect().toMap
+    assert(got == refCounts(docs.map(_._2)))
+  }
+
+  test("importanceWeights matches the driver log-ratio sums (incl. the empty doc)") {
+    val docs = corpus(7, 60) :+ ((999L, "   "))
+    val tgtIds = docs.filter(_._1 % 3 == 0).map(_._1).toSet
+    val df = docs.toDF("doc_id", "text")
+    val raw = refCounts(docs.map(_._2))
+    val tgt = refCounts(docs.filter(d => tgtIds(d._1)).map(_._2))
+    val got = Dsir.importanceWeights(df, "text", "doc_id",
+        Dsir.bucketCounts(df, "text", Dim),
+        Dsir.bucketCounts(df.where(col("doc_id") % 3 === 0), "text", Dim), Dim)
+      .as[(Long, Long, Long)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) == refLogw(t, raw, tgt), s"doc $id '$t'")
+    }
+    // no-feature doc: weight 1 (logw 0), never dropped
+    assert(got(999L) == ((0L, 0L)))
+  }
+
+  test("resampleTopK selects the exact Gumbel-top-k with id tie order") {
+    val n = 80
+    val rnd = new scala.util.Random(13)
+    val weighted = (0 until n).map(i =>
+      (i.toLong, 0L, (rnd.nextInt(2000000) - 1000000).toLong))
+      .toDF("doc_id", "n_feats", "logw_micro")
+    val k = 17
+    val got = Dsir.resampleTopK(weighted, "doc_id", k, seed = "s1")
+      .as[(Long, Long, Long)].collect().toSet
+    val ref = (0 until n).map { i =>
+      val lw = weighted.where(col("doc_id") === i)
+        .select("logw_micro").as[Long].head()
+      (i.toLong, lw, lw + refGumbel(i.toLong, "s1"))
+    }.sortBy(r => (-r._3, r._1)).take(k).toSet
+    assert(got == ref)
+    assert(got.size == k)
+  }
+
+  test("selection is reproducible and seed-sensitive") {
+    val docs = corpus(21, 50).toDF("doc_id", "text")
+    val tgt = docs.where(col("doc_id") < 10)
+    val a = Dsir.select(docs, "text", "doc_id", tgt, Dim, k = 12, seed = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val a2 = Dsir.select(docs, "text", "doc_id", tgt, Dim, k = 12, seed = "a")
+      .select("doc_id").as[Long].collect().toSet
+    val b = Dsir.select(docs, "text", "doc_id", tgt, Dim, k = 12, seed = "b")
+      .select("doc_id").as[Long].collect().toSet
+    assert(a == a2)
+    assert(a != b) // 50-choose-12 re-deal colliding would be astronomical
+  }
+
+  test("count tables broadcast by default; doc payload never joins wide") {
+    val docs = corpus(5, 20).toDF("doc_id", "text")
+    val plan = Dsir.importanceWeights(docs, "text", "doc_id",
+        Dsir.bucketCounts(docs, "text", Dim),
+        Dsir.bucketCounts(docs.where(col("doc_id") < 5), "text", Dim), Dim)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"), s"counts not broadcast:\n$plan")
+  }
+}

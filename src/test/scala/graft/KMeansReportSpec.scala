@@ -1,0 +1,112 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Ivf, Report, TextFunctions}
+
+/** Distributed Lloyd refinement + the corpus composition report, pinned
+  * against driver-side replicas.
+  */
+class KMeansReportSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver replica of one refine round over collected vectors (same
+    * micro-sum / sequential-norm / scale-by-inverse arithmetic).
+    */
+  private def refRound(vs: Seq[Array[Double]],
+                       cs: Array[Array[Double]]): Array[Array[Double]] = {
+    val dims = cs.head.length
+    val sums = Array.fill(cs.length, dims)(0L)
+    val n = new Array[Long](cs.length)
+    vs.foreach { v =>
+      var best = 0; var bestDot = Double.NegativeInfinity
+      cs.indices.foreach { c =>
+        var dot = 0.0; var d = 0
+        while (d < dims) { dot += v(d) * cs(c)(d); d += 1 }
+        if (dot > bestDot) { bestDot = dot; best = c }
+      }
+      var d = 0
+      while (d < dims) { sums(best)(d) += math.round(v(d) * 1e6); d += 1 }
+      n(best) += 1
+    }
+    Array.tabulate(cs.length) { c =>
+      if (n(c) == 0L) cs(c)
+      else {
+        val mean = Array.tabulate(dims)(d => (sums(c)(d).toDouble / 1e6) / n(c))
+        var s2 = 0.0; var d = 0
+        while (d < dims) { s2 += mean(d) * mean(d); d += 1 }
+        val inv = if (s2 == 0.0) 0.0 else 1.0 / math.sqrt(s2)
+        Array.tabulate(dims)(d => math.round(mean(d) * inv * 1e6) / 1e6)
+      }
+    }
+  }
+
+  private def vecs(seed: Int, nPer: Int): Seq[(Long, Array[Float])] = {
+    val rnd = new scala.util.Random(seed)
+    val bases = Seq(Array(1.0, 0.0, 0.0, 0.0), Array(0.0, 1.0, 0.0, 0.0),
+      Array(0.0, 0.0, 1.0, 0.0))
+    bases.zipWithIndex.flatMap { case (b, bi) =>
+      (0 until nPer).map { i =>
+        (bi * nPer + i.toLong,
+          b.map(x => (x + rnd.nextGaussian() * 0.05).toFloat))
+      }
+    }
+  }
+
+  test("refineCentroids == driver replica over 2 rounds; partitioning-invariant") {
+    val data = vecs(7, 40)
+    val df = data.toDF("vec_id", "embedding")
+    val seeds = Array(
+      Array(0.9, 0.1, 0.0, 0.0), Array(0.1, 0.9, 0.1, 0.0),
+      Array(0.0, 0.1, 0.9, 0.0))
+    val got = Ivf.refineCentroids(df.repartition(7), seeds, iters = 2)
+    val collected = data.map(_._2.map(_.toDouble))
+    val ref = refRound(collected, refRound(collected, seeds))
+    assert(got.map(_.toSeq).toSeq == ref.map(_.toSeq).toSeq)
+    // a different physical layout must give the SAME centroids (integer
+    // micro sums are order-independent)
+    val got2 = Ivf.refineCentroids(df.repartition(2), seeds, iters = 2)
+    assert(got2.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
+  }
+
+  test("refineCentroids: empty cell keeps its seed; zero iters is identity") {
+    val df = vecs(11, 10).toDF("vec_id", "embedding")
+    // the dud seed points away from every cluster and never wins an argmax
+    val dud = Array(-1.0, -1.0, -1.0, -1.0)
+    val seeds = Array(Array(0.9, 0.1, 0.0, 0.0), Array(0.1, 0.9, 0.1, 0.0),
+      Array(0.0, 0.1, 0.9, 0.0), dud)
+    val got = Ivf.refineCentroids(df, seeds, iters = 1)
+    assert(got(3).toSeq == dud.toSeq)
+    assert(Ivf.refineCentroids(df, seeds, iters = 0).map(_.toSeq).toSeq ==
+      seeds.map(_.toSeq).toSeq)
+  }
+
+  test("corpusReport matches per-doc column functions rolled up by hand") {
+    val docs = Seq(
+      (0L, "srcA", "en", "the quick brown fox jumps over the lazy dog today"),
+      (1L, "srcA", "en", "###"),
+      (2L, "srcA", "de", "der Hund und die Katze laufen mit"),
+      (3L, "srcB", "en", "the cat sat on the mat and the dog slept"),
+      (4L, "srcB", "fr", "")
+    ).toDF("doc_id", "source", "lang", "text")
+    val perDoc = docs.select(col("source"), col("lang"),
+        length(col("text")).cast("long").as("ch"),
+        TextFunctions.tokenCount(TextFunctions.normalize(col("text")))
+          .cast("long").as("tk"),
+        when(TextFunctions.qualityScore(col("text")) >= 0.5, 1L).otherwise(0L).as("q"),
+        when(TextFunctions.langId(col("text")) === "en", 1L).otherwise(0L).as("en"),
+        TextFunctions.charEntropyMicro(col("text")).as("em"))
+      .collect()
+      .groupBy(r => (r.getString(0), r.getString(1)))
+      .map { case (k, rs) =>
+        k -> ((rs.length.toLong, rs.map(_.getLong(2)).sum, rs.map(_.getLong(3)).sum,
+          rs.map(_.getLong(4)).sum, rs.map(_.getLong(5)).sum, rs.map(_.getLong(6)).sum))
+      }
+    val got = Report.corpusReport(docs, "text", Seq("source", "lang"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        ((r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6),
+          r.getLong(7)))).toMap
+    assert(got == perDoc)
+    assert(got.contains(("srcB", "fr"))) // the empty doc's group still reports
+  }
+}

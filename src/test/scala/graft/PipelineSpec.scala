@@ -1365,4 +1365,92 @@ class PipelineSpec extends SparkSpec {
         s"embedding payload rides the candidate join: ${j.output}")
     }
   }
+
+  test("dominantScript + charClassCount: per-script counts, tie order, none branch") {
+    val rows = Seq(
+      (0L, "hello world"),                     // pure latin
+      (1L, "привет мир"),                      // pure cyrillic
+      (2L, "データ処理 ok"),                    // cjk 5 > latin 2
+      (3L, "ab ба"),                           // tie latin 2 = cyrillic 2 -> latin
+      (4L, "123 ... 456"),                     // no letters -> none
+      (5L, "مرحبا hi")                         // arabic 5 > latin 2
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.charClassCount(col("text"), TextFunctions.LatinRe).as("la"),
+        TextFunctions.charClassCount(col("text"), TextFunctions.CyrillicRe).as("cy"),
+        TextFunctions.charClassCount(col("text"), TextFunctions.ArabicRe).as("ar"),
+        TextFunctions.charClassCount(col("text"), TextFunctions.CjkRe).as("cj"),
+        TextFunctions.dominantScript(col("text")).as("s"))
+      .orderBy("id").collect()
+    assert(got(0).getAs[Int]("la") == 10 && got(0).getAs[String]("s") == "latin")
+    assert(got(1).getAs[Int]("cy") == 9 && got(1).getAs[String]("s") == "cyrillic")
+    assert(got(2).getAs[Int]("cj") == 5 && got(2).getAs[String]("s") == "cjk")
+    assert(got(3).getAs[String]("s") == "latin") // declared-order tie-break
+    assert(got(4).getAs[String]("s") == "none")
+    assert(got(5).getAs[Int]("ar") == 5 && got(5).getAs[String]("s") == "arabic")
+  }
+
+  test("charEntropyMicro: closed forms, code-point units, driver replica on random strings") {
+    def ref(t: String): Long = {
+      val cps = t.codePoints().toArray
+      val n = cps.length.toDouble
+      if (n == 0) 0L
+      else cps.groupBy(identity).values.map { g =>
+        val p = g.length / n
+        math.round(-(p * math.log(p)) * 1e6)
+      }.sum
+    }
+    // two equal halves: the PER-TERM round then integer sum (not a rounded total)
+    val h = 2 * math.round(-(0.5 * math.log(0.5)) * 1e6)
+    val rows = Seq((0L, ""), (1L, "aaaa"), (2L, "ab"), (3L, "\ud83d\ude00\ud83d\ude00a")) // astral emoji counts ONCE per occurrence
+    val rnd = new scala.util.Random(31)
+    val fuzz = (10L to 40L).map(i =>
+      (i, Seq.fill(rnd.nextInt(60))(('a' + rnd.nextInt(6)).toChar).mkString))
+    val all = rows ++ fuzz
+    val got = all.toDF("id", "t")
+      .select(col("id"), TextFunctions.charEntropyMicro(col("t")).as("e"))
+      .as[(Long, Long)].collect().toMap
+    assert(got(0L) == 0L)
+    assert(got(1L) == 0L)
+    assert(got(2L) == h)
+    // emoji pair + one 'a': p = 2/3, 1/3 over TWO distinct code points
+    assert(got(3L) == ref("\ud83d\ude00\ud83d\ude00a"))
+    all.foreach { case (id, t) => assert(got(id) == ref(t), s"id=$id '$t'") }
+  }
+
+  test("licenseClass/spdxId/hasCopyright: cascade order, spdx wins, year-gated copyright") {
+    val rows = Seq(
+      (0L, "SPDX-License-Identifier: Apache-2.0\nPermission is hereby granted, free of charge"),
+      (1L, "Permission is hereby granted, free of charge — also Apache License, Version 2.0"),
+      (2L, "licensed under the APACHE LICENSE Version 2.0"),
+      (3L, "GNU Lesser General Public License v3"),
+      (4L, "Mozilla Public License 2.0 terms"),
+      (5L, "Redistribution and use in source and binary forms, with or without modification"),
+      (6L, "shared under Creative Commons Attribution"),
+      (7L, "Copyright 2021 Acme. All rights reserved."),
+      (8L, "no markers at all"),
+      (9L, "Copyright (c) 2019 Someone"),
+      (10L, "copyright without a year"),
+      (11L, "© 2020 Someone Else copyright © 2020")
+    ).toDF("id", "text")
+    val got = rows.select(col("id"),
+        TextFunctions.licenseClass(col("text")).as("lc"),
+        TextFunctions.spdxId(col("text")).as("sp"),
+        TextFunctions.hasCopyright(col("text")).as("cp"))
+      .orderBy("id").collect()
+    val lc = got.map(_.getAs[String]("lc"))
+    assert(lc(0) == "spdx:apache-2.0") // spdx beats the MIT phrase
+    assert(lc(1) == "mit")             // first phrase family wins
+    assert(lc(2) == "apache-2.0")
+    assert(lc(3) == "gpl-family")
+    assert(lc(4) == "mpl")
+    assert(lc(5) == "bsd")
+    assert(lc(6) == "cc")
+    assert(lc(7) == "restricted")
+    assert(lc(8) == "none")
+    assert(got(0).getAs[String]("sp") == "apache-2.0")
+    assert(got(9).getAs[Boolean]("cp"))
+    assert(!got(10).getAs[Boolean]("cp")) // no year -> not a notice
+    assert(got(11).getAs[Boolean]("cp"))
+  }
 }
