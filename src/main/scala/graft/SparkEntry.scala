@@ -1175,6 +1175,19 @@ object SparkEntry {
         .toDF("cell", "dim", "c_micro")
     }),
 
+    // --- cluster-balanced sampling: the domain-discovery composition —
+    //     k-means cell assignment (materialized) + the EXACT bounded-heap
+    //     per-cluster cap on the deterministic LCG rank ---
+    "q_cluster_sample" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      val cents = pipeline.Ivf.trainCentroids(e, k = 8)
+      val cells = e.select(col("vec_id"),
+        pipeline.Ivf.cellOf(col("embedding"), cents).as("cell"))
+      val stored = materialize(s, cells, "q_cluster_cells")
+      Sampling.capPerSource(stored, "vec_id", "cell", cap = 40)
+        .select(col("vec_id"), col("cell"))
+    }),
+
     // --- corpus composition report: one aggregation pass, integer sums
     //     only (counts + micro-nat entropy), per (source, lang) ---
     "q_corpus_report" -> ((s, dir) =>
@@ -2597,6 +2610,17 @@ object SparkEntry {
         |       FROM c1 LEFT JOIN m2 USING (cell))
         |SELECT cell, s.d AS dim, CAST(round(s.x * 1000000) AS BIGINT) AS c_micro
         |FROM (SELECT cell, unnest([{d: i - 1, x: cvec[i]} for i in generate_series(1, len(cvec))]) AS s FROM c2)""".stripMargin,
+
+    // cluster-balanced cap replay: the q_cap_source row_number/LCG form
+    // over the materialized cell assignments
+    "q_cluster_sample" ->
+      """WITH c AS (SELECT vec_id, cell FROM read_parquet('/root/repo/target/graft_oracle/q_cluster_cells/*.parquet')),
+        |r AS (SELECT vec_id, cell,
+        |        row_number() OVER (PARTITION BY cell
+        |          ORDER BY ((vec_id % 2147483648) * 1103515245 + 12345) % 2147483648 ASC,
+        |                   vec_id ASC) AS rn
+        |      FROM c)
+        |SELECT vec_id, cell FROM r WHERE rn <= 40""".stripMargin,
 
     // corpus report replay: per-doc normalized tokens, quality, langId,
     // and the per-char entropy terms, then ONE integer-sum rollup per
