@@ -1,0 +1,11 @@
+#!/bin/bash
+# Round-5 closing scaling window: interleaved 8/32 fresh-JVM flagship at sf0.1,
+# 4 JVMs per level, alternating order to balance drift.
+OUT=/root/repo/target/scaling_r5_close.jsonl
+: > $OUT
+for c in 8 32 32 8 8 32 32 8; do
+  /opt/spark/bin/spark-submit --master "local[$c]" --driver-memory 16g \
+    --class graft.ScaleOne /root/repo/target/scala-2.13/schemaspark_2.13-0.1.0.jar \
+    0.1 flagship 3 2>/dev/null | grep scale_one >> $OUT
+done
+echo DONE >> $OUT
