@@ -30,6 +30,11 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *       # embedding-space decontamination of the survivors — catches
   *       # paraphrased eval leakage the gram-based --eval stage misses
   *     [--index-dir <parquet of (fp)>]
+  *     [--dsir-target <parquet of (doc_id, text)> --dsir-k <n>] \
+  *     [--dsir-dim 1048576] [--dsir-seed s]
+  *       # DSIR importance-resampled selection: keep the k surviving rows
+  *       # Gumbel-sampled toward the target corpus' hashed-ngram
+  *       # distribution (runs last among the filters, before --redact-pii)
   *       # INCREMENTAL ingest: exact dedup also drops texts seen in any
   *       # prior run; the grown index lands at <output>/fp_index (rotate
   *       # it into --index-dir for the next ingest)
@@ -254,7 +259,11 @@ object Curate {
           semEval: Option[DataFrame] = None,
           semThreshold: Double = 0.9,
           embeddingCol: String = "embedding",
-          fpIndex: Option[DataFrame] = None): Result = {
+          fpIndex: Option[DataFrame] = None,
+          dsirTarget: Option[DataFrame] = None,
+          dsirK: Int = 0,
+          dsirDim: Int = 1 << 20,
+          dsirSeed: String = ""): Result = {
     // set by the incremental exact-dedup closure below (funnel stages run
     // eagerly — counted — so the holder is populated before base returns)
     var newFpsHolder: Option[DataFrame] = None
@@ -342,14 +351,35 @@ object Curate {
               persisted = semClean.persisted :+ kept)
         }
     }
+    // DSIR importance-resampled selection on the surviving rows (last
+    // filter stage — select from what every other gate kept): fit the raw
+    // distribution on the survivors themselves, the target on
+    // `dsirTarget`, keep the Gumbel-top-k. Like dedup and the classifier
+    // it runs on the RAW text (redaction rewrites exactly the rare tokens
+    // the target distribution keys on). Selected rows carry logw_micro /
+    // key_micro as annotations; the kept-key set (k rows) broadcasts, so
+    // the survivor table never shuffles for the join.
+    val selected = dsirTarget match {
+      case None => scored
+      case Some(tgt) =>
+        require(dsirK > 0, s"dsirK=$dsirK must be positive with dsirTarget")
+        val nIn = scored.stats.last.rowsOut
+        val keys = pipeline.Dsir.select(scored.clean, textCol, idCol, tgt,
+          dsirDim, dsirK, seed = dsirSeed)
+        val kept = scored.clean
+          .join(broadcast(keys), Seq(idCol)).persist()
+        scored.copy(clean = kept,
+          stats = scored.stats :+ StageStats("dsir_select", nIn, kept.count()),
+          persisted = scored.persisted :+ kept)
+    }
     // PII scrub on the RELEASED rows only (after every filter stage — the
     // dropped rows never need scrubbing); pure projection, no extra scan
     // or stage count. Dedup/contamination above intentionally ran on the
     // RAW text: redaction collapses distinct PII into one token, which
     // would manufacture false near-dup matches
     val out =
-      if (!redactPii) scored
-      else scored.copy(clean = scored.clean
+      if (!redactPii) selected
+      else selected.copy(clean = selected.clean
         .withColumn("pii_redactions",
           pipeline.TextFunctions.piiCounts(col(textCol)).total)
         .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
@@ -406,7 +436,10 @@ object Curate {
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
         "strip-html", "sem-eval", "sem-threshold", "embedding-col",
-        "index-dir")
+        "index-dir", "dsir-target", "dsir-k", "dsir-dim", "dsir-seed")
+    require(opts.contains("dsir-target") == opts.contains("dsir-k"),
+      "--dsir-target and --dsir-k go together (selection needs both the " +
+        "target corpus and the budget)")
     val unknown = opts.keySet.diff(allowed)
     require(unknown.isEmpty,
       s"unknown flags for ${if (opts.contains("tokens-col")) "token" else "text"} " +
@@ -445,7 +478,11 @@ object Curate {
         semEval = opts.get("sem-eval").map(spark.read.parquet(_)),
         semThreshold = opts.getOrElse("sem-threshold", "0.9").toDouble,
         embeddingCol = opts.getOrElse("embedding-col", "embedding"),
-        fpIndex = opts.get("index-dir").map(spark.read.parquet(_)))
+        fpIndex = opts.get("index-dir").map(spark.read.parquet(_)),
+        dsirTarget = opts.get("dsir-target").map(spark.read.parquet(_)),
+        dsirK = opts.getOrElse("dsir-k", "0").toInt,
+        dsirDim = opts.getOrElse("dsir-dim", (1 << 20).toString).toInt,
+        dsirSeed = opts.getOrElse("dsir-seed", ""))
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

@@ -751,6 +751,29 @@ class PipelineSpec extends SparkSpec {
     drop.unpersist()
   }
 
+  test("Curate.run --dsir-*: counted selection stage leans toward the target style") {
+    // two styles; the target is style-A docs, so a k=4 selection from the
+    // 8 survivors must keep more A than B (importance weights are positive
+    // for A-grams, negative for B-grams), and the selection must equal the
+    // direct Dsir.select on the same survivors (same dim/seed)
+    val a = Seq("alpha beta gamma prose flows here", "beta gamma alpha text body",
+      "gamma alpha beta flowing words", "alpha gamma beta more prose")
+    val b = Seq("zulu yankee xray code block", "yankee xray zulu token stream",
+      "xray zulu yankee byte soup", "zulu xray yankee raw dump")
+    val input = (a ++ b).zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("doc_id", "text")
+    val target = a.zipWithIndex.map { case (t, i) => (100L + i, t) }
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text",
+      dsirTarget = Some(target), dsirK = 4, dsirDim = 64, dsirSeed = "t")
+    assert(r.stats.last == Curate.StageStats("dsir_select", 8L, 4L))
+    val kept = r.clean.select("doc_id").as[Long].collect().toSet
+    assert(kept.count(_ < 4) > kept.count(_ >= 4), s"selection not target-leaning: $kept")
+    // annotations ride the released rows
+    assert(r.clean.columns.contains("logw_micro") && r.clean.columns.contains("key_micro"))
+    r.unpersist()
+  }
+
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
     // 6 sequences: 1 = exact dup of 0; 2 = near-dup of 0 (suffix edit,
     // 5-gram J = 96/99 ≈ 0.97); 3 clean; 4 invalid (empty); 6 contaminated
