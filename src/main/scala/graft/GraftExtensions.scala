@@ -122,6 +122,8 @@ object GraftExtensions {
               s"graft_bpe_pieces: merge entry '$s' must be 'left right'")
           }
         })),
+    ("graft_char_entropy", "graft_char_entropy(text) - Shannon code-point entropy in integer micro-nats",
+      (es: Seq[Expression]) => CharEntropyMicro(es(0))),
     ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(

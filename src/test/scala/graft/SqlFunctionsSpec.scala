@@ -61,6 +61,16 @@ class SqlFunctionsSpec extends SparkSpec {
       && r.getString(1).contains("<NUM>"))
   }
 
+  test("graft_char_entropy from SQL equals the Column API and its closed form") {
+    val r = spark.sql(
+      "SELECT graft_char_entropy('ab') AS h2, graft_char_entropy('aaaa') AS h0").head()
+    assert(r.getLong(0) == 2 * math.round(-(0.5 * math.log(0.5)) * 1e6))
+    assert(r.getLong(1) == 0L)
+    val api = Seq("ab").toDF("t")
+      .select(pipeline.TextFunctions.charEntropyMicro(col("t"))).head().getLong(0)
+    assert(r.getLong(0) == api)
+  }
+
   test("graft_unicode_normalize / graft_subword_pieces / graft_top_word_gram from SQL") {
     val r = spark.sql(
       ("SELECT graft_unicode_normalize('cafe\u0301') AS nfc, " +
