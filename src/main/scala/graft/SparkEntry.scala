@@ -1194,6 +1194,13 @@ object SparkEntry {
       pipeline.Report.corpusReport(T(s, dir, "documents"), "text",
         Seq("source", "lang"))),
 
+    // --- vocabulary analysis: global top-k tokens (two-stage count +
+    //     TakeOrdered) and the one-row exact type stats ---
+    "q_top_tokens" -> ((s, dir) =>
+      pipeline.Report.topTokens(T(s, dir, "documents"), "text", k = 25)),
+    "q_vocab_stats" -> ((s, dir) =>
+      pipeline.Report.vocabStats(T(s, dir, "documents"), "text")),
+
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle
       // recomputes the within-cell ALL-PAIRS exact cosine independently —
@@ -2656,6 +2663,18 @@ object SparkEntry {
         |       CAST(sum(coalesce(ent.em, 0)) AS BIGINT) AS entropy_micro_sum
         |FROM q LEFT JOIN ent USING (doc_id)
         |GROUP BY q.source, q.lang""".stripMargin,
+
+    // heavy hitters / type stats over the identical normalized-token stream
+    "q_top_tokens" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS token
+        |           FROM documents)
+        |SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t
+        |GROUP BY token ORDER BY cnt DESC, token LIMIT 25""".stripMargin,
+    "q_vocab_stats" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS token
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
+        |       CAST(count(DISTINCT token) AS BIGINT) AS n_types FROM t""".stripMargin,
 
     // within-cell all-pairs exact cosine over the materialized k-means
     // cell assignments — the SemDeDup pairing recomputed independently

@@ -38,4 +38,34 @@ object Report {
       sum(when(TextFunctions.langId(t) === "en", 1L).otherwise(0L)).as("n_en"),
       sum(TextFunctions.charEntropyMicro(t)).as("entropy_micro_sum"))
   }
+
+  private def tokens(docs: DataFrame, textCol: String) =
+    docs.select(explode(split(TextFunctions.normalize(col(textCol)), " "))
+        .as("token"))
+      .where(col("token") =!= "")
+
+  /** Global heavy hitters: the k most frequent whitespace tokens of the
+    * normalized corpus, `(token, cnt)` ordered (cnt DESC, token ASC) —
+    * the vocabulary-coverage / stop-word-discovery pass a tokenizer team
+    * runs first. Two-stage short-key count (map-side partials — the
+    * exchange carries (token, partial) pairs) then a TakeOrdered(k): the
+    * driver never sees more than k rows, no global sort materializes.
+    */
+  def topTokens(docs: DataFrame, textCol: String, k: Int): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    tokens(docs, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .orderBy(col("cnt").desc, col("token")).limit(k)
+  }
+
+  /** One-row vocabulary stats: total token occurrences and EXACT distinct
+    * types. The exact distinct shuffles one row per distinct token —
+    * bounded by vocabulary size (≈10⁶-10⁸), fine at any corpus scale; for
+    * a cheap progressive estimate use `TableChecks` HLL columns instead.
+    * Type-token ratio is the reader's one division.
+    */
+  def vocabStats(docs: DataFrame, textCol: String): DataFrame =
+    tokens(docs, textCol).agg(
+      count(lit(1)).as("n_tokens"),
+      count_distinct(col("token")).as("n_types"))
 }

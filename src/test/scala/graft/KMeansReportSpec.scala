@@ -80,6 +80,25 @@ class KMeansReportSpec extends SparkSpec {
       seeds.map(_.toSeq).toSeq)
   }
 
+  test("topTokens/vocabStats: hand-counted frequencies, tie order, empty docs") {
+    val docs = Seq(
+      (0L, "b a  b\tc"), // normalization collapses the double space / tab
+      (1L, "a c c B"),   // lowercased: b ties a at 3... (see below)
+      (2L, "   "),       // empty after trim — contributes nothing
+      (3L, "c")
+    ).toDF("doc_id", "text")
+    // counts: a=2, b=3 (b,b,B), c=4
+    val top = Report.topTokens(docs, "text", k = 2)
+      .as[(String, Long)].collect().toSeq
+    assert(top == Seq(("c", 4L), ("b", 3L)))
+    // tie order: restrict to k=3 — a (2) takes the last slot
+    val top3 = Report.topTokens(docs, "text", k = 3)
+      .as[(String, Long)].collect().toSeq
+    assert(top3 == Seq(("c", 4L), ("b", 3L), ("a", 2L)))
+    val vs = Report.vocabStats(docs, "text").as[(Long, Long)].head()
+    assert(vs == ((9L, 3L)))
+  }
+
   test("corpusReport matches per-doc column functions rolled up by hand") {
     val docs = Seq(
       (0L, "srcA", "en", "the quick brown fox jumps over the lazy dog today"),
