@@ -2022,10 +2022,10 @@ object SparkEntry {
         |          CASE WHEN t = '' THEN 0 ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok
         |        FROM n),
         |q AS (SELECT doc_id, t, ntok,
-        |        round(least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
-        |              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
-        |               CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
-        |              (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality,
+        |        floor((least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |                CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
+        |               (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality,
         |        CASE WHEN regexp_matches(text, '(^| )(the|and|of|with)( |$)') THEN 'en'
         |             WHEN regexp_matches(text, '(^| )(le|la|les|et|avec)( |$)') THEN 'fr'
         |             WHEN regexp_matches(text, '(^| )(der|die|das|und|mit)( |$)') THEN 'de'
@@ -2638,10 +2638,10 @@ object SparkEntry {
         |          CASE WHEN t = '' THEN 0 ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok
         |        FROM n),
         |q AS (SELECT doc_id, source, lang, text, ntok,
-        |        round(least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
-        |              (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
-        |               CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
-        |              (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2, 4) AS quality,
+        |        floor((least(CAST(ntok AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |                CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
+        |               (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000 AS quality,
         |        CASE WHEN regexp_matches(text, '(^| )(the|and|of|with)( |$)') THEN 'en'
         |             WHEN regexp_matches(text, '(^| )(le|la|les|et|avec)( |$)') THEN 'fr'
         |             WHEN regexp_matches(text, '(^| )(der|die|das|und|mit)( |$)') THEN 'de'

@@ -116,7 +116,14 @@ object TextFunctions {
     val alpha = length(regexp_replace(text, "[^a-zA-Z]", "")).cast("double") /
       greatest(length(text), lit(1)).cast("double")
     val stop = when(text.rlike("\\b(the|a|of|and|to)\\b"), 1.0).otherwise(0.0)
-    round(lenScore * 0.4 + alpha * 0.4 + stop * 0.2, 4)
+    // HALF-UP 4dp rounding in pure IEEE ops — floor(x·10⁴ + 0.5)/10⁴ —
+    // NOT native round(double, 4): at representational boundaries the
+    // engines disagree in BOTH directions (measured: Spark rounds
+    // 0.8201499…9 down to 0.8201 via the shortest-decimal-string path,
+    // DuckDB rounds the same double UP to 0.8202 — two real docs at
+    // sf0.1). multiply/add/floor/divide are each single IEEE ops, so the
+    // identical expression replays bit-for-bit in any engine.
+    floor((lenScore * 0.4 + alpha * 0.4 + stop * 0.2) * 10000d + lit(0.5)) / 10000d
   }
 
   /** Language-ID heuristic: stopword-marker cascade (n-gram heuristic family).
