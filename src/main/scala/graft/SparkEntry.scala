@@ -1200,6 +1200,8 @@ object SparkEntry {
       pipeline.Report.topTokens(T(s, dir, "documents"), "text", k = 25)),
     "q_vocab_stats" -> ((s, dir) =>
       pipeline.Report.vocabStats(T(s, dir, "documents"), "text")),
+    "q_token_spectrum" -> ((s, dir) =>
+      pipeline.Report.tokenFrequencySpectrum(T(s, dir, "documents"), "text")),
 
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle
@@ -2675,6 +2677,11 @@ object SparkEntry {
         |           FROM documents)
         |SELECT CAST(count(*) AS BIGINT) AS n_tokens,
         |       CAST(count(DISTINCT token) AS BIGINT) AS n_types FROM t""".stripMargin,
+    "q_token_spectrum" ->
+      """WITH t AS (SELECT unnest(list_filter(string_split(lower(trim(regexp_replace(text, '\s+', ' ', 'g'))), ' '), x -> x <> '')) AS token
+        |           FROM documents),
+        |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
+        |SELECT cnt, CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY cnt""".stripMargin,
 
     // within-cell all-pairs exact cosine over the materialized k-means
     // cell assignments — the SemDeDup pairing recomputed independently

@@ -58,6 +58,19 @@ object Report {
       .orderBy(col("cnt").desc, col("token")).limit(k)
   }
 
+  /** Frequency-of-frequencies (the Zipf/hapax spectrum): for each
+    * occurrence count, how many distinct token types have exactly that
+    * count — `(cnt, n_types)`. The hapax row (cnt = 1) is the classic
+    * "unseen mass" estimate (Good–Turing's n₁), and a fat singleton tail
+    * flags OCR noise / tokenization bugs. Two short-key aggregations;
+    * output rows = number of DISTINCT count values (≈ O(√occurrences) for
+    * Zipfian corpora — tiny at any scale).
+    */
+  def tokenFrequencySpectrum(docs: DataFrame, textCol: String): DataFrame =
+    tokens(docs, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cnt")).agg(count(lit(1)).as("n_types"))
+
   /** One-row vocabulary stats: total token occurrences and EXACT distinct
     * types. The exact distinct shuffles one row per distinct token —
     * bounded by vocabulary size (≈10⁶-10⁸), fine at any corpus scale; for

@@ -97,6 +97,10 @@ class KMeansReportSpec extends SparkSpec {
     assert(top3 == Seq(("c", 4L), ("b", 3L), ("a", 2L)))
     val vs = Report.vocabStats(docs, "text").as[(Long, Long)].head()
     assert(vs == ((9L, 3L)))
+    // spectrum: a=2, b=3, c=4 → one type at each count
+    val spec = Report.tokenFrequencySpectrum(docs, "text")
+      .as[(Long, Long)].collect().toMap
+    assert(spec == Map(2L -> 1L, 3L -> 1L, 4L -> 1L))
   }
 
   test("corpusReport matches per-doc column functions rolled up by hand") {
