@@ -955,6 +955,15 @@ object SparkEntry {
         .select(col("id_a"), col("id_b"))
       Dedup.dupGroups(materialize(s, pairs, "q_dup_pairs"))
     }),
+    "q_dup_profile" -> ((s, dir) => {
+      // duplication profile over the SAME minhash pairs as q_dedup_groups
+      // (materializes the identical q_dup_pairs fixture — overwrite-equal,
+      // so query evaluation order stays free)
+      val pairs = Dedup.minhashNearDups(T(s, dir, "documents"), "text",
+        "doc_id", shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
+        .select(col("id_a"), col("id_b"))
+      Dedup.dupGroupProfile(Dedup.dupGroups(materialize(s, pairs, "q_dup_pairs")))
+    }),
     "q_dedup_survivors" -> ((s, dir) => {
       // the FULL near-dup funnel tail in one oracle-checked composition:
       // prefix-filtered token near-dup pairs → transitive groups → survivor
@@ -2200,6 +2209,23 @@ object SparkEntry {
         |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
         |)
         |SELECT id, min(r) AS group_id FROM reach GROUP BY id""".stripMargin,
+
+    // duplication profile: the same recursive-CTE closure, then the
+    // group-size histogram
+    "q_dup_profile" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT id_a AS src, id_b AS dst FROM read_parquet('/root/repo/target/graft_oracle/q_dup_pairs/*.parquet')
+        |  UNION
+        |  SELECT id_b, id_a FROM read_parquet('/root/repo/target/graft_oracle/q_dup_pairs/*.parquet')
+        |),
+        |reach AS (
+        |  SELECT src AS id, src AS r FROM e
+        |  UNION
+        |  SELECT e.src AS id, reach.r FROM e JOIN reach ON e.dst = reach.id
+        |),
+        |g AS (SELECT id, min(r) AS group_id FROM reach GROUP BY id),
+        |sz AS (SELECT group_id, CAST(count(*) AS BIGINT) AS group_size FROM g GROUP BY group_id)
+        |SELECT group_size, CAST(count(*) AS BIGINT) AS n_groups FROM sz GROUP BY group_size""".stripMargin,
 
     // survivor filter over transitive closure: keep rows whose id is not a
     // non-survivor (id <> its component's min id) — closure recomputed with

@@ -377,6 +377,19 @@ object Dedup {
       groups.where(col("id") =!= col("group_id")).select(col("id").as(idCol)),
       Seq(idCol), "left_anti")
 
+  /** Duplication profile — the report a corpus team reads off a dedup run
+    * before deciding thresholds: for each dup-group size, how many groups
+    * have it (`(group_size, n_groups)`; duplicate-row mass per size is the
+    * reader's `(size − 1) · n_groups`). Input is a `dupGroups` frame; two
+    * short-key aggregations, output rows = distinct group sizes (tiny).
+    * Note: singleton docs never enter `dupGroups` (they have no pair), so
+    * the profile covers GROUPED docs only — compare its mass against the
+    * corpus row count for the dup fraction.
+    */
+  def dupGroupProfile(groups: DataFrame): DataFrame =
+    groups.groupBy(col("group_id")).agg(count(lit(1)).as("group_size"))
+      .groupBy(col("group_size")).agg(count(lit(1)).as("n_groups"))
+
   /** Survivor filter keeping the BEST row per dup group by a caller-chosen
     * preference column (quality score, recency, length …) instead of the
     * min id — what a curation pipeline actually wants: when five near-dups
