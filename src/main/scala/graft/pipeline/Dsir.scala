@@ -33,9 +33,8 @@ import org.apache.spark.sql.functions._
   * `dim` rows out regardless of corpus size. Weighting explodes docs to
   * (id, idx) pairs (16 bytes), broadcast-joins the two dim-row count
   * tables plus their one-row totals, and regroups by id; the document
-  * payload never shuffles. Selection keeps a size-bounded k-heap in every
-  * partial aggregate (`TopKAgg`), so the global top-k shuffles at most
-  * k × partitions (score, id) structs to one reducer — fine for the
+  * payload never shuffles. Selection is TakeOrderedAndProject (bounded
+  * size-k heap per partition, k × partitions rows merged) — fine for the
   * k ≤ 10⁵..10⁶ selections DSIR is used for; for larger k, select a
   * per-shard quota instead (compose with `Sampling.capPerSourceKeys`).
   */
@@ -120,24 +119,23 @@ object Dsir {
     * sample with inclusion probability ∝ w(x) (the Gumbel-max argument
     * applied top-k-wise), ties broken by ascending id. Input is an
     * `importanceWeights` frame; output (id, logw_micro, key_micro).
-    * logw_micro is recovered arithmetically from the selected key (the
-    * noise is a pure function of the id), so the weights frame is
-    * consumed exactly once — no re-join, no recompute.
+    *
+    * A GLOBAL top-k is orderBy().limit() — physically
+    * TakeOrderedAndProject: a size-k bounded heap per partition, then a
+    * k × partitions merge; nothing sorts or materializes beyond k rows
+    * per partition (the same shape as the custom `TopKAgg` heap, which a
+    * per-GROUP top-k still needs). Unlike the Long-keyed heap this is
+    * id-type-GENERIC — the funnel's real `doc-…` STRING ids select
+    * without a numeric surrogate (string ties break lexicographically).
     */
   def resampleTopK(weighted: DataFrame, idCol: String, k: Int,
                    seed: String = ""): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     weighted
-      .select(col(idCol),
+      .select(col(idCol), col("logw_micro"),
         (col("logw_micro") + gumbelMicro(col(idCol), seed)).as("key_micro"))
-      .groupBy()
-      .agg(graft.functions.TopKAgg.topKByScore(
-        col("key_micro").cast("double"), col(idCol), k).as("kept"))
-      .select(explode(col("kept")).as("e"))
-      .select(col("e.nid").as(idCol), col("e.score").cast("long").as("key_micro"))
-      .select(col(idCol),
-        (col("key_micro") - gumbelMicro(col(idCol), seed)).as("logw_micro"),
-        col("key_micro"))
+      .orderBy(col("key_micro").desc, col(idCol).asc)
+      .limit(k)
   }
 
   /** The composed selection: fit p_raw on `docs`, p_target on

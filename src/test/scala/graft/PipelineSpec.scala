@@ -772,6 +772,20 @@ class PipelineSpec extends SparkSpec {
     // annotations ride the released rows
     assert(r.clean.columns.contains("logw_micro") && r.clean.columns.contains("key_micro"))
     r.unpersist()
+    // the north-rule id shape: STRING doc ids must select without a numeric
+    // surrogate (the selection is TakeOrdered — id-type-generic; the
+    // packing string-id crash class, pinned here for DSIR)
+    val sInput = (a ++ b).zipWithIndex
+      .map { case (t, i) => (f"doc-$i%012d", t) }.toDF("doc_id", "text")
+    val sTarget = a.zipWithIndex.map { case (t, i) => (f"tgt-$i%03d", t) }
+      .toDF("doc_id", "text")
+    val rs = Curate.run(spark, sInput, "doc_id", "text",
+      dsirTarget = Some(sTarget), dsirK = 4, dsirDim = 64, dsirSeed = "t")
+    assert(rs.stats.last == Curate.StageStats("dsir_select", 8L, 4L))
+    val keptS = rs.clean.select("doc_id").as[String].collect().toSet
+    assert(keptS.count(_ < "doc-000000000004") > keptS.count(_ >= "doc-000000000004"),
+      s"string-id selection not target-leaning: $keptS")
+    rs.unpersist()
   }
 
   test("Curate.runTokens: the token-sequence funnel with closed-form stage counts") {
