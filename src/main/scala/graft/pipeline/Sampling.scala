@@ -46,6 +46,12 @@ object Sampling {
     * (order by lcgKey(id), ties by id). Returns (sourceCol, idCol) kept
     * pairs. The heap keeps `ORDER BY score DESC, id ASC LIMIT cap`, so
     * score = -lcgKey gives ascending-key selection.
+    *
+    * Ids must be NUMERIC (int/bigint) — both the LCG rank and the bounded
+    * per-group heap are integer-keyed (a non-numeric id fails loudly at
+    * analysis). For string ids, derive a numeric surrogate first (e.g.
+    * `xxhash64(id)`), accepting that a 2⁻⁶⁴ surrogate collision would make
+    * the tie winner arbitrary between the colliding ids.
     */
   def capPerSourceKeys(df: DataFrame, idCol: String, sourceCol: String,
                        cap: Int): DataFrame =
