@@ -98,6 +98,26 @@ class DsirSpec extends SparkSpec {
     assert(got.size == k)
   }
 
+  test("self-target is the identity: raw == target ⇒ every logw is exactly 0") {
+    // p_target and p_raw are the same multinomial bucket-for-bucket, so the
+    // per-occurrence micro-nat log-ratio is exactly 0 — an algebraic
+    // invariant, not an approximation
+    val docs = corpus(17, 70).toDF("doc_id", "text")
+    val w = Dsir.importanceWeights(docs, "text", "doc_id",
+        Dsir.bucketCounts(docs, "text", Dim),
+        Dsir.bucketCounts(docs, "text", Dim), Dim)
+      .select("logw_micro").as[Long].collect()
+    assert(w.forall(_ == 0L), s"nonzero self-weights: ${w.filter(_ != 0).take(3).toSeq}")
+  }
+
+  test("resampleTopK with k >= n returns every row") {
+    val weighted = (0 until 9).map(i => (i.toLong, 1L, i.toLong * 1000))
+      .toDF("doc_id", "n_feats", "logw_micro")
+    val got = Dsir.resampleTopK(weighted, "doc_id", k = 50, seed = "z")
+      .select("doc_id").as[Long].collect().toSet
+    assert(got == (0 until 9).map(_.toLong).toSet)
+  }
+
   test("selection is reproducible and seed-sensitive") {
     val docs = corpus(21, 50).toDF("doc_id", "text")
     val tgt = docs.where(col("doc_id") < 10)

@@ -68,6 +68,17 @@ class KMeansReportSpec extends SparkSpec {
     assert(got2.map(_.toSeq).toSeq == got.map(_.toSeq).toSeq)
   }
 
+  test("refineCentroids composes: iters=1 twice == iters=2") {
+    // the micro-quantized output of a round is exactly a round's input —
+    // refinement is a pure deterministic step function
+    val df = vecs(19, 30).toDF("vec_id", "embedding")
+    val seeds = Array(Array(0.9, 0.1, 0.0, 0.0), Array(0.1, 0.9, 0.1, 0.0),
+      Array(0.0, 0.1, 0.9, 0.0))
+    val twice = Ivf.refineCentroids(df, Ivf.refineCentroids(df, seeds, 1), 1)
+    val once2 = Ivf.refineCentroids(df, seeds, 2)
+    assert(twice.map(_.toSeq).toSeq == once2.map(_.toSeq).toSeq)
+  }
+
   test("refineCentroids: empty cell keeps its seed; zero iters is identity") {
     val df = vecs(11, 10).toDF("vec_id", "embedding")
     // the dud seed points away from every cluster and never wins an argmax
