@@ -1327,6 +1327,11 @@ object SparkEntry {
     }),
     "b_groups_resolve" -> ((s: SparkSession, dir: String) =>
       Dedup.dupGroups(s.read.parquet(s"$OracleAux/q_dup_pairs"))),
+    "b_dup_profile" -> ((s: SparkSession, dir: String) =>
+      // the profile ALONE over the stage-1 pairs: attributes q_dup_profile's
+      // composed timing (pairs + groups dominate; this is the tail)
+      Dedup.dupGroupProfile(
+        Dedup.dupGroups(s.read.parquet(s"$OracleAux/q_dup_pairs")))),
     "b_surv_pairs" -> ((s: SparkSession, dir: String) => {
       val seqs = s.range(0, 400, 1, 8).select(col("id"),
         concat(
