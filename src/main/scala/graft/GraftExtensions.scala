@@ -124,6 +124,12 @@ object GraftExtensions {
         })),
     ("graft_char_entropy", "graft_char_entropy(text) - Shannon code-point entropy in integer micro-nats",
       (es: Seq[Expression]) => CharEntropyMicro(es(0))),
+    // NOTE: the when-cascade Columns (dominantScript / licenseClass /
+    // qualityScore) can NOT register here — Spark 4's Column DSL builds
+    // ColumnNode trees that are Unevaluable as standalone Catalyst
+    // expressions outside Dataset analysis, and hand-rebuilding each
+    // 30-line cascade in raw Catalyst would fork the logic. SQL users
+    // compose them from built-ins (they are plain CASE/regexp trees).
     ("graft_redact_pii", "graft_redact_pii(text) - scrub URLs, emails, IPv4 literals, separator-formatted phones, and 7+-digit runs",
       (es: Seq[Expression]) =>
         RegExpReplace(
