@@ -27,17 +27,24 @@ object Report {
                    groupCols: Seq[String],
                    qualityMin: Double = 0.5): DataFrame = {
     require(groupCols.nonEmpty, "corpusReport: at least one group column")
-    val t = col(textCol)
-    docs.groupBy(groupCols.map(col): _*).agg(
-      count(lit(1)).as("n_docs"),
-      sum(length(t).cast("long")).as("n_chars"),
-      sum(TextFunctions.tokenCount(TextFunctions.normalize(t)).cast("long"))
-        .as("n_tokens"),
-      sum(when(TextFunctions.qualityScore(t) >= qualityMin, 1L).otherwise(0L))
-        .as("n_quality"),
-      sum(when(TextFunctions.langId(t) === "en", 1L).otherwise(0L)).as("n_en"),
-      sum(TextFunctions.charEntropyMicro(t)).as("entropy_micro_sum"))
+    val aggs = compositionAggs(col(textCol), qualityMin)
+    docs.groupBy(groupCols.map(col): _*).agg(aggs.head, aggs.tail: _*)
   }
+
+  /** The report's aggregate list — shared with the streaming windowed form
+    * (`streaming.StreamingValidator.corpusReportWindows`), so a finalized
+    * window row equals the batch report over the same rows EXACTLY.
+    */
+  private[graft] def compositionAggs(t: org.apache.spark.sql.Column,
+                                     qualityMin: Double): Seq[org.apache.spark.sql.Column] = Seq(
+    count(lit(1)).as("n_docs"),
+    sum(length(t).cast("long")).as("n_chars"),
+    sum(TextFunctions.tokenCount(TextFunctions.normalize(t)).cast("long"))
+      .as("n_tokens"),
+    sum(when(TextFunctions.qualityScore(t) >= qualityMin, 1L).otherwise(0L))
+      .as("n_quality"),
+    sum(when(TextFunctions.langId(t) === "en", 1L).otherwise(0L)).as("n_en"),
+    sum(TextFunctions.charEntropyMicro(t)).as("entropy_micro_sum"))
 
   private def tokens(docs: DataFrame, textCol: String) =
     docs.select(explode(split(TextFunctions.normalize(col(textCol)), " "))

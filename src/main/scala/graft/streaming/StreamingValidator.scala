@@ -294,4 +294,29 @@ object StreamingValidator {
           }
       }
   }
+
+  /** Streaming corpus composition — the live-ingest monitoring face of
+    * `pipeline.Report.corpusReport`: per event-time window (+ optional
+    * extra group columns), the SAME integer-sum metric list (shared
+    * aggregate builders), so a finalized window row equals the batch
+    * report over exactly that window's rows — pinned by the
+    * batch-equivalence test. ONE watermarked windowed aggregation (all
+    * metrics are conditional sums inside it — Spark's single-streaming-agg
+    * rule holds); Append mode ⇒ a window emits once, when the watermark
+    * passes its end; state is O(groups) per open window. Batch-safe:
+    * withWatermark is a no-op on batch frames.
+    */
+  def corpusReportWindows(df: DataFrame, textCol: String, tsCol: String,
+                          watermarkDelay: String, windowLen: String,
+                          groupCols: Seq[String] = Nil,
+                          qualityMin: Double = 0.5): DataFrame = {
+    val aggs = graft.pipeline.Report.compositionAggs(col(textCol), qualityMin)
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(window(col(tsCol), windowLen) +: groupCols.map(col): _*)
+      .agg(aggs.head, aggs.tail: _*)
+      .select(Seq(col("window.start").as("window_start"),
+        col("window.end").as("window_end")) ++ groupCols.map(col) ++
+        Seq(col("n_docs"), col("n_chars"), col("n_tokens"), col("n_quality"),
+          col("n_en"), col("entropy_micro_sum")): _*)
+  }
 }

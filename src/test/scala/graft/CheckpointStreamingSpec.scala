@@ -181,6 +181,44 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(rows(1).getAs[Boolean]("pass"))
   }
 
+  test("streaming corpus report: finalized windows equal the batch report over the same rows") {
+    implicit val sqlCtx = spark.sqlContext
+    import spark.implicits._
+    val mem = MemoryStream[(Long, String, String, java.sql.Timestamp)]
+    val df = mem.toDF().toDF("doc_id", "source", "text", "ts")
+    val rep = StreamingValidator.corpusReportWindows(df, "text", "ts",
+      watermarkDelay = "0 seconds", windowLen = "1 minute",
+      groupCols = Seq("source"))
+    val q = rep.writeStream.outputMode("complete")
+      .format("memory").queryName("crep").start()
+    val t0 = java.sql.Timestamp.valueOf("2026-01-01 10:00:10")
+    val t1 = java.sql.Timestamp.valueOf("2026-01-01 10:01:10")
+    val rows = Seq(
+      (0L, "a", "the quick brown fox of the day", t0),
+      (1L, "a", "###", t0),
+      (2L, "b", "der Hund und die Katze", t0),
+      (3L, "a", "the cat sat on the mat and slept", t1))
+    mem.addData(rows: _*)
+    q.processAllAvailable()
+    val got = spark.table("crep")
+      .orderBy("window_start", "source").collect()
+    q.stop()
+    // batch reference: the SAME aggregate over each window's slice
+    val w0 = rows.filter(_._4 == t0).map(r => (r._1, r._2, r._3))
+      .toDF("doc_id", "source", "text")
+    val ref0 = graft.pipeline.Report.corpusReport(w0, "text", Seq("source"))
+      .orderBy("source").collect()
+    assert(got.length == 3) // (w0,a), (w0,b), (w1,a)
+    got.take(2).zip(ref0).foreach { case (g, r) =>
+      assert(g.getAs[String]("source") == r.getAs[String]("source"))
+      Seq("n_docs", "n_chars", "n_tokens", "n_quality", "n_en",
+        "entropy_micro_sum").foreach { c =>
+        assert(g.getAs[Long](c) == r.getAs[Long](c), s"$c of ${g}")
+      }
+    }
+    assert(got(2).getAs[Long]("n_docs") == 1L)
+  }
+
   test("streaming: flatMapGroupsWithState tracks per-key failure streaks across batches") {
     implicit val sqlCtx = spark.sqlContext
     val mem = MemoryStream[(String, Int, Int)]
