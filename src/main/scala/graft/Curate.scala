@@ -22,7 +22,7 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *       # fastText-style quality classifier on the survivors: annotates
   *       # clf_score; with --clf-threshold also drops rows below it (a
   *       # counted clf_filter stage)
-  *     [--strip-html true]
+  *     [--strip-html true] [--c4-clean true]
   *       # crawled-HTML corpora: markup extraction BEFORE validation, so
   *       # all-markup docs strip to empty and fail into violations/
   *     [--sem-eval <parquet of (vec_id, embedding)>] [--sem-threshold 0.9] \
@@ -256,6 +256,7 @@ object Curate {
           clfThreshold: Option[Double] = None,
           clfBiasMicro: Long = 0L,
           stripHtml: Boolean = false,
+          c4Clean: Boolean = false,
           semEval: Option[DataFrame] = None,
           semThreshold: Double = 0.9,
           embeddingCol: String = "embedding",
@@ -273,7 +274,15 @@ object Curate {
     // with boilerplate tag soup. Pure projection, rides the scan.
     val input = if (!stripHtml) docs
       else docs.withColumn(textCol, pipeline.TextFunctions.stripHtml(col(textCol)))
-    val base = funnel(input, idCol,
+    // C4 page/line cleanup AFTER markup extraction (the rules judge the
+    // extracted text) and BEFORE validation: pages failing the C4 page
+    // rules drop as a counted stage below; surviving pages carry only
+    // their retained lines forward — the classic Raffel-et-al. order.
+    // Both the gate and the rewrite are pure per-row projections.
+    val c4ed = if (!c4Clean) input
+      else input.where(pipeline.TextFunctions.c4DocOk(col(textCol)))
+        .withColumn(textCol, pipeline.TextFunctions.c4CleanLines(col(textCol)))
+    val base0 = funnel(c4ed, idCol,
       rule.getOrElse(defaultRule(docs, idCol, textCol)),
       // language, quality, token counts — pure per-row columns. n_subwords
       // is the vocab-driven greedy segmentation count (pass the
@@ -312,6 +321,12 @@ object Curate {
       contaminationOf = eval.map(ev => (survivors: DataFrame) =>
         Overlap.textContamination(survivors, ev, textCol, idCol, contamGrams,
           contamMinShared, contamStopGramMaxDf)))
+    // surface the C4 gate as a counted stage: validate's rowsIn IS the C4
+    // survivor count, so only the raw input needs one extra (flag-gated)
+    // count job
+    val base = if (!c4Clean) base0
+      else base0.copy(stats =
+        StageStats("c4_clean", input.count(), base0.stats.head.rowsIn) +: base0.stats)
     // SEMANTIC decontamination on the survivors (docs carry an embedding
     // column; `semEval` is a (vec_id, embedding) eval table): the
     // embedding-space complement of the gram-based --eval stage — catches
@@ -435,7 +450,7 @@ object Curate {
           "pack-chunk-size", "pack-id-prefix", "shuffle-seed")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
-        "strip-html", "sem-eval", "sem-threshold", "embedding-col",
+        "strip-html", "c4-clean", "sem-eval", "sem-threshold", "embedding-col",
         "index-dir", "dsir-target", "dsir-k", "dsir-dim", "dsir-seed")
     require(opts.contains("dsir-target") == opts.contains("dsir-k"),
       "--dsir-target and --dsir-k go together (selection needs both the " +
@@ -475,6 +490,7 @@ object Curate {
         clfThreshold = opts.get("clf-threshold").map(_.toDouble),
         clfBiasMicro = opts.getOrElse("clf-bias-micro", "0").toLong,
         stripHtml = opts.getOrElse("strip-html", "false").toBoolean,
+        c4Clean = opts.getOrElse("c4-clean", "false").toBoolean,
         semEval = opts.get("sem-eval").map(spark.read.parquet(_)),
         semThreshold = opts.getOrElse("sem-threshold", "0.9").toDouble,
         embeddingCol = opts.getOrElse("embedding-col", "embedding"),

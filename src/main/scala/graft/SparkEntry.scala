@@ -529,6 +529,41 @@ object SparkEntry {
         graft.pipeline.TextFunctions.stripHtml(col("html")).as("text"))
     }),
 
+    // --- C4-style line/page cleanup (Raffel et al. 2020 §2.2) ---
+    // planted multi-line pages exercising every rule: a no-punctuation
+    // menu line, a <5-word line, an enable-javascript warning, an
+    // id-gated third sentence (minSentences boundary), lorem-ipsum and
+    // curly-brace page drops, an end-quote terminal line, and the doc's
+    // own synthetic text as a realistic variable line
+    "q_c4_clean" -> ((s, dir) => {
+      val tf = graft.pipeline.TextFunctions
+      val d = T(s, dir, "documents").where(col("doc_id") % 2 === 0)
+      val page = d.select(col("doc_id"), concat(
+        lit("Document "), col("doc_id").cast("string"),
+        lit(" opens with a proper first sentence about "), col("source"),
+        lit(".\n  Menu Home About Contact\nShort line.\n"),
+        lit("Please enable JavaScript to continue viewing this page.\n"),
+        col("text"), lit(".\n"),
+        when(col("doc_id") % 5 === 0,
+          lit("The third retained sentence appears only on multiples of five.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0,
+          lit("Lorem ipsum dolor sit amet consectetur adipiscing elit.\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 11 === 0, lit("if (x) { return; }\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 3 =!= 0,
+          lit("He said \"the closing line ends with an end quote\""))
+          .otherwise(lit("Unquoted trailing fragment without terminal punctuation")))
+        .as("text"))
+      val stored = materialize(s, page, "q_c4_docs", files = 4)
+      stored.select(col("doc_id"),
+        tf.c4KeptLineCount(col("text")).cast("long").as("kept_lines"),
+        tf.c4SentenceCount(col("text")).cast("long").as("n_sentences"),
+        tf.c4DocOk(col("text")).as("c4_ok"),
+        tf.c4CleanLines(col("text")).as("clean_text"))
+    }),
+
     // --- URL extraction / domain blocklist (web-corpus curation) ---
     // planted URL shapes: uppercase hosts, userinfo, ports, paths, queries,
     // fragments. Both queries materialize the SAME deterministic fixture
@@ -2028,6 +2063,24 @@ object SparkEntry {
         |w AS (SELECT doc_id, regexp_replace(t, '[ \t\r]+', ' ', 'g') AS t FROM e),
         |l AS (SELECT doc_id, regexp_replace(t, ' ?(\n ?)+', chr(10), 'g') AS t FROM w)
         |SELECT doc_id, regexp_replace(t, '^\s+|\s+$', '', 'g') AS text FROM l""".stripMargin,
+
+    "q_c4_clean" ->
+      """WITH d AS (SELECT doc_id, text FROM read_parquet('/root/repo/target/graft_oracle/q_c4_docs/*.parquet')),
+        |t AS (SELECT doc_id, text,
+        |  list_filter(
+        |    list_transform(string_split(text, chr(10)),
+        |      l -> regexp_replace(l, '^[ \t\r]+|[ \t\r]+$', '', 'g')),
+        |    l -> regexp_matches(l, '[.!?"”]$')
+        |     AND len(list_filter(string_split_regex(l, '[ \t]+'), w -> w <> '')) >= 5
+        |     AND NOT regexp_matches(lower(l), '\bjavascript\b')) AS kept
+        |  FROM d)
+        |SELECT doc_id, len(kept) AS kept_lines,
+        |  len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+')) AS n_sentences,
+        |  (len(regexp_extract_all(array_to_string(kept, chr(10)), '[.!?]+')) >= 3
+        |     AND strpos(lower(text), 'lorem ipsum') = 0
+        |     AND strpos(text, '{') = 0) AS c4_ok,
+        |  array_to_string(kept, chr(10)) AS clean_text
+        |FROM t""".stripMargin,
 
     // full replicas of qualityScore (normalized-token length score + raw
     // letters-only alpha + stopword marker), the langId cascade, and the

@@ -571,4 +571,66 @@ object TextFunctions {
     * marker within the line. */
   def hasCopyright(text: Column): Column =
     lower(text).rlike("copyright (\\(c\\) ?|© ?)?[0-9]{4}")
+
+  // ===== C4-style line/page cleanup (Raffel et al. 2020 §2.2) =====
+  // The standard web-extract battery the boilerplate stripper doesn't
+  // cover: per-LINE keep rules (terminal punctuation, a minimum word
+  // count, no "javascript" warnings) plus per-PAGE drop rules (lorem
+  // ipsum placeholder, curly brace = code, too few retained lines).
+  // All pure Column expressions over split lines — map-side only, zero
+  // shuffle, whole-stage codegen. Regexes stay in the Java∩RE2 subset
+  // (explicit [ \t\r] whitespace classes — Java's \s ⊃ RE2's \s) so the
+  // DuckDB oracle replays the cascade byte-for-byte.
+
+  /** Lines of `text`, each trimmed of [ \t\r] at both ends (split already
+    * consumed the \n). Null text propagates to a null array. */
+  private def c4TrimmedLines(text: Column): Column =
+    transform(split(text, "\n", -1),
+      l => regexp_replace(l, "^[ \\t\\r]+|[ \\t\\r]+$", ""))
+
+  /** C4 line-keep predicate over an already-trimmed line: ends in a
+    * terminal punctuation mark (period / ! / ? / straight or curly end
+    * quote), carries at least `minWords` whitespace-separated words, and
+    * does not contain the word "javascript" (the enable-JS warning C4
+    * drops). */
+  def c4KeepLine(trimmedLine: Column, minWords: Int = 5): Column =
+    trimmedLine.rlike("[.!?\"”]$") &&
+      size(filter(split(trimmedLine, "[ \\t]+", -1), w => w =!= lit(""))) >= minWords &&
+      !lower(trimmedLine).rlike("\\bjavascript\\b")
+
+  private def c4KeptLines(text: Column, minWords: Int): Column =
+    filter(c4TrimmedLines(text), l => c4KeepLine(l, minWords))
+
+  /** Retained lines rejoined with \n (trimmed, in original order). Null
+    * text stays null — same null discipline as the map-side boilerplate
+    * variant. */
+  def c4CleanLines(text: Column, minWords: Int = 5): Column =
+    when(text.isNull, lit(null).cast("string"))
+      .otherwise(array_join(c4KeptLines(text, minWords), "\n"))
+
+  /** Count of retained lines (null for null text). */
+  def c4KeptLineCount(text: Column, minWords: Int = 5): Column =
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(size(c4KeptLines(text, minWords)))
+
+  /** Sentence count over the RETAINED text — runs of sentence-terminal
+    * punctuation ([.!?]+ counts "Hi!!!" once). C4's page rule is "fewer
+    * than 3 sentences", not lines: a single-line page carrying three
+    * sentences passes. Null for null text. */
+  def c4SentenceCount(text: Column, minWords: Int = 5): Column =
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(regexp_count(
+        array_join(c4KeptLines(text, minWords), "\n"), lit("[.!?]+")).cast("int"))
+
+  /** C4 page-keep predicate: at least `minSentences` sentences across the
+    * retained lines, no "lorem ipsum" placeholder, no curly brace (C4's
+    * code heuristic). False for null text. The lorem/brace rules read the
+    * RAW text (a brace on a dropped line still drops the page — C4's
+    * contract); the sentence count reads the retained text (dropped
+    * boilerplate shouldn't rescue a page). */
+  def c4DocOk(text: Column, minWords: Int = 5, minSentences: Int = 3): Column =
+    when(text.isNull, lit(false)).otherwise(
+      c4SentenceCount(text, minWords) >= minSentences &&
+        !lower(text).contains("lorem ipsum") &&
+        !text.contains("{"))
 }

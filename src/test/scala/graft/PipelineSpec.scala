@@ -628,6 +628,28 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.run with c4Clean drops failing pages as a counted stage and keeps only retained lines") {
+    val goodPage = "This opening sentence carries well over five words.\n" +
+      "Menu Home About\n" +
+      "A second retained sentence also carries enough words!\n" +
+      "And a third retained sentence closes the page properly."
+    val input = Seq(
+      (0L, goodPage),
+      (1L, goodPage + "\nif (x) { return; }"), // brace → page drops
+      (2L, "Only two retained sentences live here, sadly.\nThe second one is this line right here.")) // <3 kept
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text", c4Clean = true)
+    assert(r.stats.head == Curate.StageStats("c4_clean", 3L, 1L))
+    assert(r.stats.map(_.stage) ==
+      Seq("c4_clean", "validate", "exact_dedup", "near_dedup"))
+    val kept = r.clean.select("doc_id", "text")
+      .collect().map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(kept.keySet == Set(0L))
+    // the menu line is gone from the released text
+    assert(kept(0L) == goodPage.split("\n").patch(1, Nil, 1).mkString("\n"))
+    r.unpersist()
+  }
+
   test("Curate.run with fpIndex dedups against history and grows the index") {
     val history = Seq((0L, "the quick brown fox jumps over everything"))
       .toDF("doc_id", "text")
@@ -1489,5 +1511,90 @@ class PipelineSpec extends SparkSpec {
     assert(got(9).getAs[Boolean]("cp"))
     assert(!got(10).getAs[Boolean]("cp")) // no year -> not a notice
     assert(got(11).getAs[Boolean]("cp"))
+  }
+
+  test("c4: line rules (terminal punct, min words, javascript), page rules, nulls") {
+    def clean(in: String): String = Seq(in).toDF("t")
+      .select(TextFunctions.c4CleanLines(col("t"))).head().getString(0)
+    def ok(in: String): Boolean = Seq(in).toDF("t")
+      .select(TextFunctions.c4DocOk(col("t"))).head().getBoolean(0)
+    // terminal punctuation set: . ! ? " ” keep; bare words / colon drop
+    assert(clean("one two three four five.\none two three four five") ==
+      "one two three four five.")
+    assert(clean("a b c d e!\na b c d e?\na b c d \"e\"\na b c d e”\na b c d e:") ==
+      "a b c d e!\na b c d e?\na b c d \"e\"\na b c d e”")
+    // min-words: 5 by default, parameterized; whitespace runs count once
+    assert(clean("four words only here.") == "")
+    assert(clean("now  five\twords are\there.") == "now  five\twords are\there.")
+    assert(Seq("four words only here.").toDF("t")
+      .select(TextFunctions.c4CleanLines(col("t"), minWords = 4))
+      .head().getString(0) == "four words only here.")
+    // javascript is a word-boundary, case-insensitive match; javascripty isn't
+    assert(clean("Please enable JavaScript in your browser settings.") == "")
+    assert(clean("The javascripty framework scene keeps moving fast.") ==
+      "The javascripty framework scene keeps moving fast.")
+    // lines are trimmed of spaces/tabs/CR before the rules and in the output
+    assert(clean("  padded line with five words. \r") ==
+      "padded line with five words.")
+    // page rules: >=3 sentences in the RETAINED text, no lorem ipsum, no
+    // brace (lorem/brace on the raw text — a brace on a DROPPED line
+    // still drops the page)
+    val three = "first kept line has five words.\nsecond kept line has five words.\nthird kept line has five words."
+    assert(ok(three))
+    assert(!ok("first kept line has five words.\nsecond kept line has five words."))
+    assert(!ok(three + "\nLorem Ipsum dolor sit amet today."))
+    assert(!ok(three + "\nif (x) { short"))
+    // a SINGLE line carrying three sentences passes (C4 counts sentences,
+    // not lines); [!?.]+ runs count once, so "Hi!!!" is one sentence
+    assert(ok("First sentence here. Then a second one! And a third follows?"))
+    assert(!ok("Only two sentences!!! On this single kept line."))
+    // sentences on DROPPED lines don't rescue the page: the short lines'
+    // periods vanish with their lines
+    assert(!ok("Kept line with one sentence here.\nA. B.\nC. D."))
+    // minSentences parameterized
+    assert(Seq("only one kept sentence right here.").toDF("t")
+      .select(TextFunctions.c4DocOk(col("t"), minSentences = 1)).head().getBoolean(0))
+    // null text: clean/count stay null, page gate is false
+    val n = Seq((1L, Option.empty[String])).toDF("id", "t")
+      .select(TextFunctions.c4CleanLines(col("t")).as("c"),
+        TextFunctions.c4KeptLineCount(col("t")).as("k"),
+        TextFunctions.c4DocOk(col("t")).as("ok")).head()
+    assert(n.isNullAt(0) && n.isNullAt(1) && !n.getBoolean(2))
+  }
+
+  test("c4: property law vs a driver reference over a random corpus") {
+    import java.util.regex.Pattern
+    val punct = Pattern.compile("[.!?\"”]$")
+    val js = Pattern.compile("\\bjavascript\\b")
+    def refKeep(l0: String): Boolean = {
+      val l = l0.replaceAll("^[ \\t\\r]+|[ \\t\\r]+$", "")
+      punct.matcher(l).find() &&
+        l.split("[ \\t]+").count(_.nonEmpty) >= 5 &&
+        !js.matcher(l.toLowerCase).find()
+    }
+    def refClean(t: String): String = t.split("\n", -1)
+      .map(_.replaceAll("^[ \\t\\r]+|[ \\t\\r]+$", "")).filter(refKeep).mkString("\n")
+    def refOk(t: String): Boolean =
+      "[.!?]+".r.findAllIn(refClean(t)).size >= 3 &&
+        !t.toLowerCase.contains("lorem ipsum") && !t.contains("{")
+    val rnd = new scala.util.Random(42)
+    val bank = Array("alpha", "beta", "Gamma", "delta", "JavaScript", "brace",
+      "lorem", "ipsum", "Lorem ipsum", "five", "{x}", "tail.")
+    val tails = Array(".", "!", "?", "\"", "”", "", ":", " ", "\t.")
+    val docs = (0 until 40).map { i =>
+      val lines = (0 to rnd.nextInt(6)).map { _ =>
+        val ws = (0 to rnd.nextInt(7)).map(_ => bank(rnd.nextInt(bank.length)))
+        (if (rnd.nextBoolean()) "  " else "") + ws.mkString(" ") + tails(rnd.nextInt(tails.length))
+      }
+      (i.toLong, lines.mkString("\n"))
+    }
+    val got = docs.toDF("id", "t")
+      .select(col("id"), TextFunctions.c4CleanLines(col("t")).as("c"),
+        TextFunctions.c4DocOk(col("t")).as("ok"))
+      .collect().map(r => r.getLong(0) -> ((r.getString(1), r.getBoolean(2)))).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id)._1 == refClean(t), s"clean mismatch on doc $id: '$t'")
+      assert(got(id)._2 == refOk(t), s"ok mismatch on doc $id: '$t'")
+    }
   }
 }
