@@ -299,7 +299,10 @@ object Curate {
         // gopher_ok AND gopher_rep_ok (both annotated, neither filters —
         // gating policy belongs to the consumer)
         .withColumn("gopher_rep_ok",
-          pipeline.TextFunctions.gopherRepetitionOk(col(textCol))),
+          pipeline.TextFunctions.gopherRepetitionOk(col(textCol)))
+        // encoding-damage gate (U+FFFD / control chars / double-encoding
+        // signatures ≤ 2 per 1000 chars) — annotate-only like gopher_ok
+        .withColumn("enc_ok", pipeline.TextFunctions.encodingOk(col(textCol))),
       // nfc threads into BOTH dedup stages (a flag on one but not the
       // other would dedup composed/decomposed variants inconsistently).
       // With an fpIndex, the stage becomes the INCREMENTAL form: rows

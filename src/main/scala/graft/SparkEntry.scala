@@ -564,6 +564,33 @@ object SparkEntry {
         tf.c4CleanLines(col("text")).as("clean_text"))
     }),
 
+    // --- Encoding-damage (mojibake) detection ---
+    // planted damage classes over a SHORT base slice (so the 2-per-1000
+    // gate actually trips): U+FFFD replacement chars, C0/C1 controls,
+    // Ã©-style double-encoding, â€™ curly-quote artifacts, Â+NBSP
+    "q_mojibake" -> ((s, dir) => {
+      val tf = graft.pipeline.TextFunctions
+      val d = T(s, dir, "documents")
+      val page = d.select(col("doc_id"), concat(
+        substring(col("text"), 1, 40),
+        when(col("doc_id") % 3 === 0, lit(" cafÃ© visitÃ¶r"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit(" donâ€™t stop"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 5 === 0, lit(" bad��bytes"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 7 === 0, lit(" bell nextline"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 9 === 0, lit(" hardÂ space"))
+          .otherwise(lit(""))).as("text"))
+      val stored = materialize(s, page, "q_moji_docs", files = 4)
+      stored.select(col("doc_id"),
+        tf.replacementCharCount(col("text")).cast("long").as("n_fffd"),
+        tf.controlCharCount(col("text")).cast("long").as("n_ctrl"),
+        tf.mojibakeSignatureCount(col("text")).cast("long").as("n_moji"),
+        tf.encodingOk(col("text")).as("enc_ok"))
+    }),
+
     // --- URL extraction / domain blocklist (web-corpus curation) ---
     // planted URL shapes: uppercase hosts, userinfo, ports, paths, queries,
     // fragments. Both queries materialize the SAME deterministic fixture
@@ -2081,6 +2108,17 @@ object SparkEntry {
         |     AND strpos(text, '{') = 0) AS c4_ok,
         |  array_to_string(kept, chr(10)) AS clean_text
         |FROM t""".stripMargin,
+
+    "q_mojibake" ->
+      """WITH d AS (SELECT doc_id, text FROM read_parquet('/root/repo/target/graft_oracle/q_moji_docs/*.parquet')),
+        |c AS (SELECT doc_id, text,
+        |  length(text) - length(regexp_replace(text, '\x{fffd}', '', 'g')) AS n_fffd,
+        |  length(text) - length(regexp_replace(text, '[\x{00}-\x{08}\x{0b}\x{0c}\x{0e}-\x{1f}\x{7f}-\x{9f}]', '', 'g')) AS n_ctrl,
+        |  len(regexp_extract_all(text, 'Ã[\x{80}-\x{bf}]|â€|Â\x{a0}')) AS n_moji
+        |  FROM d)
+        |SELECT doc_id, n_fffd, n_ctrl, n_moji,
+        |  (n_fffd + n_ctrl + n_moji) * 1000 <= length(text) * 2 AS enc_ok
+        |FROM c""".stripMargin,
 
     // full replicas of qualityScore (normalized-token length score + raw
     // letters-only alpha + stopword marker), the langId cascade, and the

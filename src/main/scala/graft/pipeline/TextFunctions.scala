@@ -633,4 +633,45 @@ object TextFunctions {
       c4SentenceCount(text, minWords) >= minSentences &&
         !lower(text).contains("lorem ipsum") &&
         !text.contains("{"))
+
+  // ===== Encoding-damage (mojibake) detection =====
+  // Decode failures and double-encoding artifacts are the third standard
+  // corpus-damage class next to boilerplate and markup: U+FFFD
+  // replacement characters (a decoder already gave up), stray control
+  // characters (binary bleed / wrong code page), and the Ã©/â€™-style
+  // signatures of UTF-8 bytes re-decoded as Latin-1/Windows-1252. All
+  // counts are pure Column expressions; regex escapes use the \x{..}
+  // form, which Java and RE2 parse identically, so the DuckDB oracle
+  // replays the exact patterns.
+
+  /** Count of U+FFFD replacement characters (decoder-inserted). Length
+    * arithmetic, no regex. Null text → null. */
+  def replacementCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text, "\\x{fffd}", ""))).cast("int")
+
+  /** Count of control characters that never belong in clean text: C0
+    * minus \t\n\r, DEL, and the C1 block (C1 is the classic sign of
+    * Windows-1252 bytes decoded as Latin-1). Null text → null. */
+  def controlCharCount(text: Column): Column =
+    (length(text) - length(regexp_replace(text,
+      "[\\x{00}-\\x{08}\\x{0b}\\x{0c}\\x{0e}-\\x{1f}\\x{7f}-\\x{9f}]", ""))).cast("int")
+
+  /** Count of UTF-8-read-as-Latin-1 double-encoding signatures: Ã
+    * followed by a continuation-range character (Ã© = café's é), the â€
+    * prefix of curly-quote/dash artifacts (â€™ â€œ â€“ …), and Â before
+    * NBSP (the Â that appears when 0xC2 0xA0 is re-decoded). */
+  def mojibakeSignatureCount(text: Column): Column =
+    when(text.isNull, lit(null).cast("int"))
+      .otherwise(regexp_count(text,
+        lit("Ã[\\x{80}-\\x{bf}]|â€|Â\\x{a0}")).cast("int"))
+
+  /** Encoding gate: total damage (replacement + control + mojibake
+    * signatures) at most `maxPerKiloChars` per 1000 characters — integer
+    * cross-multiply, no division, so the oracle replays it exactly.
+    * Empty text passes; null text fails. */
+  def encodingOk(text: Column, maxPerKiloChars: Int = 2): Column =
+    when(text.isNull, lit(false)).otherwise(
+      (replacementCharCount(text) + controlCharCount(text) +
+        mojibakeSignatureCount(text)).cast("long") * 1000L <=
+        length(text).cast("long") * maxPerKiloChars)
 }

@@ -1562,6 +1562,74 @@ class PipelineSpec extends SparkSpec {
     assert(n.isNullAt(0) && n.isNullAt(1) && !n.getBoolean(2))
   }
 
+  test("mojibake: replacement/control/signature counts and the encoding gate") {
+    def m(s: String): (Int, Int, Int, Boolean) = {
+      val r = Seq(s).toDF("t").select(
+        TextFunctions.replacementCharCount(col("t")).as("f"),
+        TextFunctions.controlCharCount(col("t")).as("c"),
+        TextFunctions.mojibakeSignatureCount(col("t")).as("m"),
+        TextFunctions.encodingOk(col("t")).as("ok")).head()
+      (r.getInt(0), r.getInt(1), r.getInt(2), r.getBoolean(3))
+    }
+    assert(m("perfectly clean ascii text with no damage at all") == (0, 0, 0, true))
+    // U+FFFD replacement characters count individually
+    assert(m("bad��bytes and one more�")._1 == 3)
+    // C0 (minus \t\n\r), DEL, and C1 count; \t\n\r do NOT
+    assert(m("abcde")._2 == 4)
+    assert(m("tabs\tand\nnewlines\rare fine")._2 == 0)
+    // double-encoding signatures: Ã+continuation, â€ prefix, Â+NBSP
+    assert(m("cafÃ© then donâ€™t then hardÂ space")._3 == 3)
+    // Ã before plain ASCII is NOT a signature (legit Spanish "Ção"-style
+    // text never has Ã + continuation-range chars)
+    assert(m("SÃO PAULO in caps stays clean")._3 == 0)
+    // the 2-per-1000 gate: 1 damage char in 3 chars fails; in >=500 passes
+    assert(!m("ab�")._4)
+    assert(m(("x" * 499) + "�")._4)
+    // empty passes, null fails with null counts
+    assert(m("") == (0, 0, 0, true))
+    val n = Seq(Option.empty[String]).toDF("t").select(
+      TextFunctions.replacementCharCount(col("t")).as("f"),
+      TextFunctions.encodingOk(col("t")).as("ok")).head()
+    assert(n.isNullAt(0) && !n.getBoolean(1))
+  }
+
+  test("mojibake: property law vs a code-point driver reference") {
+    def refCounts(s: String): (Int, Int, Int) = {
+      var f = 0; var c = 0
+      s.codePoints().forEach { cp =>
+        if (cp == 0xFFFD) f += 1
+        if ((cp <= 0x08) || cp == 0x0B || cp == 0x0C ||
+          (cp >= 0x0E && cp <= 0x1F) || (cp >= 0x7F && cp <= 0x9F)) c += 1
+      }
+      // signatures scan pairwise on code points (non-overlapping is moot:
+      // a match consumes Ã/Â plus one char, and â€ is two chars)
+      val cps = s.codePoints().toArray
+      var m = 0; var i = 0
+      while (i < cps.length) {
+        if (cps(i) == 0xC3 && i + 1 < cps.length &&
+          cps(i + 1) >= 0x80 && cps(i + 1) <= 0xBF) { m += 1; i += 2 }
+        else if (cps(i) == 0xE2 && i + 1 < cps.length && cps(i + 1) == 0x20AC) { m += 1; i += 2 }
+        else if (cps(i) == 0xC2 && i + 1 < cps.length && cps(i + 1) == 0xA0) { m += 1; i += 2 }
+        else i += 1
+      }
+      (f, c, m)
+    }
+    val rnd = new scala.util.Random(7)
+    val atoms = Array("word", " ", "�", "", "", "\t",
+      "Ã©", "Ãz", "â€™", "Â ", "é", "ok.")
+    val docs = (0 until 60).map { i =>
+      (i.toLong, (0 to rnd.nextInt(12)).map(_ => atoms(rnd.nextInt(atoms.length))).mkString)
+    }
+    val got = docs.toDF("id", "t").select(col("id"),
+      TextFunctions.replacementCharCount(col("t")).as("f"),
+      TextFunctions.controlCharCount(col("t")).as("c"),
+      TextFunctions.mojibakeSignatureCount(col("t")).as("m"))
+      .collect().map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3)))).toMap
+    docs.foreach { case (id, t) =>
+      assert(got(id) == refCounts(t), s"mismatch on doc $id: '$t'")
+    }
+  }
+
   test("c4: property law vs a driver reference over a random corpus") {
     import java.util.regex.Pattern
     val punct = Pattern.compile("[.!?\"”]$")
