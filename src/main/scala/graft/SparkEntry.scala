@@ -654,6 +654,29 @@ object SparkEntry {
     }),
 
     // --- language-ID heuristic (stopword cascade) ---
+    // --- tokenizer fertility per language (pieces per word) ---
+    // the standard tokenizer-health report: languages a vocab serves badly
+    // show fertility far above ~1.3. Composes the oracle-pinned langId
+    // cascade with the vocab-driven greedy segmentation, aggregated per
+    // language in integer micro units (BIGINT DIV — bit-replayable).
+    // Same %10 subset + materialized vocab as q_subword_vocab, so the
+    // oracle's recursive greedy walk stays cheap at sf0.1.
+    "q_fertility" -> ((s, dir) => {
+      import s.implicits._
+      val tf = TextFunctions
+      materialize(s, tf.DemoVocab.toDF("tok"), "q_subword_vocab_tab")
+      T(s, dir, "documents").where(col("doc_id") % 10 === 0)
+        .select(
+          tf.langId(col("text")).as("lang"),
+          tf.tokenCount(tf.normalize(col("text"))).as("w"),
+          tf.subwordCountVocab(col("text"), tf.DemoVocab).as("p"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          sum(col("w")).as("sum_words"),
+          sum(col("p")).as("sum_pieces"),
+          expr("CAST((sum(p) * 1000000) DIV sum(w) AS BIGINT)").as("fert_micro"))
+    }),
+
     "q_lang_id" -> ((s, dir) => {
       T(s, dir, "documents").select(col("doc_id"),
         when(col("text").rlike("(^| )(the|a|of)( |$)"), "en")
@@ -1984,6 +2007,45 @@ object SparkEntry {
         |       CASE WHEN regexp_matches(text, '(^| )(the|a|of)( |$)') THEN 'en'
         |            ELSE 'und' END AS pred_lang
         |FROM documents""".stripMargin,
+
+    // fertility = pieces per word in integer micro units: the same greedy
+    // walk as q_subword_vocab (recursive CTE + longest-match lateral
+    // probe), plus full langId + normalized-word-count replicas, then one
+    // grouped integer rollup with // (DuckDB's integer DIV)
+    "q_fertility" ->
+      """WITH RECURSIVE
+        |v AS (SELECT tok, len(tok) AS l FROM read_parquet('/root/repo/target/graft_oracle/q_subword_vocab_tab/*.parquet')),
+        |d AS (SELECT doc_id, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |      FROM documents WHERE doc_id % 10 = 0),
+        |walk(doc_id, pos, n) AS (
+        |  SELECT doc_id, 1, 0 FROM d
+        |  UNION ALL
+        |  SELECT w.doc_id,
+        |         CAST(w.pos + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 1
+        |                           ELSE coalesce(m.l, 1) END AS INT),
+        |         w.n + CASE WHEN substr(d.t, w.pos, 1) = ' ' THEN 0 ELSE 1 END
+        |  FROM walk w
+        |  JOIN d USING (doc_id)
+        |  LEFT JOIN LATERAL (SELECT v.l FROM v
+        |                     WHERE substr(d.t, w.pos, v.l) = v.tok
+        |                     ORDER BY v.l DESC LIMIT 1) m ON true
+        |  WHERE w.pos <= len(d.t)
+        |),
+        |pieces AS (SELECT doc_id, max(n) AS p FROM walk GROUP BY doc_id),
+        |feat AS (SELECT d.doc_id,
+        |    CASE WHEN regexp_matches(d.text, '(^| )(the|and|of|with)( |$)') THEN 'en'
+        |         WHEN regexp_matches(d.text, '(^| )(le|la|les|et|avec)( |$)') THEN 'fr'
+        |         WHEN regexp_matches(d.text, '(^| )(der|die|das|und|mit)( |$)') THEN 'de'
+        |         WHEN regexp_matches(d.text, '(^| )(el|los|las|con)( |$)') THEN 'es'
+        |         ELSE 'und' END AS lang,
+        |    CASE WHEN d.t = '' THEN 0 ELSE length(d.t) - length(replace(d.t, ' ', '')) + 1 END AS w,
+        |    pc.p AS p
+        |  FROM d JOIN pieces pc USING (doc_id))
+        |SELECT lang, count(*) AS n_docs,
+        |  CAST(sum(w) AS BIGINT) AS sum_words,
+        |  CAST(sum(p) AS BIGINT) AS sum_pieces,
+        |  CAST((sum(p) * 1000000) // sum(w) AS BIGINT) AS fert_micro
+        |FROM feat GROUP BY lang""".stripMargin,
 
     // the identical five-stage redaction cascade in RE2; counts taken at
     // each cascade stage (URLs on raw, emails after URL-redaction, IPs
