@@ -481,6 +481,27 @@ object SparkEntry {
         TextFunctions.duplicateLineCharFraction(ml).as("dup_line_chars"),
         TextFunctions.duplicateParagraphCharFraction(ml).as("dup_para_chars"))
     }),
+    "q_gopher_lines" -> ((s, dir) => {
+      // the QUALITY half of Gopher Table A1 (bullet/ellipsis line
+      // fractions, alpha-word fraction, stop-word presence, word-count
+      // bounds). Same multi-line derivation as the other gopher queries,
+      // with id-gated planted bullet/ellipsis lines so both line fractions
+      // carry non-trivial mass at every scale. All columns AND the gate
+      // read the same derived page, so the oracle replica is one shape.
+      val tf = TextFunctions
+      val page = concat(
+        when(col("doc_id") % 3 === 0, lit("• planted bullet item\n"))
+          .otherwise(lit("")),
+        when(col("doc_id") % 4 === 0, lit("a trailing thought...\n"))
+          .otherwise(lit("")),
+        translate(col("text"), "e", "\n"))
+      T(s, dir, "documents").select(col("doc_id"),
+        tf.bulletLineFraction(page).as("bullet_frac"),
+        tf.ellipsisLineFraction(page).as("ellipsis_frac"),
+        tf.alphaWordFraction(page).as("alpha_word_frac"),
+        tf.stopwordMatchCount(page).as("n_stopwords"),
+        tf.gopherQualityOk(page, minWords = 10).as("quality_ok"))
+    }),
     "q_dup_ngram_chars" -> ((s, dir) => {
       // duplicate 5..10-gram char fractions, long format (doc_id, n, frac):
       // the native one-pass expression vs the oracle's unnested gram
@@ -1703,6 +1724,51 @@ object SparkEntry {
         |             list_aggregate(list_transform(list_distinct(ps), x -> length(x)), 'sum') AS DOUBLE) /
         |        greatest(length(ml), 1), 4) AS dup_para_chars
         |FROM seg""".stripMargin,
+
+    // the quality-half rules over the same derived page: line-list filters
+    // for the bullet/ellipsis fractions, word-list filter for the
+    // alpha-word fraction, 8 word-boundary CASEs for the stop-list count,
+    // the token-count replica for the bounds — every fraction in the same
+    // floor(x·10⁴+0.5)/10⁴ portable rounding the engine uses
+    "q_gopher_lines" ->
+      """WITH d AS (SELECT doc_id,
+        |    CASE WHEN doc_id % 3 = 0 THEN '• planted bullet item' || chr(10) ELSE '' END ||
+        |    CASE WHEN doc_id % 4 = 0 THEN 'a trailing thought...' || chr(10) ELSE '' END ||
+        |    replace(text, 'e', chr(10)) AS page
+        |  FROM documents),
+        |f AS (SELECT doc_id, page,
+        |    string_split(page, chr(10)) AS lines,
+        |    lower(trim(regexp_replace(page, '\s+', ' ', 'g'))) AS np
+        |  FROM d),
+        |m AS (SELECT doc_id, page, np,
+        |    floor(CAST(len(list_filter(lines, l ->
+        |            regexp_matches(regexp_replace(l, '^[ \t\r]+', ''), '^[•*-]'))) AS DOUBLE) /
+        |          CAST(len(lines) AS DOUBLE) * 10000 + 0.5) / 10000 AS bullet_frac,
+        |    floor(CAST(len(list_filter(lines, l ->
+        |            regexp_matches(regexp_replace(l, '[ \t\r]+$', ''), '(\.\.\.|…)$'))) AS DOUBLE) /
+        |          CAST(len(lines) AS DOUBLE) * 10000 + 0.5) / 10000 AS ellipsis_frac,
+        |    list_filter(string_split(np, ' '), w -> w <> '') AS words,
+        |    CASE WHEN np = '' THEN 0
+        |         ELSE length(np) - length(replace(np, ' ', '')) + 1 END AS ntok
+        |  FROM f),
+        |q AS (SELECT doc_id, bullet_frac, ellipsis_frac, ntok,
+        |    CASE WHEN len(words) = 0 THEN 0.0
+        |         ELSE floor(CAST(len(list_filter(words, w -> regexp_matches(w, '[a-z]'))) AS DOUBLE) /
+        |                    CAST(len(words) AS DOUBLE) * 10000 + 0.5) / 10000 END AS alpha_word_frac,
+        |    CAST(CASE WHEN regexp_matches(lower(page), '\bthe\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bbe\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bto\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bof\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\band\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bthat\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bhave\b') THEN 1 ELSE 0 END +
+        |         CASE WHEN regexp_matches(lower(page), '\bwith\b') THEN 1 ELSE 0 END AS INT) AS n_stopwords
+        |  FROM m)
+        |SELECT doc_id, bullet_frac, ellipsis_frac, alpha_word_frac, n_stopwords,
+        |       (ntok BETWEEN 10 AND 100000 AND bullet_frac <= 0.90 AND
+        |        ellipsis_frac <= 0.30 AND alpha_word_frac >= 0.80 AND
+        |        n_stopwords >= 2) AS quality_ok
+        |FROM q""".stripMargin,
 
     // every (doc, n) pair present; repeated chars = Σ (cnt-1)·len(gram)
     // over the unnested gram table, 0 when no window repeats

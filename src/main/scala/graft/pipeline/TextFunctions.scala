@@ -674,4 +674,80 @@ object TextFunctions {
       (replacementCharCount(text) + controlCharCount(text) +
         mojibakeSignatureCount(text)).cast("long") * 1000L <=
         length(text).cast("long") * maxPerKiloChars)
+
+  // ===== Gopher quality-half line/word rules (Rae et al. 2021 Table A1) =====
+  // The non-repetition, non-symbol half of the published battery that
+  // gopherOk/gopherRepetitionOk don't cover: bullet-start and ellipsis-end
+  // line fractions, the alphabetic-word fraction, the minimum-stop-word
+  // presence rule, and the word-count bounds. Pure Columns, map-side, zero
+  // shuffle; regexes stay in the Java∩RE2 subset; fractions round at 4dp in
+  // the portable floor form (single IEEE ops, bit-replayable in DuckDB).
+
+  private def round4p(x: Column): Column =
+    floor(x * 10000d + lit(0.5)) / 10000d
+
+  /** Fraction of \n-split lines whose first non-[ \t\r] character is a
+    * bullet marker (•, *, or -); Gopher drops pages above 0.90. Blank
+    * lines are lines (the duplicateLineFraction convention), so empty
+    * text scores 0. */
+  def bulletLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round4p(size(filter(lines, l =>
+      regexp_replace(l, "^[ \\t\\r]+", "").rlike("^[•*-]"))).cast("double") /
+      size(lines).cast("double"))
+  }
+
+  /** Fraction of \n-split lines ending (after [ \t\r] right-trim) in an
+    * ellipsis — "..." or the … char; Gopher drops pages above 0.30. */
+  def ellipsisLineFraction(text: Column): Column = {
+    val lines = split(text, "\n")
+    round4p(size(filter(lines, l =>
+      regexp_replace(l, "[ \\t\\r]+$", "").rlike("(\\.\\.\\.|…)$"))).cast("double") /
+      size(lines).cast("double"))
+  }
+
+  /** Fraction of whitespace words of the normalized text that contain at
+    * least one letter a-z (normalization lowercases, so the ASCII class
+    * covers ASCII-alpha words; documented ASCII scope); Gopher requires
+    * ≥ 0.80. 0 for wordless text. */
+  def alphaWordFraction(text: Column): Column = {
+    val words = filter(split(normalize(text), " "), w => length(w) > 0)
+    when(size(words) === 0, 0.0).otherwise(
+      round4p(size(filter(words, w => w.rlike("[a-z]"))).cast("double") /
+        size(words).cast("double")))
+  }
+
+  /** The published 8-word presence list. */
+  private[graft] val GopherStops =
+    Seq("the", "be", "to", "of", "and", "that", "have", "with")
+
+  /** How many DISTINCT members of the published stop list {the, be, to,
+    * of, and, that, have, with} appear in the lowercased text
+    * (word-boundary matches); Gopher requires ≥ 2. */
+  def stopwordMatchCount(text: Column): Column =
+    GopherStops.map(w =>
+      when(lower(text).rlike("\\b" + w + "\\b"), 1).otherwise(0))
+      .reduce(_ + _)
+
+  /** The QUALITY half of Gopher Table A1: word count within bounds
+    * (published 50..100,000), bullet-line fraction ≤ 0.90, ellipsis-line
+    * fraction ≤ 0.30, alphabetic-word fraction ≥ 0.80, and at least 2
+    * stop-list words. All five sub-metrics read the SAME text argument. */
+  def gopherQualityOk(text: Column, minWords: Int = 50,
+                      maxWords: Int = 100000): Column =
+    tokenCount(normalize(text)).between(minWords, maxWords) &&
+      bulletLineFraction(text) <= 0.90 &&
+      ellipsisLineFraction(text) <= 0.30 &&
+      alphaWordFraction(text) >= 0.80 &&
+      stopwordMatchCount(text) >= 2
+
+  /** The COMPLETE published Gopher battery (Table A1): the repetition
+    * rules + the symbol/word-shape rules + the line/word quality rules.
+    * Pinned by the composition law in PipelineSpec; the three halves are
+    * each oracle-checked separately (q_gopher_quality,
+    * q_gopher_repetition, q_gopher_lines). */
+  def gopherFullOk(text: Column, minWords: Int = 50,
+                   maxWords: Int = 100000): Column =
+    gopherOk(text) && gopherRepetitionOk(text) &&
+      gopherQualityOk(text, minWords, maxWords)
 }

@@ -1665,4 +1665,40 @@ class PipelineSpec extends SparkSpec {
       assert(got(id)._2 == refOk(t), s"ok mismatch on doc $id: '$t'")
     }
   }
+
+  test("gopher quality-half: bullet/ellipsis fractions, alpha words, stopwords") {
+    def d(c: org.apache.spark.sql.Column): Double =
+      Seq(1).toDF("x").select(c).head().getDouble(0)
+    def i(c: org.apache.spark.sql.Column): Int =
+      Seq(1).toDF("x").select(c).head().getInt(0)
+    val tf = TextFunctions
+    // bullets: •/*/- after left-trim count; mid-line dashes don't; blank
+    // lines are lines
+    assert(d(tf.bulletLineFraction(lit("• a\n  - b\nplain - dash\n* c"))) == 0.75)
+    assert(d(tf.bulletLineFraction(lit("no bullets here"))) == 0.0)
+    // ellipsis: "..." or … at the right-trimmed end; mid-line "..." doesn't
+    assert(d(tf.ellipsisLineFraction(lit("wait...  \ndone…\nmid ... line\nfin."))) == 0.5)
+    // alpha words over the normalized text: "123" and "$$" are words
+    // without letters
+    assert(d(tf.alphaWordFraction(lit("Cats eat 123 $$ fish"))) == 0.6)
+    assert(d(tf.alphaWordFraction(lit(""))) == 0.0)
+    // stopword presence is DISTINCT members, word-boundary, case-folded
+    assert(i(tf.stopwordMatchCount(lit("The cat and the dog and the bird"))) == 2)
+    assert(i(tf.stopwordMatchCount(lit("Tother Toto bandwidth"))) == 0) // no boundary hits
+    assert(i(tf.stopwordMatchCount(lit("the be to of and that have with"))) == 8)
+    // the composed quality gate and the full-battery composition law
+    val docs = Seq(
+      "the cat sat with a hat and that was that. " * 3, // passes at minWords=10
+      "• a\n• b\n• c\n• d\n• e\n• f\n• g\n• h\n• i\n• j\nthe end with grace and that.", // >90% bullets
+      "123 456 789 012 345 678 901 234 567 890 the and") // alpha words < 80%
+      .toDF("t")
+    val got = docs.select(
+      tf.gopherQualityOk(col("t"), minWords = 10).as("q"),
+      ((tf.gopherOk(col("t")) && tf.gopherRepetitionOk(col("t")) &&
+        tf.gopherQualityOk(col("t"), minWords = 10)) <=>
+        tf.gopherFullOk(col("t"), minWords = 10)).as("law"))
+      .collect()
+    assert(got.map(_.getBoolean(0)).toSeq == Seq(true, false, false))
+    assert(got.forall(_.getBoolean(1)))
+  }
 }
