@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.pipeline.{Dedup, Overlap, TextFunctions}
 
@@ -16,6 +16,8 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *     --output <dir> [--eval <parquet of (doc_id, text)>] \
   *     [--id-col doc_id] [--text-col text] \
   *     [--minhash-threshold 0.8] [--contam-grams 13] [--redact-pii true] \
+  *     [--redact-secrets true]  # credential scrub (PEM/AWS/GH/Slack/
+  *       # bearer/hex cascade) on released rows, BEFORE the PII cascade \
   *     [--nfc true]   # Unicode NFC fold through both dedup stages
   *     [--clf-weights <parquet of (idx, w_micro)>] [--clf-dim 2097152] \
   *     [--clf-threshold 0.5] [--clf-bias-micro 0]
@@ -249,6 +251,7 @@ object Curate {
           contamGrams: Int = 13, contamMinShared: Long = 1L,
           contamStopGramMaxDf: Option[Long] = None,
           redactPii: Boolean = false,
+          redactSecrets: Boolean = false,
           subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab,
           nfc: Boolean = false,
           clfWeights: Option[DataFrame] = None,
@@ -390,23 +393,35 @@ object Curate {
           stats = scored.stats :+ StageStats("dsir_select", nIn, kept.count()),
           persisted = scored.persisted :+ kept)
     }
-    // PII scrub on the RELEASED rows only (after every filter stage — the
-    // dropped rows never need scrubbing); pure projection, no extra scan
-    // or stage count. Dedup/contamination above intentionally ran on the
-    // RAW text: redaction collapses distinct PII into one token, which
-    // would manufacture false near-dup matches
+    // PII/secret scrub on the RELEASED rows only (after every filter stage
+    // — the dropped rows never need scrubbing); pure projection, no extra
+    // scan or stage count. Dedup/contamination above intentionally ran on
+    // the RAW text: redaction collapses distinct PII into one token, which
+    // would manufacture false near-dup matches. Secrets scrub FIRST — the
+    // PII digit-run class would otherwise eat an all-digit hex secret
     val out =
-      if (!redactPii) selected
-      else selected.copy(clean = selected.clean
-        .withColumn("pii_redactions",
-          pipeline.TextFunctions.piiCounts(col(textCol)).total)
-        .withColumn(textCol, pipeline.TextFunctions.redactPii(col(textCol))),
-        // violations are persisted output too — a run that asked for PII
-        // scrubbing must not land raw emails/phones on disk via the
-        // quarantine path (round-4 advice). Scrub the text column AND the
-        // message columns: error messages embed Python-style value reprs
-        // (PyRepr), so a failing text value leaks into `code`/`autos`/`errors`
-        violations = scrubViolations(base.violations, textCol))
+      if (!redactPii && !redactSecrets) selected
+      else {
+        val scrub: Column => Column = c => {
+          val s = if (redactSecrets) pipeline.TextFunctions.redactSecrets(c) else c
+          if (redactPii) pipeline.TextFunctions.redactPii(s) else s
+        }
+        var cleanOut = selected.clean
+        if (redactSecrets) cleanOut = cleanOut.withColumn("secret_redactions",
+          pipeline.TextFunctions.secretCounts(col(textCol)).total)
+        if (redactPii) cleanOut = cleanOut.withColumn("pii_redactions",
+          pipeline.TextFunctions.piiCounts(
+            if (redactSecrets) pipeline.TextFunctions.redactSecrets(col(textCol))
+            else col(textCol)).total)
+        selected.copy(
+          clean = cleanOut.withColumn(textCol, scrub(col(textCol))),
+          // violations are persisted output too — a run that asked for
+          // scrubbing must not land raw emails/keys on disk via the
+          // quarantine path (round-4 advice). Scrub the text column AND the
+          // message columns: error messages embed Python-style value reprs
+          // (PyRepr), so a failing text value leaks into `code`/`autos`/`errors`
+          violations = scrubViolations(base.violations, textCol, scrub))
+      }
     fpIndex match {
       case None => out
       case Some(ix) =>
@@ -420,9 +435,8 @@ object Curate {
     * value surfaces there too). Missing columns are skipped: callers may
     * pass custom rules whose violations carry a different shape.
     */
-  private[graft] def scrubViolations(violations: DataFrame,
-                                     textCol: String): DataFrame = {
-    val scrub = pipeline.TextFunctions.redactPii(_)
+  private[graft] def scrubViolations(violations: DataFrame, textCol: String,
+                                     scrub: Column => Column): DataFrame = {
     val cols = violations.columns.toSet
     var out = violations
     if (cols(textCol)) out = out.withColumn(textCol, scrub(col(textCol)))
@@ -451,7 +465,8 @@ object Curate {
       if (opts.contains("tokens-col"))
         common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
           "pack-chunk-size", "pack-id-prefix", "shuffle-seed")
-      else common ++ Set("text-col", "minhash-threshold", "redact-pii", "nfc",
+      else common ++ Set("text-col", "minhash-threshold", "redact-pii",
+        "redact-secrets", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
         "strip-html", "c4-clean", "sem-eval", "sem-threshold", "embedding-col",
         "index-dir", "dsir-target", "dsir-k", "dsir-dim", "dsir-seed")
@@ -487,6 +502,7 @@ object Curate {
         minhashThreshold = opts.getOrElse("minhash-threshold", "0.8").toDouble,
         contamGrams = opts.getOrElse("contam-grams", "13").toInt,
         redactPii = opts.getOrElse("redact-pii", "false").toBoolean,
+        redactSecrets = opts.getOrElse("redact-secrets", "false").toBoolean,
         nfc = opts.getOrElse("nfc", "false").toBoolean,
         clfWeights = opts.get("clf-weights").map(spark.read.parquet(_)),
         clfDim = opts.getOrElse("clf-dim", (1 << 21).toString).toInt,

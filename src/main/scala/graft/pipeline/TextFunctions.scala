@@ -750,4 +750,76 @@ object TextFunctions {
                    maxWords: Int = 100000): Column =
     gopherOk(text) && gopherRepetitionOk(text) &&
       gopherQualityOk(text, minWords, maxWords)
+
+  // ===== Secrets / credential detection (release-path scrubbing) =====
+  // The sibling of the PII cascade for LEAKED CREDENTIALS — the class a
+  // code-bearing or scraped corpus ships most often. Same discipline:
+  // pure codegen'd regexp_replace cascade, patterns restricted to the
+  // Java∩RE2 subset (char classes, bounded/open repetition, alternation,
+  // \b, inline (?i)) so the DuckDB oracle replays byte-for-byte. Pattern
+  // matching is the high-precision core, not a scanner: extend per corpus
+  // policy, and gate on `secretCounts().total` to quarantine rather than
+  // trust redaction alone (a PEM body, for instance, should drop the row).
+
+  // PEM header (the body is base64 the hex rule can't eat; a row carrying
+  // one should be QUARANTINED via the count, the marker just de-fangs it)
+  private[graft] val PemRe = "-----BEGIN [A-Z ]*PRIVATE KEY-----"
+  private[graft] val AwsKeyRe = "\\bAKIA[0-9A-Z]{16}\\b"
+  private[graft] val GhTokenRe = "\\bgh[pousr]_[A-Za-z0-9]{36}\\b"
+  private[graft] val SlackTokenRe = "\\bxox[baprs]-[0-9A-Za-z-]{10,48}\\b"
+  // "bearer <token>" auth headers: the whole phrase redacts, so a hex- or
+  // base64url-shaped token can't half-survive into the generic hex class
+  private[graft] val BearerRe = "(?i)\\bbearer +[A-Za-z0-9._=-]{16,}"
+  // generic long-hex secrets (api keys, auth digests) LAST — every
+  // specific shape above must already be gone
+  private[graft] val HexSecretRe = "\\b[0-9a-fA-F]{32,}\\b"
+
+  /** Per-class secret match counts, in cascade order (each class counted
+    * with the previous classes already redacted, like `PiiAudit`). */
+  final case class SecretsAudit(pems: Column, awsKeys: Column,
+                                ghTokens: Column, slackTokens: Column,
+                                bearers: Column, hexes: Column) {
+    def total: Column = pems + awsKeys + ghTokens + slackTokens + bearers + hexes
+  }
+
+  /** Credential redaction: PEM private-key headers → `<PRIVATE_KEY>`, AWS
+    * access-key ids → `<AWS_KEY>`, GitHub tokens → `<GH_TOKEN>`, Slack
+    * tokens → `<SLACK_TOKEN>`, bearer-auth phrases → `<BEARER>`, ≥32-char
+    * hex runs → `<HEX_SECRET>`. Specific shapes first, the generic hex
+    * class last. Run BEFORE `redactPii` when composing: the PII digit-run
+    * class would otherwise eat an all-digit hex secret's core first. */
+  def redactSecrets(text: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(
+          regexp_replace(
+            regexp_replace(
+              regexp_replace(text, PemRe, "<PRIVATE_KEY>"),
+              AwsKeyRe, "<AWS_KEY>"),
+            GhTokenRe, "<GH_TOKEN>"),
+          SlackTokenRe, "<SLACK_TOKEN>"),
+        BearerRe, "<BEARER>"),
+      HexSecretRe, "<HEX_SECRET>")
+
+  /** Per-class secret counts — the audit companion of `redactSecrets`,
+    * counted on the cascade (a bearer token is never double-counted as a
+    * hex secret). Quarantine on `total > 0` for release builds that can't
+    * accept marker tokens. */
+  def secretCounts(text: Column): SecretsAudit = {
+    val afterPem = regexp_replace(text, PemRe, "<PRIVATE_KEY>")
+    val afterAws = regexp_replace(afterPem, AwsKeyRe, "<AWS_KEY>")
+    val afterGh = regexp_replace(afterAws, GhTokenRe, "<GH_TOKEN>")
+    val afterSlack = regexp_replace(afterGh, SlackTokenRe, "<SLACK_TOKEN>")
+    val afterBearer = regexp_replace(afterSlack, BearerRe, "<BEARER>")
+    SecretsAudit(
+      pems = regexp_count(text, lit(PemRe)),
+      awsKeys = regexp_count(afterPem, lit(AwsKeyRe)),
+      ghTokens = regexp_count(afterAws, lit(GhTokenRe)),
+      slackTokens = regexp_count(afterGh, lit(SlackTokenRe)),
+      bearers = regexp_count(afterSlack, lit(BearerRe)),
+      hexes = regexp_count(afterBearer, lit(HexSecretRe)))
+  }
+
+  /** Release gate: no credential of any class detected. */
+  def secretsOk(text: Column): Column = secretCounts(text).total === 0
 }
