@@ -1350,6 +1350,11 @@ object SparkEntry {
       pipeline.Report.vocabStats(T(s, dir, "documents"), "text")),
     "q_token_spectrum" -> ((s, dir) =>
       pipeline.Report.tokenFrequencySpectrum(T(s, dir, "documents"), "text")),
+    // PMI collocations: bigram explode → count → minCount prune → unigram
+    // joins → micro-nat log-term sum → TakeOrdered(k)
+    "q_collocations" -> ((s, dir) =>
+      pipeline.Report.collocations(T(s, dir, "documents"), "text",
+        k = 40, minCount = 3L)),
 
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle
@@ -2985,6 +2990,34 @@ object SparkEntry {
         |           FROM documents),
         |c AS (SELECT token, CAST(count(*) AS BIGINT) AS cnt FROM t GROUP BY token)
         |SELECT cnt, CAST(count(*) AS BIGINT) AS n_types FROM c GROUP BY cnt""".stripMargin,
+
+    // PMI over the identical normalized adjacent-bigram stream; the
+    // micro-nat value is the SAME six-ln left-to-right sum (term order is
+    // the replay contract), totals from the same no-explode word counts
+    "q_collocations" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |g AS (SELECT doc_id, string_split(t, ' ') AS ws FROM n WHERE t <> ''),
+        |u AS (SELECT unnest(list_filter(ws, x -> x <> '')) AS w FROM g),
+        |p AS (SELECT unnest([struct_pack(w1 := ws[i], w2 := ws[i+1])
+        |                     for i in generate_series(1, len(ws) - 1)]) AS pr
+        |      FROM g WHERE len(ws) >= 2),
+        |pc AS (SELECT pr.w1 AS w1, pr.w2 AS w2, CAST(count(*) AS BIGINT) AS n_pair
+        |       FROM p GROUP BY 1, 2 HAVING count(*) >= 3),
+        |uc AS (SELECT w, CAST(count(*) AS BIGINT) AS c FROM u GROUP BY 1),
+        |tok AS (SELECT CASE WHEN t = '' THEN 0
+        |                    ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok FROM n),
+        |tot AS (SELECT CAST(sum(ntok) AS BIGINT) AS n_words,
+        |               CAST(sum(greatest(ntok - 1, 0)) AS BIGINT) AS n_pairs FROM tok)
+        |SELECT pc.w1, pc.w2, pc.n_pair, u1.c AS n_w1, u2.c AS n_w2,
+        |       CAST(floor((ln(CAST(pc.n_pair AS DOUBLE)) +
+        |                   ln(CAST(tot.n_words AS DOUBLE)) +
+        |                   ln(CAST(tot.n_words AS DOUBLE)) -
+        |                   ln(CAST(tot.n_pairs AS DOUBLE)) -
+        |                   ln(CAST(u1.c AS DOUBLE)) -
+        |                   ln(CAST(u2.c AS DOUBLE))) * 1000000 + 0.5) AS BIGINT) AS pmi_micro
+        |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
+        |CROSS JOIN tot
+        |ORDER BY pmi_micro DESC, w1, w2 LIMIT 40""".stripMargin,
 
     // within-cell all-pairs exact cosine over the materialized k-means
     // cell assignments — the SemDeDup pairing recomputed independently

@@ -88,4 +88,57 @@ object Report {
     tokens(docs, textCol).agg(
       count(lit(1)).as("n_tokens"),
       count_distinct(col("token")).as("n_types"))
+
+  /** Top-k adjacent-word-bigram collocations by pointwise mutual
+    * information — the phrase-discovery pass ("new york", "machine
+    * learning") a tokenizer/vocab team runs over a corpus. PMI =
+    * ln(p(a,b) / (p(a)·p(b))) with p(a,b) = c_ab/N_pairs and p(w) =
+    * c_w/N_words, emitted in integer micro-nats as a SUM OF LOG TERMS in
+    * fixed left-to-right order (ln c_ab + ln N_w + ln N_w − ln N_p −
+    * ln c_a − ln c_b — each term a single libm ln, the order part of the
+    * replay contract). `minCount` guards PMI's classic failure mode:
+    * hapax pairs score highest (ties break (w1, w2) ascending).
+    *
+    * Distributed shape: one bigram explode → short-key count with
+    * map-side partials, the minCount filter BEFORE the unigram joins
+    * (the surviving pair table is tiny), corpus totals in one narrow
+    * no-explode pass (every doc contributes `words` tokens and
+    * `max(words−1, 0)` pairs), broadcast as a one-row frame, and a
+    * TakeOrdered(k) — the driver never sees more than k rows and no
+    * text ever shuffles.
+    */
+  def collocations(docs: DataFrame, textCol: String, k: Int = 100,
+                   minCount: Long = 5L): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    val words = split(TextFunctions.normalize(col(textCol)), " ")
+    val pairs = docs.select(explode(when(size(words) < 2,
+        array().cast("array<struct<w1:string,w2:string>>"))
+      .otherwise(transform(sequence(lit(0), size(words) - 2),
+        i => struct(element_at(words, i + 1).as("w1"),
+          element_at(words, i + 2).as("w2"))))).as("p"))
+      .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
+    val pc = pairs.groupBy(col("w1"), col("w2"))
+      .agg(count(lit(1)).as("n_pair"))
+      .where(col("n_pair") >= minCount)
+    val uni = tokens(docs, textCol)
+      .groupBy(col("token")).agg(count(lit(1)).as("c"))
+    val nt = TextFunctions.tokenCount(
+      TextFunctions.normalize(col(textCol))).cast("long")
+    val tot = docs.agg(sum(nt).as("n_words"),
+      sum(greatest(nt - 1L, lit(0L))).as("n_pairs"))
+    pc
+      .join(uni.select(col("token").as("w1"), col("c").as("n_w1")), Seq("w1"))
+      .join(uni.select(col("token").as("w2"), col("c").as("n_w2")), Seq("w2"))
+      .crossJoin(broadcast(tot))
+      .select(col("w1"), col("w2"), col("n_pair"), col("n_w1"), col("n_w2"),
+        floor((log(col("n_pair").cast("double")) +
+          log(col("n_words").cast("double")) +
+          log(col("n_words").cast("double")) -
+          log(col("n_pairs").cast("double")) -
+          log(col("n_w1").cast("double")) -
+          log(col("n_w2").cast("double"))) * 1000000d + lit(0.5))
+          .cast("long").as("pmi_micro"))
+      .orderBy(col("pmi_micro").desc, col("w1"), col("w2")).limit(k)
+  }
 }

@@ -143,4 +143,39 @@ class KMeansReportSpec extends SparkSpec {
     assert(got == perDoc)
     assert(got.contains(("srcB", "fr"))) // the empty doc's group still reports
   }
+
+  test("collocations: hand-counted PMI, minCount prune, hapax ranking, tie order") {
+    val docs = Seq(
+      (0L, "new york new york"),
+      (1L, "a new day"),
+      (2L, "york minster"),
+      (3L, "")) // empty doc: no tokens, no pairs
+      .toDF("doc_id", "text")
+    // unigrams: new=3 york=3 a=1 day=1 minster=1; N_words=9, N_pairs=6
+    def pmiMicro(cab: Long, ca: Long, cb: Long): Long =
+      math.floor((math.log(cab.toDouble) + math.log(9.0) + math.log(9.0) -
+        math.log(6.0) - math.log(ca.toDouble) - math.log(cb.toDouble)) * 1e6
+        + 0.5).toLong
+    // minCount=2 keeps only (new, york) cnt=2
+    val strict = Report.collocations(docs, "text", k = 10, minCount = 2L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5)))
+    assert(strict.toSeq == Seq(("new", "york", 2L, 3L, 3L, pmiMicro(2, 3, 3))))
+    // minCount=1 exposes the hapax failure mode: the singleton pairs
+    // outrank the real collocation, equal-PMI ties break (w1, w2) asc
+    val all = Report.collocations(docs, "text", k = 10, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getLong(5)))
+    val expected = Seq(
+      ("a", "new", pmiMicro(1, 1, 3)),
+      ("new", "day", pmiMicro(1, 3, 1)),
+      ("new", "york", pmiMicro(2, 3, 3)),
+      ("york", "minster", pmiMicro(1, 3, 1)),
+      ("york", "new", pmiMicro(1, 3, 3)))
+      .sortBy { case (w1, w2, m) => (-m, w1, w2) }
+    assert(all.toSeq == expected)
+    // k truncates after the deterministic sort
+    assert(Report.collocations(docs, "text", k = 2, minCount = 1L)
+      .collect().map(r => (r.getString(0), r.getString(1))).toSeq ==
+      expected.take(2).map(e => (e._1, e._2)))
+  }
 }
