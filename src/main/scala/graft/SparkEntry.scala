@@ -1355,6 +1355,13 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) =>
       pipeline.Report.collocations(T(s, dir, "documents"), "text",
         k = 40, minCount = 3L)),
+    // per-doc TF-IDF keywords: one explode, df over the tf table, smoothed
+    // idf, per-doc row_number top-k. N counts ALL docs of the frame (the
+    // %10 subset), so the oracle shares the same subquery
+    "q_tfidf" -> ((s, dir) =>
+      pipeline.Report.tfidfKeywords(
+        T(s, dir, "documents").where(col("doc_id") % 10 === 4),
+        "text", "doc_id", k = 3)),
 
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle
@@ -3018,6 +3025,26 @@ object SparkEntry {
         |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
         |CROSS JOIN tot
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // smoothed TF-IDF with the identical parenthesization contract
+    // ((tf · (ln((N+1)/(df+1)) + 1)) · 10⁶ + 0.5 floored); df over the
+    // distinct (doc, token) table, window top-3 per doc with token ties
+    "q_tfidf" ->
+      """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t
+        |           FROM documents WHERE doc_id % 10 = 4),
+        |u AS (SELECT doc_id, unnest(list_filter(string_split(t, ' '), x -> x <> '')) AS token FROM d),
+        |tf AS (SELECT doc_id, token, CAST(count(*) AS BIGINT) AS tf FROM u GROUP BY 1, 2),
+        |df AS (SELECT token, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |s AS (SELECT tf.doc_id AS id, tf.token, tf.tf, df.df,
+        |        CAST(floor((CAST(tf.tf AS DOUBLE) *
+        |              (ln((CAST(n.n_docs AS DOUBLE) + 1.0) / (CAST(df.df AS DOUBLE) + 1.0)) + 1.0))
+        |             * 1000000 + 0.5) AS BIGINT) AS tfidf_micro
+        |      FROM tf JOIN df USING (token) CROSS JOIN n)
+        |SELECT id, token, tf, df, tfidf_micro,
+        |       CAST(row_number() OVER (PARTITION BY id ORDER BY tfidf_micro DESC, token) AS INT) AS "rank"
+        |FROM s
+        |QUALIFY "rank" <= 3""".stripMargin,
 
     // within-cell all-pairs exact cosine over the materialized k-means
     // cell assignments — the SemDeDup pairing recomputed independently

@@ -107,6 +107,45 @@ object Report {
     * TakeOrdered(k) — the driver never sees more than k rows and no
     * text ever shuffles.
     */
+  /** Per-document top-k keywords by smoothed TF-IDF — the what-is-this-doc
+    * summarization/retrieval pass. tfidf = tf · (ln((N+1)/(df+1)) + 1)
+    * (the standard smooth-idf: a term in every doc still scores, nothing
+    * divides by zero), emitted in integer micro units with the fixed
+    * parenthesization ((tf · idf) · 10⁶ + 0.5 floored) as the replay
+    * contract. N = ALL rows of `docs` (empty docs count toward N but emit
+    * no keywords). Per-doc ties break token-ascending.
+    *
+    * Distributed shape: ONE token explode → (doc, token) tf aggregation;
+    * df is a second short-key aggregation OVER THE TF TABLE (already
+    * distinct per doc — no second explode, no distinct); N is a one-row
+    * broadcast; the final top-k is a row_number window partitioned by doc
+    * — one shuffle by doc id of (doc, token, counts) short rows.
+    */
+  def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
+                    k: Int = 5): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val tf = docs
+      .select(col(idCol).as("id"),
+        explode(split(TextFunctions.normalize(col(textCol)), " ")).as("token"))
+      .where(col("token") =!= "")
+      .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
+    val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    val idf = log((col("n_docs").cast("double") + lit(1.0)) /
+      (col("df").cast("double") + lit(1.0))) + lit(1.0)
+    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        floor((col("tf").cast("double") * idf) * lit(1000000d) + lit(0.5))
+          .cast("long").as("tfidf_micro"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("id"))
+      .orderBy(col("tfidf_micro").desc, col("token"))
+    scored.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("id"), col("token"), col("tf"), col("df"),
+        col("tfidf_micro"), col("rank").cast("int").as("rank"))
+  }
+
   def collocations(docs: DataFrame, textCol: String, k: Int = 100,
                    minCount: Long = 5L): DataFrame = {
     require(k > 0, s"k=$k must be positive")

@@ -144,6 +144,32 @@ class KMeansReportSpec extends SparkSpec {
     assert(got.contains(("srcB", "fr"))) // the empty doc's group still reports
   }
 
+  test("tfidfKeywords: hand-counted tf/df, smoothing, empty doc, per-doc tie order") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple cherry date date"),
+      (3L, "")) // counts toward N, emits no keywords
+      .toDF("doc_id", "text")
+    // N=4; df: apple 2, banana 2, cherry 2, date 1
+    def micro(tf: Long, df: Long): Long =
+      math.floor((tf.toDouble *
+        (math.log((4.0 + 1.0) / (df.toDouble + 1.0)) + 1.0)) * 1e6 + 0.5).toLong
+    val got = Report.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getInt(5)))
+      .sortBy(x => (x._1, x._6))
+    assert(got.toSeq == Seq(
+      (0L, "apple", 2L, 2L, micro(2, 2), 1),
+      (0L, "banana", 1L, 2L, micro(1, 2), 2),
+      // doc 1: equal scores — token-ascending tie order
+      (1L, "banana", 1L, 2L, micro(1, 2), 1),
+      (1L, "cherry", 1L, 2L, micro(1, 2), 2),
+      // doc 2: the repeated rare term wins; apple beats cherry on the tie
+      (2L, "date", 2L, 1L, micro(2, 1), 1),
+      (2L, "apple", 1L, 2L, micro(1, 2), 2)))
+  }
+
   test("collocations: hand-counted PMI, minCount prune, hapax ranking, tie order") {
     val docs = Seq(
       (0L, "new york new york"),
