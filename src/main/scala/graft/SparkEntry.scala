@@ -1032,6 +1032,18 @@ object SparkEntry {
           T(s, dir, "documents").select(col("doc_id")), "doc_id")
         .select(col("doc_id"), col("shuffle_rank"))
     }),
+    "q_token_budget" -> ((s, dir) => {
+      // deterministic token-budget selection: keep docs in md5-shuffle
+      // order while the exact global token prefix sum stays under the
+      // budget. Two-level prefix sum in the engine; the oracle IS the
+      // global cumulative window the operator exists to avoid
+      val docs = T(s, dir, "documents").select(col("doc_id"),
+        TextFunctions.tokenCount(TextFunctions.normalize(col("text")))
+          .as("n_tokens"))
+      graft.pipeline.Sampling.takeTokenBudget(
+          docs, "doc_id", "n_tokens", budget = 20000L, seed = "r5")
+        .select(col("doc_id"), col("n_tokens"), col("tokens_before"))
+    }),
     "q_token_incremental" -> ((s, dir) => {
       // token-sequence incremental ingest: the index fixture carries the
       // RAW token arrays next to the 128-bit structural fingerprints, so
@@ -2432,6 +2444,22 @@ object SparkEntry {
         |    ORDER BY substring(md5(CAST(doc_id AS VARCHAR)), 1, 12) || ':' || CAST(doc_id AS VARCHAR)
         |  ) - 1 AS BIGINT) AS shuffle_rank
         |FROM documents""".stripMargin,
+
+    // the seeded shuffle key rebuilt verbatim, the prefix sum as ONE
+    // global cumulative window (1-PRECEDING frame), the same strict gate
+    "q_token_budget" ->
+      """WITH d AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |n AS (SELECT doc_id, CASE WHEN t = '' THEN 0
+        |                          ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS ntok FROM d),
+        |k AS (SELECT doc_id, ntok,
+        |        substring(md5('r5' || CAST(doc_id AS VARCHAR)), 1, 12) || ':' || CAST(doc_id AS VARCHAR) AS skey
+        |      FROM n),
+        |c AS (SELECT doc_id, ntok,
+        |        CAST(coalesce(sum(ntok) OVER (ORDER BY skey
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS tokens_before
+        |      FROM k)
+        |SELECT doc_id, CAST(ntok AS INT) AS n_tokens, tokens_before
+        |FROM c WHERE tokens_before < 20000""".stripMargin,
 
     // the 48-bit md5 draw re-derived digit-by-digit (the classifier-oracle
     // hex-parse idiom), compared against the SAME integer thresholds

@@ -163,6 +163,37 @@ object Sampling {
       .drop("__skey", "__one")
   }
 
+  /** Deterministic token-budget selection — "give me ~B tokens for this
+    * run": keep documents in deterministic-shuffle order (md5(seed ++ id),
+    * ties impossible — the id is appended to the key) until the global
+    * budget is exhausted. A row is kept iff the EXACT prefix sum of
+    * `weightCol` over all earlier rows in shuffle order is < `budget`, so
+    * the selection overshoots by at most one document and is STABLE: same
+    * seed + same corpus ⇒ the same rows at any parallelism, and a grown
+    * corpus only re-deals what the new keys displace. Output = the input
+    * columns + `tokens_before` (that prefix sum — also the row's stream
+    * offset if the selection feeds `Packing.packManifestBy`).
+    *
+    * Scale shape: the same two-level distributed prefix sum as
+    * `deterministicShuffle` (per-bucket sums → ONE window over #buckets
+    * rows → in-bucket offsets); the budget gate is a map-side predicate
+    * on the offset. No global window, no single-partition pass over data.
+    */
+  def takeTokenBudget(df: DataFrame, idCol: String, weightCol: String,
+                      budget: Long, seed: String = "",
+                      bucketPrefixLen: Int = 4): DataFrame = {
+    require(budget > 0, s"budget=$budget must be positive")
+    val skey = concat(
+      substring(md5(concat(lit(seed), col(idCol).cast("string"))), 1, 12),
+      lit(":"), col(idCol).cast("string"))
+    Packing.globalOffsets(
+        df.withColumn("__skey", skey),
+        "__skey", weightCol, stringPrefixLen = bucketPrefixLen)
+      .where(col("start") < budget)
+      .withColumnRenamed("start", "tokens_before")
+      .drop("__skey")
+  }
+
   /** Deterministic train/val/test split assignment — a `split` column from
     * a pure per-id hash, the property a 100 TB pipeline needs: ZERO
     * shuffle (one map-side projection), and STABLE under growth — an id's

@@ -180,4 +180,40 @@ class SamplingSpec extends SparkSpec {
       .as[(Long, Long)].collect().toMap
     assert(reseeded != got && reseeded.values.toSet == got.values.toSet)
   }
+
+  test("takeTokenBudget: driver prefix-sum replica, one-doc overshoot, stability") {
+    val rnd = new scala.util.Random(7)
+    val weights = (0L until 400L).map(id => id -> (1L + rnd.nextInt(50))).toMap
+    val docs = weights.toSeq.toDF("doc_id", "n_tokens")
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("b1" + id).getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.substring(0, 12) + ":" + id
+    }
+    val order = (0L until 400L).sortBy(key)
+    val before = order.scanLeft(0L)((acc, id) => acc + weights(id)).init
+    val budget = 3000L
+    val expected = order.zip(before).filter(_._2 < budget).toMap
+
+    val got = Sampling.takeTokenBudget(docs, "doc_id", "n_tokens",
+        budget = budget, seed = "b1")
+      .select(col("doc_id"), col("tokens_before"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == expected)
+    // budget semantics: total - last row's own weight stays under budget;
+    // with the last row it meets or exceeds it (one-doc overshoot max)
+    val kept = got.keys.toSeq.sortBy(key)
+    val tot = kept.map(weights).sum
+    assert(tot >= budget && tot - weights(kept.last) < budget)
+    // partitioning is irrelevant
+    val again = Sampling.takeTokenBudget(docs.repartition(5), "doc_id",
+        "n_tokens", budget = budget, seed = "b1")
+      .select(col("doc_id"), col("tokens_before"))
+      .as[(Long, Long)].collect().toMap
+    assert(again == got)
+    // a budget >= the corpus total keeps every row
+    val all = Sampling.takeTokenBudget(docs, "doc_id", "n_tokens",
+      budget = weights.values.sum, seed = "b1").count()
+    assert(all == 400L)
+  }
 }
