@@ -847,6 +847,24 @@ object SparkEntry {
       Overlap.boilerplateGrams(stored, "tokens", "id", k = 5, minDf = 2)
         .groupBy(col("df")).agg(count(lit(1)).as("n_grams"))
     }),
+    // one-row memorization-risk profiles: duplicated-gram type and
+    // occurrence shares in ppm (BIGINT DIV). Text form over the corpus
+    // (3-grams); token form over the SAME template fixture as
+    // q_boilerplate_grams (materialized identically — the queries Map has
+    // no evaluation order), where 10 templates × 30 docs put real mass in
+    // the duplicated share
+    "q_dup_rate" -> ((s, dir) =>
+      Overlap.duplicationRate(T(s, dir, "documents"), "text", "doc_id", k = 3)),
+    "q_token_dup_rate" -> ((s, dir) => {
+      val seqs = s.range(0, 300, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(10L)), 40, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id") + 5000, 120, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      val stored = materialize(s, seqs, "q_boiler_seqs", files = 4)
+      Overlap.tokenDuplicationRate(stored, "tokens", "id", k = 5)
+    }),
 
     // --- train/test contamination: shared-gram counts vs an eval set ---
     "q_contamination" -> ((s, dir) => {
@@ -2626,6 +2644,49 @@ object SparkEntry {
         |g AS (SELECT DISTINCT id, gram FROM g0),
         |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram HAVING count(*) >= 2)
         |SELECT df, CAST(count(*) AS BIGINT) AS n_grams FROM d GROUP BY df""".stripMargin,
+
+    // raw word-slice gram df (whole-text gram below k words — the GramSet
+    // convention), rolled up to the one-row ppm profile with the same
+    // integer DIV
+    "q_dup_rate" ->
+      """WITH n AS (SELECT doc_id, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |w AS (SELECT doc_id, t, string_split(t, ' ') AS ws FROM n),
+        |g0 AS (SELECT doc_id, unnest(CASE WHEN len(ws) <= 3 THEN [t]
+        |                                  ELSE [array_to_string(ws[i:i+2], ' ') for i in generate_series(1, len(ws) - 2)] END) AS gram
+        |       FROM w),
+        |g AS (SELECT DISTINCT doc_id, gram FROM g0),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_gram_types,
+        |             CAST(coalesce(sum(df), 0) AS BIGINT) AS n_gram_occurrences,
+        |             CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_types,
+        |             CAST(coalesce(sum(CASE WHEN df >= 2 THEN df ELSE 0 END), 0) AS BIGINT) AS n_dup_occurrences
+        |      FROM d)
+        |SELECT n_gram_types, n_gram_occurrences, n_dup_types, n_dup_occurrences,
+        |       CAST(CASE WHEN n_gram_types = 0 THEN 0
+        |                 ELSE n_dup_types * 1000000 // n_gram_types END AS BIGINT) AS dup_type_ppm,
+        |       CAST(CASE WHEN n_gram_occurrences = 0 THEN 0
+        |                 ELSE n_dup_occurrences * 1000000 // n_gram_occurrences END AS BIGINT) AS dup_occ_ppm
+        |FROM r""".stripMargin,
+
+    // the token form over the SAME materialized template fixture
+    "q_token_dup_rate" ->
+      """WITH s AS (SELECT id, tokens FROM read_parquet('/root/repo/target/graft_oracle/q_boiler_seqs/*.parquet')),
+        |g0 AS (SELECT id, unnest(CASE WHEN len(tokens) <= 5 THEN [tokens]
+        |                              ELSE [tokens[i:i+4] for i in generate_series(1, len(tokens) - 4)] END) AS gram
+        |       FROM s),
+        |g AS (SELECT DISTINCT id, gram FROM g0),
+        |d AS (SELECT gram, CAST(count(*) AS BIGINT) AS df FROM g GROUP BY gram),
+        |r AS (SELECT CAST(count(*) AS BIGINT) AS n_gram_types,
+        |             CAST(coalesce(sum(df), 0) AS BIGINT) AS n_gram_occurrences,
+        |             CAST(coalesce(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END), 0) AS BIGINT) AS n_dup_types,
+        |             CAST(coalesce(sum(CASE WHEN df >= 2 THEN df ELSE 0 END), 0) AS BIGINT) AS n_dup_occurrences
+        |      FROM d)
+        |SELECT n_gram_types, n_gram_occurrences, n_dup_types, n_dup_occurrences,
+        |       CAST(CASE WHEN n_gram_types = 0 THEN 0
+        |                 ELSE n_dup_types * 1000000 // n_gram_types END AS BIGINT) AS dup_type_ppm,
+        |       CAST(CASE WHEN n_gram_occurrences = 0 THEN 0
+        |                 ELSE n_dup_occurrences * 1000000 // n_gram_occurrences END AS BIGINT) AS dup_occ_ppm
+        |FROM r""".stripMargin,
 
     // shared distinct gram counts between every (train, eval) doc pair
     "q_contamination" ->

@@ -40,6 +40,48 @@ object Overlap {
       .groupBy(col("gram")).agg(count(lit(1)).as("df"))
       .where(col("df") >= minDf)
 
+  /** One-row cross-document k-gram duplication profile — the
+    * memorization-risk summary a pretraining team tracks: of all DISTINCT
+    * word k-grams (per-doc distinct, so the count IS document frequency),
+    * how many appear in ≥ 2 documents, and what share of gram-document
+    * occurrences those duplicated grams carry. Shares are parts-per-million
+    * by integer division (BIGINT DIV — bit-replayable; 0 for an empty
+    * corpus). Gram identity is the 64-bit hash (`wordGramSet`) — the same
+    * collision contract as `boilerplateGrams`.
+    *
+    * Scale shape: the one bare-hash shuffle of the df count (map-side
+    * partials), then a global rollup over (df) single-long rows; text
+    * never moves.
+    */
+  def duplicationRate(docs: DataFrame, textCol: String, idCol: String,
+                      k: Int): DataFrame =
+    dupRateOf(textGramIndex(docs, textCol, idCol, k))
+
+  /** Token-sequence sibling of `duplicationRate` (north-rule payload). */
+  def tokenDuplicationRate(docs: DataFrame, tokensCol: String, idCol: String,
+                           k: Int): DataFrame =
+    dupRateOf(gramIndex(docs, tokensCol, idCol, k))
+
+  private def dupRateOf(index: DataFrame): DataFrame =
+    index
+      .groupBy(col("gram")).agg(count(lit(1)).as("df"))
+      .agg(count(lit(1)).as("n_gram_types"),
+        coalesce(sum(col("df")), lit(0L)).as("n_gram_occurrences"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_dup_types"),
+        coalesce(sum(when(col("df") >= 2, col("df")).otherwise(0L)), lit(0L))
+          .as("n_dup_occurrences"))
+      .select(col("n_gram_types"),
+        col("n_gram_occurrences").cast("long").as("n_gram_occurrences"),
+        coalesce(col("n_dup_types"), lit(0L)).as("n_dup_types"),
+        col("n_dup_occurrences").cast("long").as("n_dup_occurrences"))
+      .withColumn("dup_type_ppm",
+        when(col("n_gram_types") === 0, 0L)
+          .otherwise(expr("n_dup_types * 1000000 DIV n_gram_types")).cast("long"))
+      .withColumn("dup_occ_ppm",
+        when(col("n_gram_occurrences") === 0, 0L)
+          .otherwise(expr("n_dup_occurrences * 1000000 DIV n_gram_occurrences"))
+          .cast("long"))
+
   /** Train/test contamination: training documents sharing at least
     * `minShared` distinct k-grams with a single evaluation document.
     * Returns (train_id, test_id, n_shared).

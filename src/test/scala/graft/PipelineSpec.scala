@@ -1724,6 +1724,38 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("duplicationRate: hand-counted df profile, within-doc repeats once, short docs") {
+    import graft.pipeline.Overlap
+    val docs = Seq(
+      (0L, "a b c d"),        // grams: abc, bcd
+      (1L, "a b c e"),        // abc (df 2), bce
+      (2L, "x y z w"),        // xyz, yzw
+      (3L, "a b a b a b"),    // aba, bab — each ONCE per doc
+      (4L, "q r"))            // < k words: one whole-text gram
+      .toDF("doc_id", "text")
+    val r = Overlap.duplicationRate(docs, "text", "doc_id", k = 3).head()
+    // types: abc bcd bce xyz yzw aba bab "q r" = 8; occurrences = 9;
+    // duplicated: abc (df 2) → 1 type, 2 occurrences
+    assert((r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)) ==
+      ((8L, 9L, 1L, 2L)))
+    assert(r.getLong(4) == 1000000L / 8 && r.getLong(5) == 2000000L / 9)
+
+    val seqs = Seq(
+      (0L, Array(1, 2, 3)), (1L, Array(1, 2, 3)), (2L, Array(1, 2, 3, 4)))
+      .toDF("id", "tokens")
+    val t = Overlap.tokenDuplicationRate(seqs, "tokens", "id", k = 3).head()
+    // [1,2,3] df 3 (short arrays collapse to the whole-array gram),
+    // [2,3,4] df 1
+    assert((t.getLong(0), t.getLong(1), t.getLong(2), t.getLong(3)) ==
+      ((2L, 4L, 1L, 3L)))
+    assert(t.getLong(4) == 500000L && t.getLong(5) == 750000L)
+
+    // empty corpus: all zeros, no division error
+    val e = Overlap.duplicationRate(docs.where(col("doc_id") < 0),
+      "text", "doc_id", k = 3).head()
+    assert((0 to 5).map(e.getLong) == Seq(0L, 0L, 0L, 0L, 0L, 0L))
+  }
+
   test("gopher quality-half: bullet/ellipsis fractions, alpha words, stopwords") {
     def d(c: org.apache.spark.sql.Column): Double =
       Seq(1).toDF("x").select(c).head().getDouble(0)
