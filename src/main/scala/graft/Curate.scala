@@ -37,6 +37,10 @@ import graft.pipeline.{Dedup, Overlap, TextFunctions}
   *       # DSIR importance-resampled selection: keep the k surviving rows
   *       # Gumbel-sampled toward the target corpus' hashed-ngram
   *       # distribution (runs last among the filters, before --redact-pii)
+  *     [--token-budget <B> [--budget-seed s]]
+  *       # release ~B tokens: deterministic md5-shuffle prefix-sum cap
+  *       # over the annotated n_tokens, AFTER every other gate; kept rows
+  *       # carry tokens_before (their stream offset)
   *       # INCREMENTAL ingest: exact dedup also drops texts seen in any
   *       # prior run; the grown index lands at <output>/fp_index (rotate
   *       # it into --index-dir for the next ingest)
@@ -252,6 +256,8 @@ object Curate {
           contamStopGramMaxDf: Option[Long] = None,
           redactPii: Boolean = false,
           redactSecrets: Boolean = false,
+          tokenBudget: Option[Long] = None,
+          budgetSeed: String = "",
           subwordVocab: Seq[String] = pipeline.TextFunctions.DemoVocab,
           nfc: Boolean = false,
           clfWeights: Option[DataFrame] = None,
@@ -393,6 +399,22 @@ object Curate {
           stats = scored.stats :+ StageStats("dsir_select", nIn, kept.count()),
           persisted = scored.persisted :+ kept)
     }
+    // token-budget cap LAST among the selection stages ("release exactly
+    // ~B tokens"): deterministic md5-shuffle order over the annotated
+    // n_tokens, exact two-level prefix sum, ≤ one-doc overshoot. Runs
+    // after every quality/selection gate so the budget is spent on the
+    // best surviving rows; kept rows carry tokens_before (their stream
+    // offset — feed it to packManifestBy for the trainer order).
+    val budgeted = tokenBudget match {
+      case None => selected
+      case Some(b) =>
+        val nIn = selected.stats.last.rowsOut
+        val kept = pipeline.Sampling.takeTokenBudget(
+          selected.clean, idCol, "n_tokens", b, seed = budgetSeed).persist()
+        selected.copy(clean = kept,
+          stats = selected.stats :+ StageStats("token_budget", nIn, kept.count()),
+          persisted = selected.persisted :+ kept)
+    }
     // PII/secret scrub on the RELEASED rows only (after every filter stage
     // — the dropped rows never need scrubbing); pure projection, no extra
     // scan or stage count. Dedup/contamination above intentionally ran on
@@ -400,20 +422,20 @@ object Curate {
     // would manufacture false near-dup matches. Secrets scrub FIRST — the
     // PII digit-run class would otherwise eat an all-digit hex secret
     val out =
-      if (!redactPii && !redactSecrets) selected
+      if (!redactPii && !redactSecrets) budgeted
       else {
         val scrub: Column => Column = c => {
           val s = if (redactSecrets) pipeline.TextFunctions.redactSecrets(c) else c
           if (redactPii) pipeline.TextFunctions.redactPii(s) else s
         }
-        var cleanOut = selected.clean
+        var cleanOut = budgeted.clean
         if (redactSecrets) cleanOut = cleanOut.withColumn("secret_redactions",
           pipeline.TextFunctions.secretCounts(col(textCol)).total)
         if (redactPii) cleanOut = cleanOut.withColumn("pii_redactions",
           pipeline.TextFunctions.piiCounts(
             if (redactSecrets) pipeline.TextFunctions.redactSecrets(col(textCol))
             else col(textCol)).total)
-        selected.copy(
+        budgeted.copy(
           clean = cleanOut.withColumn(textCol, scrub(col(textCol))),
           // violations are persisted output too — a run that asked for
           // scrubbing must not land raw emails/keys on disk via the
@@ -466,7 +488,7 @@ object Curate {
         common ++ Set("tokens-col", "jaccard-threshold", "excise-k",
           "pack-chunk-size", "pack-id-prefix", "shuffle-seed")
       else common ++ Set("text-col", "minhash-threshold", "redact-pii",
-        "redact-secrets", "nfc",
+        "redact-secrets", "token-budget", "budget-seed", "nfc",
         "clf-weights", "clf-dim", "clf-threshold", "clf-bias-micro",
         "strip-html", "c4-clean", "sem-eval", "sem-threshold", "embedding-col",
         "index-dir", "dsir-target", "dsir-k", "dsir-dim", "dsir-seed")
@@ -517,7 +539,9 @@ object Curate {
         dsirTarget = opts.get("dsir-target").map(spark.read.parquet(_)),
         dsirK = opts.getOrElse("dsir-k", "0").toInt,
         dsirDim = opts.getOrElse("dsir-dim", (1 << 20).toString).toInt,
-        dsirSeed = opts.getOrElse("dsir-seed", ""))
+        dsirSeed = opts.getOrElse("dsir-seed", ""),
+        tokenBudget = opts.get("token-budget").map(_.toLong),
+        budgetSeed = opts.getOrElse("budget-seed", ""))
     }
 
     r.clean.write.mode("overwrite").parquet(s"$output/clean")

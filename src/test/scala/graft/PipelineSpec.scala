@@ -781,6 +781,28 @@ class PipelineSpec extends SparkSpec {
     r.unpersist()
   }
 
+  test("Curate.run with tokenBudget caps released tokens as a counted stage") {
+    // four 7-word docs (n_tokens = 7 each); budget 15 keeps docs while the
+    // prefix sum stays < 15 → exactly 3 docs in md5('tb' ++ id) order
+    val input = (0L until 4L).map(i =>
+      (i, s"doc $i carries exactly seven distinct words"))
+      .toDF("doc_id", "text")
+    val r = Curate.run(spark, input, "doc_id", "text",
+      tokenBudget = Some(15L), budgetSeed = "tb")
+    assert(r.stats.last == Curate.StageStats("token_budget", 4L, 3L))
+    val kept = r.clean.select("doc_id", "tokens_before")
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    def key(id: Long): String = {
+      val d = java.security.MessageDigest.getInstance("MD5")
+        .digest(("tb" + id).getBytes("UTF-8"))
+      d.map(b => f"$b%02x").mkString.substring(0, 12) + ":" + id
+    }
+    val order = (0L until 4L).sortBy(key)
+    assert(kept.keySet == order.take(3).toSet)
+    assert(order.take(3).map(kept) == Seq(0L, 7L, 14L))
+    r.unpersist()
+  }
+
   test("Curate.run --nfc: composed/decomposed duplicates collapse in the funnel") {
     val input = Seq(
       (0L, "café au lait with the usual words"),
