@@ -991,6 +991,12 @@ object SparkEntry {
         .select(col("query_id"), col("rank"), col("neighbor_id"), col("cos"))
     }),
 
+    // int8 embedding quantization: the byte-exact replay contract
+    // (floor(x·127/m + 0.5) on exactly-widened floats), zero-vector guard
+    "q_quantize" -> ((s, dir) =>
+      Ann.quantizeEmbedding(T(s, dir, "embeddings"))
+        .select(col("vec_id"), col("qvec"), col("qscale"))),
+
     // ===== sketch-based queries: oracle via materialized sketches =====
     "q_dedup_fingerprint" -> ((s, dir) => {
       // fingerprint = xxhash64(normalize(text)): groups == groups by the
@@ -3243,5 +3249,18 @@ object SparkEntry {
         |         row_number() OVER (PARTITION BY query_id
         |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
         |  FROM pairs) t WHERE rank <= 5""".stripMargin,
+
+    // the identical quantization arithmetic per element (exact float→double
+    // widening, one multiply, one divide, floor half-up), TINYINT lists
+    "q_quantize" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |                  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+        |           FROM embeddings)
+        |SELECT vec_id,
+        |       CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+        |            ELSE list_transform(embedding, x ->
+        |                   CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS TINYINT)) END AS qvec,
+        |       m / 127.0 AS qscale
+        |FROM m""".stripMargin,
   )
 }

@@ -31,6 +31,31 @@ object Ann {
   def dot(a: Column, b: Column): Column =
     graft.functions.VectorExprs.dotProduct(a, b)
 
+  /** Symmetric per-vector int8 quantization of an embedding column — the
+    * storage/bandwidth scale path for vector search (4× smaller than
+    * float32 on disk and over exchanges; dequantized scoring error is
+    * bounded by qscale/2 per element). q_i = floor(x_i·127/m + 0.5) with
+    * m = max|x_i| (the all-zero vector quantizes to zeros with qscale 0).
+    * Every step is a single IEEE op on exactly-widened floats in fixed
+    * left-to-right order — the replay contract — so an independent engine
+    * reproduces each byte. Appends `qvec: array<byte>` and
+    * `qscale: double` (= m/127; dequantize x̂_i = q_i · qscale).
+    * Pure per-row projection: zero shuffle at any corpus size.
+    */
+  def quantizeEmbedding(df: DataFrame, vecCol: String = "embedding",
+                        qvecCol: String = "qvec",
+                        qscaleCol: String = "qscale"): DataFrame = {
+    val m = array_max(transform(col(vecCol), x => abs(x))).cast("double")
+    df.withColumn("__qm", m)
+      .withColumn(qvecCol,
+        when(col("__qm") === 0.0,
+          transform(col(vecCol), _ => lit(0).cast("byte")))
+          .otherwise(transform(col(vecCol), x =>
+            floor(x.cast("double") * 127.0 / col("__qm") + 0.5).cast("byte"))))
+      .withColumn(qscaleCol, col("__qm") / 127.0)
+      .drop("__qm")
+  }
+
   /** Brute-force top-k cosine neighbors for each query.
     * `queries` must be small (it is broadcast). Per-query top-k uses the
     * bounded-heap aggregate — NO window over the full cross product and no

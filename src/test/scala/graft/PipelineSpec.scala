@@ -1746,6 +1746,28 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("quantizeEmbedding: byte values, halfway cases, zero vector, error bound") {
+    val vs = Seq(
+      (0L, Array(1f, -2f, 4f)),   // m=4: 32, -63 (floor(-63.5+0.5)), 127
+      (1L, Array(-4f, 2f)),       // the negative extreme lands on -127
+      (2L, Array(0f, 0f)),        // zero vector: zeros, qscale 0
+      (3L, Array(0.3f, -0.7f, 0.001f)))
+      .toDF("vec_id", "embedding")
+    val q = Ann.quantizeEmbedding(vs)
+      .select(col("vec_id"), col("qvec"), col("qscale"))
+      .collect().map(r => r.getLong(0) ->
+        ((r.getSeq[Byte](1), r.getDouble(2)))).toMap
+    assert(q(0L)._1 == Seq[Byte](32, -63, 127) && q(0L)._2 == 4.0 / 127.0)
+    assert(q(1L)._1 == Seq[Byte](-127, 64))
+    assert(q(2L)._1 == Seq[Byte](0, 0) && q(2L)._2 == 0.0)
+    // dequantization error ≤ qscale/2 per element (the contract the
+    // scoring-path consumer relies on)
+    for ((id, (bytes, scale)) <- q; (b, x) <- bytes.zip(
+        vs.collect().map(r => r.getLong(0) -> r.getSeq[Float](1)).toMap.apply(id))) {
+      assert(math.abs(b * scale - x) <= scale / 2 + 1e-12, s"id=$id x=$x b=$b")
+    }
+  }
+
   test("duplicationRate: hand-counted df profile, within-doc repeats once, short docs") {
     import graft.pipeline.Overlap
     val docs = Seq(
