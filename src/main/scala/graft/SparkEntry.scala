@@ -996,6 +996,12 @@ object SparkEntry {
     "q_quantize" -> ((s, dir) =>
       Ann.quantizeEmbedding(T(s, dir, "embeddings"))
         .select(col("vec_id"), col("qvec"), col("qscale"))),
+    // the quantized search path end-to-end: scales cancel in cosine, so
+    // the oracle scores the SAME byte vectors in exact double arithmetic
+    "q_qann_topk" -> ((s, dir) => {
+      val e = T(s, dir, "embeddings")
+      Ann.bruteForceTopKQuantized(e, e.where(col("vec_id") < 8), k = 5)
+    }),
 
     // ===== sketch-based queries: oracle via materialized sketches =====
     "q_dedup_fingerprint" -> ((s, dir) => {
@@ -3262,5 +3268,29 @@ object SparkEntry {
         |                   CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS TINYINT)) END AS qvec,
         |       m / 127.0 AS qscale
         |FROM m""".stripMargin,
+
+    // quantize (the proven q_quantize arithmetic) then the exact q_ann
+    // cosine/window shape over the byte vectors widened to DOUBLE
+    "q_qann_topk" ->
+      """WITH m AS (SELECT vec_id, embedding,
+        |                  CAST(list_max(list_transform(embedding, x -> abs(x))) AS DOUBLE) AS m
+        |           FROM embeddings),
+        |q8 AS (SELECT vec_id,
+        |              CASE WHEN m = 0 THEN list_transform(embedding, x -> CAST(0 AS TINYINT))
+        |                   ELSE list_transform(embedding, x ->
+        |                          CAST(floor(CAST(x AS DOUBLE) * 127.0 / m + 0.5) AS TINYINT)) END AS qv
+        |       FROM m),
+        |qd AS (SELECT vec_id, CAST(qv AS DOUBLE[]) AS v FROM q8),
+        |pairs AS (
+        |  SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id,
+        |         round(list_dot_product(q.v, c.v) /
+        |               (sqrt(list_dot_product(q.v, q.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+        |  FROM qd q, qd c
+        |  WHERE q.vec_id < 8 AND c.vec_id <> q.vec_id)
+        |SELECT query_id, rank, neighbor_id, cos FROM (
+        |  SELECT query_id, neighbor_id, cos,
+        |         row_number() OVER (PARTITION BY query_id
+        |                            ORDER BY cos DESC, neighbor_id ASC) AS rank
+        |  FROM pairs) t WHERE rank <= 5""".stripMargin,
   )
 }

@@ -56,6 +56,25 @@ object Ann {
       .drop("__qm")
   }
 
+  /** Brute-force top-k over int8-QUANTIZED vectors — the memory-bound
+    * scale path: per-vector scales CANCEL in cosine (cos(q·s) = cos(q)),
+    * so scoring needs only the byte vectors, never the scales. Bytes are
+    * widened to float (exact: |q| ≤ 127 ≪ 2²⁴) so the same codegen'd
+    * cosine kernel scores both paths; ranking semantics (6 dp rounding,
+    * id tiebreak) are identical to `bruteForceTopK`. Approximation error
+    * is bounded by the per-element dequantization bound (qscale/2), NOT
+    * exact — use the float path when exactness matters.
+    */
+  def bruteForceTopKQuantized(corpus: DataFrame, queries: DataFrame, k: Int,
+                              idCol: String = "vec_id",
+                              vecCol: String = "embedding"): DataFrame = {
+    def asBytesF(df: DataFrame) =
+      quantizeEmbedding(df, vecCol)
+        .withColumn(vecCol, transform(col("qvec"), b => b.cast("float")))
+        .drop("qvec", "qscale")
+    bruteForceTopK(asBytesF(corpus), asBytesF(queries), k, idCol, vecCol)
+  }
+
   /** Brute-force top-k cosine neighbors for each query.
     * `queries` must be small (it is broadcast). Per-query top-k uses the
     * bounded-heap aggregate — NO window over the full cross product and no

@@ -1768,6 +1768,25 @@ class PipelineSpec extends SparkSpec {
     }
   }
 
+  test("bruteForceTopKQuantized: scale-free ranking preserves the obvious order") {
+    val corpus = Seq(
+      (0L, Array(1f, 0f)),
+      (1L, Array(0.9f, 0.1f)),
+      (2L, Array(0f, 1f)))
+      .toDF("vec_id", "embedding")
+    val got = Ann.bruteForceTopKQuantized(corpus,
+        corpus.where(col("vec_id") === 0), k = 3)
+      .orderBy(col("rank"))
+      .collect().map(r => (r.getInt(1), r.getLong(2), r.getDouble(3)))
+    // self-matches are excluded (the bruteForceTopK contract)
+    assert(got.map(x => (x._1, x._2)).toSeq == Seq((1, 1L), (2, 2L)))
+    // quantized cosine of (127,0)·(127,14) — within the dequant bound of
+    // the float cosine
+    val floatCos = 0.9 / math.sqrt(0.81 + 0.01)
+    assert(math.abs(got(0)._3 - floatCos) < 0.01)
+    assert(got(1)._3 == 0.0)
+  }
+
   test("duplicationRate: hand-counted df profile, within-doc repeats once, short docs") {
     import graft.pipeline.Overlap
     val docs = Seq(
