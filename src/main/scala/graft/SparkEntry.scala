@@ -175,6 +175,12 @@ object SparkEntry {
       // one-row skew summary: max key count vs mean key count
       TableChecks.keySkewStats(T(s, dir, "events"), "user_id")
     }),
+    "q_mad_outliers" -> ((s, dir) =>
+      // robust MAD outlier gate (exact interpolated median/MAD — the
+      // quantile_cont-parity definition the profile queries pin)
+      TableChecks.madOutliers(T(s, dir, "events"), "value", k = 3.0)
+        .select(col("event_id"), col("value"), col("med"), col("mad"),
+          col("abs_dev"))),
 
     // --- rule engine over VECTOR data: dims / norm-bounds / label checks
     //     (the validation vocabulary composed with the native vector exprs) ---
@@ -1397,6 +1403,21 @@ object SparkEntry {
     "q_collocations" -> ((s, dir) =>
       pipeline.Report.collocations(T(s, dir, "documents"), "text",
         k = 40, minCount = 3L)),
+    // cross-source duplicate-overlap matrix over a planted fixture: 50
+    // texts × 8 replicas whose sources cycle {t, t+2, t+4 mod 6} — every
+    // text spans exactly 3 sources, so the pair counts are structured and
+    // non-trivial. Oracle groups by the normalized TEXT (no hash replay)
+    "q_source_overlap" -> ((s, dir) => {
+      val srcs = Seq("cc", "wiki", "books", "code", "arxiv", "forums")
+      val base = s.range(0, 400, 1, 8).select(col("id"),
+        concat(lit("shared template text number "),
+          pmod(col("id"), lit(50L)).cast("string")).as("text"),
+        element_at(
+          array(srcs.map(lit): _*), (pmod(col("id"), lit(6L)) + 1).cast("int"))
+          .as("source"))
+      val stored = materialize(s, base, "q_overlap_docs", files = 4)
+      pipeline.Report.sourceOverlapMatrix(stored, "text", "source")
+    }),
     // per-doc TF-IDF keywords: one explode, df over the tf table, smoothed
     // idf, per-doc row_number top-k. N counts ALL docs of the frame (the
     // %10 subset), so the oracle shares the same subquery
@@ -1618,6 +1639,16 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT 'l_discount', unnest((SELECT l FROM ps)),
         |         unnest(quantile_cont(l_discount, [0.25, 0.5, 0.75, 0.95])) FROM lineitem)""".stripMargin,
+
+    // the same two quantile_cont passes (median, then MAD over the
+    // deviations) and the identical double arithmetic on the fence
+    "q_mad_outliers" ->
+      """WITH m AS (SELECT quantile_cont(value, 0.5) AS med FROM events),
+        |d AS (SELECT event_id, value, m.med AS med, abs(value - m.med) AS abs_dev
+        |      FROM events, m),
+        |s AS (SELECT quantile_cont(abs_dev, 0.5) AS mad FROM d)
+        |SELECT d.event_id, d.value, d.med, s.mad AS mad, d.abs_dev
+        |FROM d, s WHERE d.abs_dev > 3.0 * s.mad""".stripMargin,
 
     // deterministic top-5 by (cnt DESC, key ASC) — the salted two-stage
     // count must agree with a plain GROUP BY
@@ -3126,6 +3157,17 @@ object SparkEntry {
         |FROM pc JOIN uc u1 ON pc.w1 = u1.w JOIN uc u2 ON pc.w2 = u2.w
         |CROSS JOIN tot
         |ORDER BY pmi_micro DESC, w1, w2 LIMIT 40""".stripMargin,
+
+    // distinct (normalized text, source) pairs self-joined on the text
+    // with a source total order — no hash replay needed (the established
+    // fingerprint-oracle idiom: group by the text the hash stands for)
+    "q_source_overlap" ->
+      """WITH d AS (SELECT DISTINCT lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t, source
+        |           FROM read_parquet('/root/repo/target/graft_oracle/q_overlap_docs/*.parquet')),
+        |p AS (SELECT a.source AS source_a, b.source AS source_b
+        |      FROM d a JOIN d b ON a.t = b.t AND a.source < b.source)
+        |SELECT source_a, source_b, CAST(count(*) AS BIGINT) AS n_shared
+        |FROM p GROUP BY 1, 2""".stripMargin,
 
     // smoothed TF-IDF with the identical parenthesization contract
     // ((tf · (ln((N+1)/(df+1)) + 1)) · 10⁶ + 0.5 floored); df over the

@@ -167,6 +167,35 @@ object TableChecks {
         round(col("v"), 6).as("value"))
   }
 
+  /** Robust numeric outlier rows by the MAD rule: |x − median| > k · MAD
+    * (median absolute deviation — unlike mean/stddev, one corrupt batch of
+    * extreme values cannot drag the fence toward itself). Median and MAD
+    * are EXACT interpolated percentiles (the profile family's
+    * quantile_cont definition, so the gate replays in SQL); `approx = true`
+    * swaps in the `percentile_approx` sketch — the 100 TB path, same
+    * shape. Returns the flagged rows with `med`, `mad`, `abs_dev`
+    * appended. NULL values are never outliers; MAD = 0 (over half the
+    * values sit exactly on the median) flags every x ≠ median.
+    *
+    * Three sequential passes by construction (median → MAD → flag): each
+    * is one scan with a broadcast one-row join, nothing else moves.
+    */
+  def madOutliers(df: DataFrame, valueCol: String, k: Double = 3.0,
+                  approx: Boolean = false,
+                  accuracy: Int = 10000): DataFrame = {
+    require(k > 0, s"k=$k must be positive")
+    val pfn: Column => Column =
+      if (approx) c => percentile_approx(c, lit(0.5), lit(accuracy))
+      else c => percentile(c, lit(0.5))
+    val x = col(valueCol).cast("double")
+    val med = df.agg(pfn(x).as("med"))
+    val dev = df.crossJoin(broadcast(med))
+      .withColumn("abs_dev", abs(x - col("med")))
+    val mad = dev.agg(pfn(col("abs_dev")).as("mad"))
+    dev.crossJoin(broadcast(mad))
+      .where(col("abs_dev") > lit(k) * col("mad"))
+  }
+
   /** Salted two-stage per-key counts — the shared engine of `duplicateKeys`,
     * `hotKeys`, and `keySkewStats`: salt spreads a hot key over
     * `saltBuckets` reducers in stage 1, stage 2 sums the tiny partials.

@@ -107,6 +107,40 @@ object Report {
     * TakeOrdered(k) — the driver never sees more than k rows and no
     * text ever shuffles.
     */
+  /** Cross-source duplicate-overlap matrix — "how much of source A is also
+    * in source B": for every unordered source pair, how many DISTINCT
+    * normalized-text fingerprints appear in both. The report a corpus team
+    * reads before source-mix decisions (a high-overlap source adds few new
+    * tokens; it also localizes WHERE exact-dedup mass comes from).
+    * Fingerprint = xxhash64(normalize(text)) — the `exactDedup` collision
+    * contract.
+    *
+    * Scale shape: one (fp, source)-DISTINCT aggregation (map-side
+    * partials, 8-byte+enum rows), per-fp source sets (bounded by the
+    * source count, typically dozens), pairs exploded from multi-source
+    * sets only, one final short-key count. Text never shuffles; output is
+    * ≤ sources² rows.
+    */
+  def sourceOverlapMatrix(docs: DataFrame, textCol: String,
+                          sourceCol: String, nfc: Boolean = false): DataFrame = {
+    val fp = docs.select(
+        TextFunctions.fingerprint(col(textCol), nfc).as("fp"),
+        col(sourceCol).as("source"))
+      .distinct()
+    val ss = fp.groupBy(col("fp"))
+      .agg(sort_array(collect_set(col("source"))).as("ss"))
+      .where(size(col("ss")) >= 2)
+      .select(col("ss"))
+    ss.select(explode(flatten(transform(
+        sequence(lit(0), size(col("ss")) - 2),
+        i => transform(sequence(i + 1, size(col("ss")) - 1),
+          j => struct(element_at(col("ss"), i + 1).as("source_a"),
+            element_at(col("ss"), j + 1).as("source_b")))))).as("p"))
+      .groupBy(col("p.source_a").as("source_a"),
+        col("p.source_b").as("source_b"))
+      .agg(count(lit(1)).as("n_shared"))
+  }
+
   /** Per-document top-k keywords by smoothed TF-IDF — the what-is-this-doc
     * summarization/retrieval pass. tfidf = tf · (ln((N+1)/(df+1)) + 1)
     * (the standard smooth-idf: a term in every doc still scores, nothing

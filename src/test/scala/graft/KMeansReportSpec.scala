@@ -144,6 +144,22 @@ class KMeansReportSpec extends SparkSpec {
     assert(got.contains(("srcB", "fr"))) // the empty doc's group still reports
   }
 
+  test("sourceOverlapMatrix: hand-counted pairs, within-source dups count once") {
+    val docs = Seq(
+      (0L, "alpha text", "cc"),
+      (1L, "alpha text", "wiki"),
+      (2L, "Alpha   TEXT", "books"), // normalization folds case/whitespace
+      (3L, "alpha text", "cc"),     // duplicate within cc — fp distinct
+      (4L, "beta text", "cc"),
+      (5L, "beta text", "wiki"),
+      (6L, "single-source text", "code"))
+      .toDF("doc_id", "text", "source")
+    val got = Report.sourceOverlapMatrix(docs, "text", "source")
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    assert(got == Map(
+      ("books", "cc") -> 1L, ("books", "wiki") -> 1L, ("cc", "wiki") -> 2L))
+  }
+
   test("tfidfKeywords: hand-counted tf/df, smoothing, empty doc, per-doc tie order") {
     val docs = Seq(
       (0L, "apple banana apple"),

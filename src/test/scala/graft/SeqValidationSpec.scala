@@ -336,4 +336,28 @@ class SeqValidationSpec extends SparkSpec {
     assert(res.validated.select("doc_id").as[String].collect().toSet == Set("doc-a", "doc-c"))
     assert(res.violations.select("doc_id").as[String].head() == "doc-b")
   }
+
+  test("madOutliers: hand-computed fence, nulls never flag, MAD=0 edge, approx agrees") {
+    // values 1..9 plus one wild point: median of [1..9, 1000] = 5.5;
+    // |x-5.5| = [4.5,3.5,2.5,1.5,0.5,0.5,1.5,2.5,3.5,994.5] → MAD = 2.5;
+    // fence 3·2.5 = 7.5 → only 1000 (dev 994.5) flags
+    val vals = ((1 to 9).map(_.toDouble) :+ 1000.0).map(Option(_)) :+
+      Option.empty[Double]
+    val df = vals.zipWithIndex.map { case (v, i) => (i.toLong, v) }
+      .toDF("event_id", "value")
+    val got = TableChecks.madOutliers(df, "value", k = 3.0)
+      .select(col("event_id"), col("med"), col("mad"), col("abs_dev"))
+      .collect()
+    assert(got.length == 1)
+    assert(got.head.getLong(0) == 9L && got.head.getDouble(1) == 5.5 &&
+      got.head.getDouble(2) == 2.5 && got.head.getDouble(3) == 994.5)
+    // MAD = 0 (over half the values on the median): every x ≠ median flags
+    val flat = Seq(1.0, 1.0, 1.0, 1.0, 2.0, 3.0).zipWithIndex
+      .map { case (v, i) => (i.toLong, v) }.toDF("event_id", "value")
+    assert(TableChecks.madOutliers(flat, "value", k = 3.0)
+      .select(col("event_id")).as[Long].collect().toSet == Set(4L, 5L))
+    // the sketch path agrees on this tiny frame (exact at small n)
+    assert(TableChecks.madOutliers(df, "value", k = 3.0, approx = true)
+      .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
+  }
 }
