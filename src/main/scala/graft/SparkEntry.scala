@@ -451,6 +451,12 @@ object SparkEntry {
             col("mean_word_len").between(3.0, 10.0))
     }),
 
+    "q_sessionize" -> ((s, dir) =>
+      // gap-based sessionization rollup: exact microsecond gap decisions,
+      // (ts, event_id) total order, one exchange on the user key
+      graft.operators.Sessionize.sessions(
+        T(s, dir, "events"), "user_id", "ts", "event_id", gapSeconds = 900L)),
+
     "q_asof_join" -> ((s, dir) => {
       // backward as-of join (union + ordered window, one shuffle) vs
       // DuckDB's NATIVE ASOF JOIN — a genuinely independent oracle for an
@@ -1810,6 +1816,23 @@ object SparkEntry {
         |       (dup_line_frac <= 0.30 AND top2gram_share <= 0.20 AND
         |        symbol_ratio <= 0.10 AND mean_word_len BETWEEN 3.0 AND 10.0) AS gopher_ok
         |FROM m""".stripMargin,
+
+    // the same lag/flag/running-sum windows over the identical
+    // (ts, event_id) total order, gaps in exact integer microseconds
+    "q_sessionize" ->
+      """WITH o AS (SELECT user_id, ts, event_id,
+        |    CAST(coalesce(epoch_us(ts) - lag(epoch_us(ts)) OVER
+        |           (PARTITION BY user_id ORDER BY ts, event_id) > 900 * 1000000,
+        |         true) AS INT) AS op
+        |  FROM events),
+        |s AS (SELECT user_id, ts,
+        |    sum(op) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_idx
+        |  FROM o)
+        |SELECT user_id, CAST(session_idx AS BIGINT) AS session_idx,
+        |       CAST(count(*) AS BIGINT) AS n_events,
+        |       min(ts) AS ts_start, max(ts) AS ts_end
+        |FROM s GROUP BY 1, 2""".stripMargin,
 
     // DuckDB's native ASOF LEFT JOIN — inclusive ts_r <= ts_l, unmatched
     // rows keep NULL right fields, exactly the operator's contract

@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Gap-based sessionization — the standard event-stream operator: a user's
+  * events belong to one session until the gap to the previous event
+  * exceeds `gapSeconds`, then a new session starts. The classic two-window
+  * formulation (lag → boundary flag → running sum), made deterministic by
+  * a total per-user order: events are ordered by (ts, tiebreakCol), so
+  * equal timestamps resolve identically on every run and in the SQL
+  * oracle. The boundary flag is RANGE-safe anyway (a zero gap can never
+  * open a session), but lag() is ROWS-based — without the tiebreak, which
+  * physical tie-row sees which predecessor is shuffle-dependent.
+  *
+  * Scale shape: ONE exchange on the user key (both windows share the same
+  * partitioning + sort — Spark plans them in a single Window node over a
+  * single sort), no global window, output rows = input rows. The running
+  * sum is per-user state only.
+  */
+object Sessionize {
+
+  /** Appends `session_idx` (1-based per user, in time order) to `events`.
+    * A NULL timestamp row sorts first within its user (Spark and ANSI SQL
+    * NULLS FIRST ascending default) and starts the first session: its lag
+    * is undefined, and every first-in-user row opens session 1 by
+    * definition.
+    */
+  def sessionize(events: DataFrame, userCol: String, tsCol: String,
+                 tiebreakCol: String, gapSeconds: Long): DataFrame = {
+    require(gapSeconds > 0, s"gapSeconds=$gapSeconds must be positive")
+    val w = Window.partitionBy(col(userCol))
+      .orderBy(col(tsCol), col(tiebreakCol))
+    // EXACT integer microseconds (unix_micros ↔ DuckDB epoch_us) — a
+    // seconds cast truncates sub-second gaps and epoch() doubles round,
+    // so the boundary decision would disagree between engines. The LTZ
+    // cast admits TIMESTAMP_NTZ inputs; gaps are DIFFERENCES, so the
+    // session-timezone offset cancels (fixed-offset zones — the engine
+    // pins UTC)
+    val micros = unix_micros(col(tsCol).cast("timestamp_ltz"))
+    val prev = lag(micros, 1).over(w)
+    // first event of a user (lag null) opens a session; a null gap from a
+    // null PREVIOUS ts also opens one (the null-ts rows sorted first, so a
+    // real ts after them cannot measure a gap) — coalesce(…, true)
+    val opens = coalesce(
+      micros - prev > gapSeconds * 1000000L,
+      lit(true)).cast("int")
+    events.withColumn("__open", opens)
+      .withColumn("session_idx",
+        sum(col("__open")).over(
+          Window.partitionBy(col(userCol))
+            .orderBy(col(tsCol), col(tiebreakCol))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .drop("__open")
+  }
+
+  /** Per-session rollup — (user, session_idx, n_events, ts_start, ts_end):
+    * the session table a product-analytics consumer actually reads. One
+    * extra short-key aggregation on top of `sessionize`.
+    */
+  def sessions(events: DataFrame, userCol: String, tsCol: String,
+               tiebreakCol: String, gapSeconds: Long): DataFrame =
+    sessionize(events, userCol, tsCol, tiebreakCol, gapSeconds)
+      .groupBy(col(userCol), col("session_idx"))
+      .agg(count(lit(1)).as("n_events"),
+        min(col(tsCol)).as("ts_start"),
+        max(col(tsCol)).as("ts_end"))
+}

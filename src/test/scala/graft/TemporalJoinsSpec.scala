@@ -94,4 +94,29 @@ class TemporalJoinsSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("widen binWidth"))
   }
+
+  test("sessionize: gap boundary is strict and microsecond-exact; ties share a session") {
+    import graft.operators.Sessionize
+    val rows = Seq(
+      // user 1: 0s, 100s, then a gap of EXACTLY 900s (same session — the
+      // rule is strictly greater), then 900.000001s (new session)
+      (1L, ts("00:00:00"), 10L),
+      (1L, ts("00:01:40"), 11L),
+      (1L, ts("00:16:40"), 12L),
+      (1L, java.sql.Timestamp.valueOf("2026-01-01 00:31:40.000001"), 13L),
+      // equal timestamps: one session regardless of tie order
+      (2L, ts("05:00:00"), 20L),
+      (2L, ts("05:00:00"), 21L),
+      (2L, ts("06:00:00"), 22L))
+      .toDF("user_id", "ts", "event_id")
+    val got = Sessionize.sessionize(rows, "user_id", "ts", "event_id", 900L)
+      .select(col("event_id"), col("session_idx"))
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(10L -> 1L, 11L -> 1L, 12L -> 1L, 13L -> 2L,
+      20L -> 1L, 21L -> 1L, 22L -> 2L))
+    val roll = Sessionize.sessions(rows, "user_id", "ts", "event_id", 900L)
+      .select(col("user_id"), col("session_idx"), col("n_events"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(roll == Set((1L, 1L, 3L), (1L, 2L, 1L), (2L, 1L, 2L), (2L, 2L, 1L)))
+  }
 }
