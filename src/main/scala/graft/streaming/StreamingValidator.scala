@@ -319,4 +319,24 @@ object StreamingValidator {
         Seq(col("n_docs"), col("n_chars"), col("n_tokens"), col("n_quality"),
           col("n_en"), col("entropy_micro_sum")): _*)
   }
+
+  /** Event-time SESSION table on a stream: Spark's native `session_window`
+    * (merging windows — a session extends while events arrive within
+    * `gap` of its current end, closes at `last + gap`; note the boundary
+    * convention differs from the batch `operators.Sessionize` lag rule,
+    * which is strict-greater on the previous EVENT). Watermark-bounded
+    * state: a session emits once its close falls behind the watermark
+    * (append mode). Batch-safe — on a batch frame the same call computes
+    * the final session table, which is what the batch-equivalence test
+    * pins.
+    */
+  def sessionAlerts(df: DataFrame, userCol: String, tsCol: String,
+                    gap: String, watermarkDelay: String): DataFrame =
+    df.withWatermark(tsCol, watermarkDelay)
+      .groupBy(col(userCol), session_window(col(tsCol), gap))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col(userCol),
+        col("session_window.start").as("ts_start"),
+        col("session_window.end").as("ts_end"),
+        col("n_events"))
 }

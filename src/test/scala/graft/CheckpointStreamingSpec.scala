@@ -549,6 +549,47 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(batchDups == got.map(_._1))
   }
 
+  test("streaming sessions: watermark-closed sessions emit, batch call agrees") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingValidator
+    def ts(s: String) = java.sql.Timestamp.valueOf(s"2026-01-01 $s")
+    val mem = MemoryStream[(Long, java.sql.Timestamp)]
+    val sess = StreamingValidator.sessionAlerts(
+      mem.toDF().toDF("user_id", "ts"), "user_id", "ts",
+      gap = "10 minutes", watermarkDelay = "5 minutes")
+    val q = sess.writeStream.outputMode("append")
+      .format("memory").queryName("sessalerts").start()
+    // user 1: two events 2 min apart (one session), then a 30-min gap
+    // (new session); user 2: one event. A late high-watermark event
+    // closes the early sessions.
+    mem.addData((1L, ts("10:00:00")), (1L, ts("10:02:00")), (2L, ts("10:01:00")))
+    q.processAllAvailable()
+    mem.addData((1L, ts("10:32:00")))
+    q.processAllAvailable()
+    mem.addData((9L, ts("12:00:00"))) // advances the watermark past every close
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("sessalerts")
+      .select("user_id", "ts_start", "ts_end", "n_events")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    val expected = Set(
+      (1L, ts("10:00:00"), ts("10:12:00"), 2L), // merged, end = last + gap
+      (1L, ts("10:32:00"), ts("10:42:00"), 1L),
+      (2L, ts("10:01:00"), ts("10:11:00"), 1L))
+    assert(expected.subsetOf(got)) // (9L's session may still be open)
+    // the SAME call on a batch frame computes the final session table
+    val batch = StreamingValidator.sessionAlerts(
+      Seq((1L, ts("10:00:00")), (1L, ts("10:02:00")), (2L, ts("10:01:00")),
+        (1L, ts("10:32:00"))).toDF("user_id", "ts"),
+      "user_id", "ts", gap = "10 minutes", watermarkDelay = "5 minutes")
+      .collect()
+      .map(r => (r.getLong(0), r.getTimestamp(1), r.getTimestamp(2), r.getLong(3)))
+      .toSet
+    assert(batch == expected)
+  }
+
   test("streaming contamination per micro-batch == batch Overlap.contamination") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingOverlap
