@@ -159,6 +159,15 @@ object SparkEntry {
       TableChecks.columnStatsExact(T(s, dir, "lineitem"),
         Seq("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber"))
     }),
+    "q_suggest_rules" -> ((s, dir) => {
+      // constraint suggestion (exact flavor for oracle parity): one pass
+      // proposes not_null/completeness/unique/range/isin per column; lang
+      // gets planted NULLs (NULLIF de) so the completeness branch fires
+      val d = T(s, dir, "documents").withColumn("lang",
+        when(col("lang") === "de", lit(null)).otherwise(col("lang")))
+      checks.Suggest.suggestRules(d,
+        Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
     "q_numeric_profile" -> ((s, dir) => {
       // exact percentile profile (one agg pass, all columns): Spark's
       // `percentile` linear interpolation == SQL quantile_cont, so the
@@ -1630,6 +1639,45 @@ object SparkEntry {
         |UNION ALL
         |SELECT 'l_linenumber', CAST(min(l_linenumber) AS VARCHAR), CAST(max(l_linenumber) AS VARCHAR),
         |       CAST(sum(CASE WHEN l_linenumber IS NULL THEN 1 ELSE 0 END) AS BIGINT), count(DISTINCT l_linenumber) FROM lineitem""".stripMargin,
+
+    // constraint-suggestion replay: one stats CTE, one sorted-distinct-set
+    // CTE, then the same per-column firing conditions as the engine
+    // (completeness is integer micro arithmetic — // == Spark's div on
+    // non-negative counts; the isin gate dc <= 8 == bounded-set overflow)
+    "q_suggest_rules" ->
+      """WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
+        |s AS (SELECT count(*) AS n,
+        |  count(doc_id) AS nn_doc, count(DISTINCT doc_id) AS dc_doc, min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
+        |  count(text) AS nn_text, count(DISTINCT text) AS dc_text,
+        |  count(lang) AS nn_lang, count(DISTINCT lang) AS dc_lang,
+        |  count(source) AS nn_src, count(DISTINCT source) AS dc_src,
+        |  count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS dc_nc, min(n_chars) AS mn_nc, max(n_chars) AS mx_nc FROM d),
+        |vs AS (SELECT
+        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT text AS v FROM d WHERE text IS NOT NULL)) AS set_text,
+        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT lang AS v FROM d WHERE lang IS NOT NULL)) AS set_lang,
+        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT source AS v FROM d WHERE source IS NOT NULL)) AS set_src)
+        |SELECT col_name, kind, param FROM (
+        |  SELECT 'doc_id' AS col_name, 'not_null' AS kind, CAST(NULL AS VARCHAR) AS param FROM s WHERE nn_doc = n AND n > 0
+        |  UNION ALL SELECT 'doc_id','completeness', CAST(nn_doc*1000000//n AS VARCHAR) FROM s WHERE nn_doc < n
+        |  UNION ALL SELECT 'doc_id','unique', NULL FROM s WHERE nn_doc > 0 AND dc_doc = nn_doc
+        |  UNION ALL SELECT 'doc_id','range', '['||mn_doc||','||mx_doc||']' FROM s WHERE nn_doc > 0
+        |  UNION ALL SELECT 'text','not_null', NULL FROM s WHERE nn_text = n AND n > 0
+        |  UNION ALL SELECT 'text','completeness', CAST(nn_text*1000000//n AS VARCHAR) FROM s WHERE nn_text < n
+        |  UNION ALL SELECT 'text','unique', NULL FROM s WHERE nn_text > 0 AND dc_text = nn_text
+        |  UNION ALL SELECT 'text','isin', (SELECT set_text FROM vs) FROM s WHERE nn_text > 0 AND dc_text <= 8
+        |  UNION ALL SELECT 'lang','not_null', NULL FROM s WHERE nn_lang = n AND n > 0
+        |  UNION ALL SELECT 'lang','completeness', CAST(nn_lang*1000000//n AS VARCHAR) FROM s WHERE nn_lang < n
+        |  UNION ALL SELECT 'lang','unique', NULL FROM s WHERE nn_lang > 0 AND dc_lang = nn_lang
+        |  UNION ALL SELECT 'lang','isin', (SELECT set_lang FROM vs) FROM s WHERE nn_lang > 0 AND dc_lang <= 8
+        |  UNION ALL SELECT 'source','not_null', NULL FROM s WHERE nn_src = n AND n > 0
+        |  UNION ALL SELECT 'source','completeness', CAST(nn_src*1000000//n AS VARCHAR) FROM s WHERE nn_src < n
+        |  UNION ALL SELECT 'source','unique', NULL FROM s WHERE nn_src > 0 AND dc_src = nn_src
+        |  UNION ALL SELECT 'source','isin', (SELECT set_src FROM vs) FROM s WHERE nn_src > 0 AND dc_src <= 8
+        |  UNION ALL SELECT 'n_chars','not_null', NULL FROM s WHERE nn_nc = n AND n > 0
+        |  UNION ALL SELECT 'n_chars','completeness', CAST(nn_nc*1000000//n AS VARCHAR) FROM s WHERE nn_nc < n
+        |  UNION ALL SELECT 'n_chars','unique', NULL FROM s WHERE nn_nc > 0 AND dc_nc = nn_nc
+        |  UNION ALL SELECT 'n_chars','range', '['||mn_nc||','||mx_nc||']' FROM s WHERE nn_nc > 0
+        |)""".stripMargin,
 
     // quantile_cont == Spark's exact percentile (both: sort + linear
     // interpolation at rank p·(n−1)); percentile list CAST to DOUBLE[] so

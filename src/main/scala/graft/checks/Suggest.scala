@@ -1,0 +1,159 @@
+package graft.checks
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.functions.BoundedDistinctAgg.boundedDistinctSet
+import graft.rules
+import graft.rules.dsl
+
+/** Constraint suggestion (the Deequ-style complement of validation): ONE
+  * aggregation pass over the table proposes, per column, the rules its data
+  * already satisfies — the bootstrap for teams that have a corpus but no
+  * schema yet. The suggested rules compile straight back into the engine's
+  * `rules.Rule` combinators via `compile`, closing the loop: suggest on a
+  * trusted snapshot, validate every later delivery against the suggestions.
+  *
+  * Suggestions emitted (long format: col_name, kind, param):
+  *   - `not_null`      — the column has zero NULLs (param NULL)
+  *   - `completeness`  — NULLs exist; param = floor(nonnull·10⁶ / n) as a
+  *                       micro-fraction string (integer arithmetic, so the
+  *                       DuckDB oracle replays it digit-exact)
+  *   - `unique`        — exact distinct == non-null count (key candidate;
+  *                       table-level, enforced via `uniquenessViolations`)
+  *   - `range`         — integral columns: param `[min,max]` (integer render,
+  *                       cross-engine exact; double ranges belong to the
+  *                       micro-quantized `numericProfile` path instead)
+  *   - `isin`          — string columns whose exact distinct-value set fit
+  *                       under `isinCap`: param = sorted values joined `|`
+  *
+  * Scale: `suggestRules` uses exact `count_distinct` — Catalyst plans the
+  * multi-column distinct through one Expand (rows × (|cols|+1)) but still a
+  * single scan; it is the ORACLE path. `suggestRulesApprox` is the 100 TB
+  * path: HyperLogLog++ distinct (no Expand, plain partial aggregation) with
+  * the same bounded value sets. In BOTH, the isin evidence is the
+  * `BoundedDistinctSet` aggregate whose partial state is O(isinCap) — never
+  * `collect_set`, whose partials buffer every distinct value — and overflow
+  * (NULL) is exact, so the isin gate never depends on the HLL estimate.
+  */
+object Suggest {
+
+  private def isIntegral(dt: DataType): Boolean = dt match {
+    case ByteType | ShortType | IntegerType | LongType => true
+    case _ => false
+  }
+
+  private def suggestWith(df: DataFrame, cols: Seq[String], isinCap: Int,
+                          distinctAgg: Column => Column): DataFrame = {
+    val types = df.schema.fields.map(f => f.name -> f.dataType).toMap
+    require(cols.nonEmpty && cols.forall(types.contains),
+      s"unknown columns: ${cols.filterNot(types.contains).mkString(",")}")
+
+    val aggs = cols.flatMap { c =>
+      val base = Seq(
+        count(col(c)).as(s"${c}__nn"),
+        distinctAgg(col(c)).as(s"${c}__dc"))
+      val range =
+        if (isIntegral(types(c)))
+          Seq(min(col(c)).cast("long").as(s"${c}__mn"),
+            max(col(c)).cast("long").as(s"${c}__mx"))
+        else Nil
+      val set =
+        if (types(c) == StringType)
+          Seq(boundedDistinctSet(col(c), isinCap).as(s"${c}__set"))
+        else Nil
+      base ++ range ++ set
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+
+    // Long format from ONE plan over the one-row aggregate (same
+    // explode-not-union shape as columnStats: a union of per-column selects
+    // would specialize each branch into its own aggregate and re-scan the
+    // input once per column). Suggestions that don't fire are null structs,
+    // dropped after the explode.
+    val sugg: Seq[Column] = cols.flatMap { c =>
+      val nn = col(s"${c}__nn"); val dc = col(s"${c}__dc"); val n = col("__n")
+      val nulls = n - nn
+      def s(kind: String, param: Column): Column =
+        struct(lit(c).as("col_name"), lit(kind).as("kind"), param.as("param"))
+      val nullParam = lit(null).cast("string")
+      val base = Seq(
+        when(nulls === 0 && n > 0, s("not_null", nullParam)),
+        // integer micro-fraction: exact in both engines ((nn*10^6) div n /
+        // DuckDB //); avoids every double-format parity trap
+        when(nulls > 0, s("completeness",
+          expr(s"CAST((${c}__nn * 1000000) div __n AS STRING)"))),
+        when(nn > 0 && dc === nn, s("unique", nullParam)))
+      val range =
+        if (isIntegral(types(c)))
+          Seq(when(nn > 0, s("range", concat(lit("["),
+            col(s"${c}__mn").cast("string"), lit(","),
+            col(s"${c}__mx").cast("string"), lit("]")))))
+        else Nil
+      val set =
+        if (types(c) == StringType)
+          // the BOUNDED set is the gate (exact overflow evidence) — not dc,
+          // which is an estimate on the approx path
+          Seq(when(nn > 0 && col(s"${c}__set").isNotNull,
+            s("isin", array_join(col(s"${c}__set"), "|"))))
+        else Nil
+      base ++ range ++ set
+    }
+    wide.select(explode(array(sugg: _*)).as("r"))
+      .where(col("r").isNotNull)
+      .select(col("r.*"))
+  }
+
+  /** Oracle path: exact distinct counts (one scan through one Expand). */
+  def suggestRules(df: DataFrame, cols: Seq[String], isinCap: Int = 8): DataFrame =
+    suggestWith(df, cols, isinCap, count_distinct(_))
+
+  /** 100 TB path: HLL++ distinct (plain partial agg, no Expand, rsd-tunable).
+    * `unique` suggestions become approximate key candidates — confirm with
+    * `TableChecks.uniquenessViolations` before enforcing.
+    */
+  def suggestRulesApprox(df: DataFrame, cols: Seq[String], isinCap: Int = 8,
+                         rsd: Double = 0.01): DataFrame =
+    suggestWith(df, cols, isinCap, approx_count_distinct(_, rsd))
+
+  /** Compile suggestions back into executable per-column value rules.
+    * Table-level suggestions compile separately: `unique` columns are
+    * returned as key candidates for `TableChecks.uniquenessViolations`;
+    * `completeness` (a RATE, not a row predicate) maps to a row-level
+    * not-null rule only at threshold 10⁶ and is otherwise reported back for
+    * a table-level gate.
+    * Returns (per-column row rules, unique-key candidates).
+    */
+  def compile(suggestions: Seq[(String, String, String)])
+  : (Map[String, rules.Rule], Seq[String]) = {
+    val byCol = suggestions.groupBy(_._1)
+    val rowRules = byCol.flatMap { case (c, ss) =>
+      val values = ss.flatMap {
+        case (_, "isin", vs) => Some(dsl.isin(vs.split('|').toIndexedSeq: _*))
+        case (_, "range", p) =>
+          val b = p.stripPrefix("[").stripSuffix("]").split(',')
+          Some(dsl.pred(s"range$p")(x =>
+            x >= lit(b(0).toLong) && x <= lit(b(1).toLong)))
+        case _ => None // unique / completeness: table-level
+      }
+      val hasNotNull = ss.exists(_._2 == "not_null")
+      val value =
+        if (values.isEmpty) None
+        else Some(if (values.size == 1) values.head
+        else dsl.and(values.toIndexedSeq: _*))
+      // a column suggested `completeness` (not `not_null`) HAD nulls in the
+      // snapshot — its compiled row rule must keep accepting them, or the
+      // snapshot would not validate against its own suggestions
+      (value, hasNotNull) match {
+        case (Some(v), true)  =>
+          Some(c -> dsl.and(dsl.pred("not_null")(_.isNotNull), v))
+        case (Some(v), false) => Some(c -> dsl.or(dsl.is(null), v))
+        case (None, true)     => Some(c -> dsl.pred("not_null")(_.isNotNull))
+        case (None, false)    => None
+      }
+    }
+    val keys = suggestions.collect { case (c, "unique", _) => c }
+    (rowRules, keys)
+  }
+}

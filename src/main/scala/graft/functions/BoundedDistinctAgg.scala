@@ -1,0 +1,137 @@
+package graft.functions
+
+import java.nio.charset.StandardCharsets
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.catalyst.expressions.aggregate.TypedImperativeAggregate
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Size-bounded distinct-set aggregation state: at most `cap` distinct string
+  * values; the first value past the cap collapses the whole state to an
+  * OVERFLOW marker and frees the set. Both the map-side partial and the
+  * shuffled partial therefore carry O(cap) bytes no matter how many distinct
+  * values the column really has — the property `collect_set` lacks (its
+  * partial state buffers every distinct value, which on a 100 TB free-text
+  * column is the table itself).
+  *
+  * Used by `checks.Suggest` for isin-rule candidates: a low-cardinality
+  * column yields its exact sorted value set; a high-cardinality one yields
+  * NULL (overflow) and simply produces no isin suggestion. Overflow is exact
+  * evidence, not an estimate — the result is NULL iff distinct > cap.
+  */
+final class BoundedSet(val cap: Int) {
+  var overflowed = false
+  val values = new java.util.TreeSet[String]()
+
+  def insert(v: String): Unit = {
+    if (overflowed) return
+    values.add(v)
+    if (values.size > cap) { overflowed = true; values.clear() }
+  }
+}
+
+/** `boundedDistinctSet(col, cap)` — `array<string>` of the group's distinct
+  * values sorted ascending (Java lexicographic = Spark's UTF8String order for
+  * the ASCII value sets this targets), or NULL once distinct > cap.
+  */
+case class BoundedDistinctSet(child: Expression, cap: Int,
+                              mutableAggBufferOffset: Int = 0,
+                              inputAggBufferOffset: Int = 0)
+  extends TypedImperativeAggregate[BoundedSet] {
+  require(cap > 0, "cap must be positive")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    import org.apache.spark.sql.catalyst.analysis.TypeCheckResult._
+    if (child.dataType != StringType)
+      DataTypeMismatch("UNEXPECTED_INPUT_TYPE", Map(
+        "paramIndex" -> "1", "requiredType" -> "string",
+        "inputSql" -> child.sql, "inputType" -> child.dataType.simpleString))
+    else TypeCheckSuccess
+  }
+  override def children: Seq[Expression] = Seq(child)
+  override def nullable: Boolean = true
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def createAggregationBuffer(): BoundedSet = new BoundedSet(cap)
+
+  override def update(buf: BoundedSet, input: InternalRow): BoundedSet = {
+    val v = child.eval(input)
+    // UTF8String buffers are reused by the scan: decode to an owned String
+    if (v != null) buf.insert(v.asInstanceOf[UTF8String].toString)
+    buf
+  }
+
+  override def merge(buf: BoundedSet, other: BoundedSet): BoundedSet = {
+    if (other.overflowed) { buf.overflowed = true; buf.values.clear() }
+    else {
+      val it = other.values.iterator()
+      while (it.hasNext && !buf.overflowed) buf.insert(it.next())
+    }
+    buf
+  }
+
+  override def eval(buf: BoundedSet): Any = {
+    if (buf.overflowed) null
+    else {
+      val arr = new Array[Any](buf.values.size)
+      val it = buf.values.iterator()
+      var i = 0
+      while (it.hasNext) { arr(i) = UTF8String.fromString(it.next()); i += 1 }
+      new GenericArrayData(arr)
+    }
+  }
+
+  override def serialize(buf: BoundedSet): Array[Byte] = {
+    if (buf.overflowed) Array[Byte](1)
+    else {
+      val bytes = new scala.collection.mutable.ArrayBuffer[Array[Byte]](buf.values.size)
+      var total = 1 + 4
+      val it = buf.values.iterator()
+      while (it.hasNext) {
+        val b = it.next().getBytes(StandardCharsets.UTF_8)
+        bytes += b; total += 4 + b.length
+      }
+      val bb = java.nio.ByteBuffer.allocate(total)
+      bb.put(0: Byte); bb.putInt(bytes.size)
+      bytes.foreach { b => bb.putInt(b.length); bb.put(b) }
+      bb.array()
+    }
+  }
+
+  override def deserialize(data: Array[Byte]): BoundedSet = {
+    val buf = new BoundedSet(cap)
+    val bb = java.nio.ByteBuffer.wrap(data)
+    if (bb.get() == (1: Byte)) { buf.overflowed = true }
+    else {
+      val n = bb.getInt
+      var i = 0
+      while (i < n) {
+        val len = bb.getInt
+        val b = new Array[Byte](len)
+        bb.get(b)
+        buf.insert(new String(b, StandardCharsets.UTF_8))
+        i += 1
+      }
+    }
+    buf
+  }
+
+  override def withNewMutableAggBufferOffset(o: Int): BoundedDistinctSet =
+    copy(mutableAggBufferOffset = o)
+  override def withNewInputAggBufferOffset(o: Int): BoundedDistinctSet =
+    copy(inputAggBufferOffset = o)
+  override protected def withNewChildrenInternal(cs: IndexedSeq[Expression]): Expression =
+    copy(child = cs(0))
+  override def prettyName: String = "bounded_distinct_set"
+}
+
+object BoundedDistinctAgg {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+  /** Column face: sorted `array<string>` of distinct values, NULL past cap. */
+  def boundedDistinctSet(c: Column, cap: Int): Column =
+    column(BoundedDistinctSet(expression(c), cap).toAggregateExpression())
+}

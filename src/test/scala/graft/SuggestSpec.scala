@@ -1,0 +1,80 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.Suggest
+import graft.rules.{Validator, dsl}
+
+class SuggestSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def planted = Seq(
+    // (id, cat, free, v): id unique non-null; cat in {a,b,c} with nulls;
+    // free 20 distinct values (> default isinCap 8); v has duplicates
+    (0 to 19).map { i =>
+      (i.toLong,
+        if (i % 7 == 3) null else Seq("a", "b", "c")(i % 3),
+        s"free-$i",
+        (i % 5) + 10)
+    }: _*
+  ).toDF("id", "cat", "free", "v")
+    .repartition(6) // force partial-state merge + serde across partitions
+
+  test("suggestRules: planted frame yields exactly the expected suggestions") {
+    val got = Suggest.suggestRules(planted, Seq("id", "cat", "free", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    val expected = Set(
+      ("id", "not_null", null), ("id", "unique", null), ("id", "range", "[0,19]"),
+      // 3 of 20 rows null (i%7==3 -> 3,10,17): floor(17e6/20) = 850000
+      ("cat", "completeness", "850000"), ("cat", "isin", "a|b|c"),
+      ("free", "not_null", null), ("free", "unique", null), // 20 distinct > cap: no isin
+      ("v", "not_null", null), ("v", "range", "[10,14]"))
+    assert(got == expected)
+  }
+
+  test("isin gate is the exact bounded-set boundary: cap fires, cap+1 does not") {
+    val df9 = (0 until 90).map(i => Tuple1(s"v${i % 9}")).toDF("c").repartition(5)
+    val at = Suggest.suggestRules(df9, Seq("c"), isinCap = 9)
+      .where($"kind" === "isin").collect()
+    assert(at.length == 1 &&
+      at(0).getString(2) == (0 until 9).map(i => s"v$i").sorted.mkString("|"))
+    val under = Suggest.suggestRules(df9, Seq("c"), isinCap = 8)
+      .where($"kind" === "isin").count()
+    assert(under == 0)
+  }
+
+  test("approx path agrees with exact on every deterministic suggestion kind") {
+    // unique rides the HLL estimate on the approx path, so compare the rest
+    def det(df: org.apache.spark.sql.DataFrame) =
+      df.where($"kind" =!= "unique")
+        .collect().map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(det(Suggest.suggestRulesApprox(planted, Seq("id", "cat", "free", "v"))) ==
+      det(Suggest.suggestRules(planted, Seq("id", "cat", "free", "v"))))
+  }
+
+  test("compile closes the loop: clean frame passes, mutations are flagged") {
+    val sugg = Suggest.suggestRules(planted, Seq("id", "cat", "v"))
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2)))
+    val (rowRules, keys) = Suggest.compile(sugg.toIndexedSeq)
+    assert(keys.toSet == Set("id"))
+    val schema = dsl.schemaIgnoreExtra(
+      rowRules.toSeq.sortBy(_._1).map { case (c, r) => dsl.req(c, r) }: _*)
+    // the frame its own suggestions came from validates clean
+    assert(Validator.run(planted, schema).violations.count() == 0)
+    // planted violations: out-of-range v, out-of-set cat, null id
+    val bad = Seq((100L, "a", "x", 99), (1L, "zz", "x", 12)).toDF("id", "cat", "free", "v")
+      .union(Seq((null.asInstanceOf[java.lang.Long], "b", "x", 11))
+        .toDF("id", "cat", "free", "v"))
+    assert(Validator.run(bad, schema).violations.count() == 3)
+  }
+
+  test("one scan regardless of column count, both flavors") {
+    val dir = java.nio.file.Files.createTempDirectory("graft_suggest_scan").toString
+    planted.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    def scans(df: org.apache.spark.sql.DataFrame): Int =
+      "Scan parquet".r.findAllIn(df.queryExecution.executedPlan.toString).length
+    assert(scans(Suggest.suggestRules(stored, Seq("id", "cat", "free", "v"))) == 1)
+    assert(scans(Suggest.suggestRulesApprox(stored, Seq("id", "cat", "free", "v"))) == 1)
+  }
+}
