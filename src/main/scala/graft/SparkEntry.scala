@@ -994,6 +994,19 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           count_distinct(col("user_id")).as("users"))
     }),
+    "q_ewma_alerts" -> ((s, dir) => {
+      // temporal drift monitoring: the hourly error-share series (integer
+      // micro rate) through the EWMA control chart (λ=1/4, shift recursion
+      // — the oracle replays every value digit-exact with >>)
+      val hourly = T(s, dir, "events")
+        .groupBy(unix_timestamp(date_trunc("hour", col("ts"))).as("hour_ts"))
+        .agg(sum((col("event_type") === "error").cast("long")).as("__e"),
+          count(lit(1)).as("__n"))
+        .withColumn("x_micro", expr("(__e * 1000000) div __n"))
+        .select("hour_ts", "x_micro")
+      checks.Drift.ewmaAlerts(hourly, "hour_ts", "x_micro",
+        tolMicro = 150000L)
+    }),
 
     // --- ANN: brute-force cosine top-k (rank on rounded cos for cross-engine
     //     determinism; tiebreak neighbor_id) ---
@@ -2529,6 +2542,28 @@ object SparkEntry {
       """SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts, event_type,
         |       count(*) AS n, count(DISTINCT user_id) AS users
         |FROM events GROUP BY 1, 2""".stripMargin,
+
+    // EWMA replay: the same integer shift recursion as the engine, via a
+    // linear recursive CTE over the row-numbered hourly series (>> == Spark
+    // shiftright on the non-negative micro values; // == div on counts)
+    "q_ewma_alerts" ->
+      """WITH RECURSIVE h AS (
+        |  SELECT CAST(epoch(date_trunc('hour', ts)) AS BIGINT) AS hour_ts,
+        |         (CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT)
+        |           * 1000000) // count(*) AS x_micro
+        |  FROM events GROUP BY 1),
+        |o AS (SELECT hour_ts, x_micro, row_number() OVER (ORDER BY hour_ts) AS i FROM h),
+        |r AS (
+        |  SELECT i, hour_ts, x_micro, x_micro AS ewma_micro,
+        |         CAST(0 AS BIGINT) AS dev_micro
+        |  FROM o WHERE i = 1
+        |  UNION ALL
+        |  SELECT o.i, o.hour_ts, o.x_micro,
+        |         (3 * r.ewma_micro + o.x_micro) >> 2,
+        |         o.x_micro - r.ewma_micro
+        |  FROM o JOIN r ON o.i = r.i + 1)
+        |SELECT hour_ts, x_micro, ewma_micro, dev_micro,
+        |       abs(dev_micro) > 150000 AS breach FROM r""".stripMargin,
 
     // normalized text (trim + collapse whitespace + lowercase), shared by the
     // dedup oracles — mirrors TextFunctions.normalize exactly

@@ -253,6 +253,50 @@ object Drift {
     * Same plan shape as `psiTerms`/`chi2Terms`: full-outer bucket align,
     * totals from ONE broadcast one-row aggregate, per-bucket math map-side.
     */
+  /** EWMA control chart over a bucketed metric series (the TEMPORAL
+    * complement of the snapshot drift checks above: χ²/KS/PSI/JSD compare
+    * two distributions; this watches ONE metric drift hour over hour and
+    * flags buckets that jump away from their own smoothed history — e.g.
+    * the violation RATE of each ingest hour).
+    *
+    * Integer micro-unit recursion with λ = 2^−shift
+    * (`functions.EwmaMicro`): z_0 = x_0, z_i = ((2^s−1)·z_{i−1} + x_i) >> s,
+    * so a SQL oracle replays every value digit-exact — no double drift.
+    * Emits one row per bucket: (keys…, bucket, x_micro, ewma_micro,
+    * dev_micro = x_i − z_{i−1} signed, breach = |dev| > tolMicro); the
+    * first bucket of a series anchors the chart (dev 0, no breach).
+    *
+    * Scale: the input is a BUCKETED series (built by a distributed
+    * aggregation over the raw table), so each per-key array the recursion
+    * folds is bounded by the time range, not the data — a decade of hourly
+    * buckets is 87,600 longs. With `keyCols` empty the single global series
+    * deliberately lands in one task (it IS one sequential recursion);
+    * per-key monitoring partitions by key as usual.
+    */
+  def ewmaAlerts(series: DataFrame, bucketCol: String, microCol: String,
+                 keyCols: Seq[String] = Nil, shift: Int = 2,
+                 tolMicro: Long = 200000L): DataFrame = {
+    import graft.functions.SeriesExprs.ewmaMicro
+    val s = sort_array(collect_list(struct(col(bucketCol), col(microCol))))
+    val grouped =
+      (if (keyCols.isEmpty) series.groupBy()
+       else series.groupBy(keyCols.map(col): _*))
+        .agg(s.as("__s"))
+        .withColumn("__z", ewmaMicro(col(s"__s.$microCol"), shift))
+    val explodeCols = keyCols.map(col) ++ Seq(col("__z"),
+      posexplode(col("__s")).as(Seq("__pos", "__r")))
+    grouped
+      .select(explodeCols: _*)
+      .select(keyCols.map(col) ++ Seq(
+        col(s"__r.$bucketCol").as(bucketCol),
+        col(s"__r.$microCol").as(microCol),
+        element_at(col("__z"), col("__pos") + 1).as("ewma_micro"),
+        when(col("__pos") === 0, lit(0L))
+          .otherwise(col(s"__r.$microCol") - element_at(col("__z"), col("__pos")))
+          .as("dev_micro")): _*)
+      .withColumn("breach", abs(col("dev_micro")) > tolMicro)
+  }
+
   def jsdTerms(observed: DataFrame, baseline: DataFrame): DataFrame = {
     val o = observed.select(col("bucket"), col("cnt").as("n_obs"))
     val b = baseline.select(col("bucket"), col("cnt").as("n_base"))

@@ -1,0 +1,92 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions._
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.UnsafeArrayData
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+object SeriesExprs {
+  import org.apache.spark.sql.graftbridge.Bridge.{column, expression}
+
+  /** `array<long>` of EWMA values over an ORDERED micro-unit series. */
+  def ewmaMicro(xs: Column, shift: Int): Column =
+    column(EwmaMicro(expression(xs), shift))
+}
+
+/** Integer EWMA over an ordered micro-unit series:
+  *   z_0 = x_0,   z_i = ((2^s − 1)·z_{i−1} + x_i) >> s
+  * i.e. λ = 2^−s with floor rounding at every step — SINGLE integer ops, so
+  * a SQL oracle replays the recursion digit-exact with `>>` (the usual
+  * double-EWMA z = λx+(1−λ)z accumulates representational drift that
+  * diverges across engines; the micro-integer form cannot). Inputs must be
+  * non-negative (shift-as-division precondition); a NULL element nulls the
+  * whole result rather than silently skipping a bucket.
+  *
+  * O(n) per series, codegen'd; series arrays are POST-aggregation (one
+  * element per time bucket), so n is bounded by the monitored time range,
+  * not the table (a decade of hourly buckets is 87,600 longs ≈ 0.7 MB).
+  */
+case class EwmaMicro(child: Expression, shift: Int) extends UnaryExpression {
+  require(shift >= 1 && shift <= 30, "shift must be in [1,30]")
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(LongType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"graft_ewma_micro requires array<bigint>, got ${other.catalogString}")
+    }
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+  override def nullable: Boolean = true
+
+  private val mult = (1L << shift) - 1L
+
+  override def nullSafeEval(a: Any): Any = {
+    val arr = a.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Long](n)
+    var z = 0L
+    var i = 0
+    while (i < n) {
+      if (arr.isNullAt(i)) return null
+      val x = arr.getLong(i)
+      z = if (i == 0) x else (mult * z + x) >> shift
+      out(i) = z
+      i += 1
+    }
+    UnsafeArrayData.fromPrimitiveArray(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val z = ctx.freshName("z")
+      val out = ctx.freshName("out")
+      val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x")
+      s"""
+         |int $n = $a.numElements();
+         |long[] $out = new long[$n];
+         |long $z = 0L;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n && !$bad; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; }
+         |  else {
+         |    long $x = $a.getLong($i);
+         |    $z = ($i == 0) ? $x : (${mult}L * $z + $x) >> $shift;
+         |    $out[$i] = $z;
+         |  }
+         |}
+         |if ($bad) { ${ev.isNull} = true; }
+         |else { ${ev.value} =
+         |  org.apache.spark.sql.catalyst.expressions.UnsafeArrayData.fromPrimitiveArray($out); }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+  override def prettyName: String = "graft_ewma_micro"
+}

@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.checks.Drift
+import graft.functions.SeriesExprs
+
+class EwmaSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Driver reference of the integer recursion. */
+  private def ref(xs: Seq[Long], shift: Int): Seq[Long] =
+    xs.tail.scanLeft(xs.head)((z, x) => (((1L << shift) - 1) * z + x) >> shift)
+
+  test("EwmaMicro expression == driver fold, and a null element nulls the result") {
+    val xs = Seq(0L, 1000000L, 250000L, 0L, 750000L, 333333L, 999999L)
+    val got = Seq(Tuple1(xs)).toDF("xs")
+      .select(SeriesExprs.ewmaMicro($"xs", 2)).as[Seq[Long]].head()
+    assert(got == ref(xs, 2))
+    val withNull = Seq(Tuple1(Seq[java.lang.Long](1L, null, 3L))).toDF("xs")
+      .select(SeriesExprs.ewmaMicro($"xs", 2)).collect()(0)
+    assert(withNull.isNullAt(0))
+  }
+
+  test("ewmaAlerts: anchor row, digit-exact series, breach gate — multi-partition input") {
+    val xs = Seq(100000L, 100000L, 900000L, 100000L, 120000L)
+    val series = xs.zipWithIndex.map { case (x, i) => (i.toLong * 3600, x) }
+      .toDF("bucket", "x_micro").repartition(4) // order restored by sort_array
+    val rows = Drift.ewmaAlerts(series, "bucket", "x_micro", tolMicro = 300000L)
+      .orderBy("bucket").collect()
+    val zs = ref(xs, 2)
+    assert(rows.map(_.getAs[Long]("ewma_micro")).toSeq == zs)
+    assert(rows.head.getAs[Long]("dev_micro") == 0L && !rows.head.getAs[Boolean]("breach"))
+    val devs = rows.map(_.getAs[Long]("dev_micro")).toSeq
+    assert(devs == 0L +: xs.tail.zip(zs).map { case (x, zPrev) => x - zPrev })
+    // the 900000 spike deviates from its smoothed history by > 300000; the
+    // settle-back rows do not
+    assert(rows.map(_.getAs[Boolean]("breach")).toSeq ==
+      Seq(false, false, true, false, false))
+  }
+
+  test("ewmaAlerts per key: series are independent recursions") {
+    val df = Seq(
+      ("a", 0L, 100000L), ("a", 1L, 500000L),
+      ("b", 0L, 900000L), ("b", 1L, 900000L)).toDF("k", "bucket", "x_micro")
+      .repartition(3)
+    val rows = Drift.ewmaAlerts(df, "bucket", "x_micro", keyCols = Seq("k"))
+      .orderBy("k", "bucket").collect()
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("ewma_micro"))).toSeq ==
+      Seq(("a", 100000L), ("a", ref(Seq(100000L, 500000L), 2)(1)),
+        ("b", 900000L), ("b", 900000L)))
+  }
+}
