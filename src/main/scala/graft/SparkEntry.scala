@@ -96,6 +96,27 @@ object SparkEntry {
         lit(".host.org:8443/a#f "))).otherwise(lit("")),
       lit("tail with no markup")).as("text"))
 
+  /** URL-canonicalization fixture: raw variants (host case, www, default
+    * ports matched to scheme, tracking params in every position, fragments,
+    * bare-root slash) that collapse into shared canonical forms.
+    */
+  private def urlCanonFixture(s: SparkSession): DataFrame = {
+    val https = col("id") % 11 === 0
+    s.range(0, 300, 1, 8).select(col("id"), concat(
+      when(https, lit("https://")).otherwise(lit("http://")),
+      when(col("id") % 3 === 0, lit("www.")).otherwise(lit("")),
+      lit("Example"), pmod(col("id"), lit(10L)).cast("string"),
+      when(col("id") % 2 === 0, lit(".COM")).otherwise(lit(".com")),
+      when(col("id") % 4 === 0,
+        when(https, lit(":443")).otherwise(lit(":80"))).otherwise(lit("")),
+      when(col("id") % 13 === 0, lit("/")).otherwise(lit("/a")),
+      when(col("id") % 5 === 0, lit("?utm_source=x"))
+        .when(col("id") % 5 === 1, lit("?q=1&utm_b=2&r=2"))
+        .when(col("id") % 5 === 2, lit("?q=1"))
+        .otherwise(lit("")),
+      when(col("id") % 7 === 0, lit("#sec")).otherwise(lit(""))).as("url"))
+  }
+
   /** Flagship: validate a deterministic synthetic sequence table
     * (BASELINE.json input_hint shape, sf0.001-scale row count) and return the
     * violation rows — non-empty by construction (violation injection,
@@ -655,6 +676,17 @@ object SparkEntry {
         .where(tf.domainBlocked(tf.urlDomain(col("url")),
           Seq("example3.com", "host.org")))
         .select(col("id")).distinct()
+    }),
+    "q_url_dedup" -> ((s, dir) => {
+      // canonical-URL dedup: the regex-composed canonical form keys a
+      // min-id winner per group (only (canon, id) rides the window
+      // exchange logically — canon is a short string key)
+      val tf = graft.pipeline.TextFunctions
+      val stored = materialize(s, urlCanonFixture(s), "q_urlc_docs", files = 4)
+      val canon = stored.select(col("id"), col("url"),
+        tf.canonicalizeUrl(col("url")).as("canon"))
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+      canon.withColumn("keep", col("id") === min(col("id")).over(w))
     }),
 
     // --- Unicode script profile: per-class code-point counts (length
@@ -2423,6 +2455,28 @@ object SparkEntry {
         |SELECT DISTINCT id FROM dom
         |WHERE domain = 'example3.com' OR domain LIKE '%.example3.com'
         |   OR domain = 'host.org' OR domain LIKE '%.host.org'""".stripMargin,
+
+    // the identical canonicalization cascade replayed in RE2 (same pattern
+    // bytes; replacement backrefs are \1 here vs Java's $1 — replacement
+    // syntax lives outside the pattern), then min-id winners per canon
+    "q_url_dedup" ->
+      """WITH d AS (SELECT id, url FROM read_parquet('/root/repo/target/graft_oracle/q_urlc_docs/*.parquet')),
+        |c1 AS (SELECT id, url, regexp_replace(url, '#.*$', '') AS u FROM d),
+        |c2 AS (SELECT id, url, lower(regexp_extract(u, '^(https?://[^/?#]*)', 1))
+        |         || regexp_replace(u, '^(https?://[^/?#]*)', '') AS u FROM c1),
+        |c3 AS (SELECT id, url, regexp_replace(u, '^(https?://)www\.', '\1') AS u FROM c2),
+        |c4 AS (SELECT id, url, regexp_replace(regexp_replace(u,
+        |         '^(http://[^/?#:]*):80([/?#]|$)', '\1\2'),
+        |         '^(https://[^/?#:]*):443([/?#]|$)', '\1\2') AS u FROM c3),
+        |c5 AS (SELECT id, url, regexp_replace(u, '&(?:utm_[a-z0-9]+|gclid|fbclid)=[^&]*', '', 'g') AS u FROM c4),
+        |c6 AS (SELECT id, url, regexp_replace(regexp_replace(u,
+        |         '\?(?:utm_[a-z0-9]+|gclid|fbclid)=[^&]*&', '?'),
+        |         '\?(?:utm_[a-z0-9]+|gclid|fbclid)=[^&]*$', '') AS u FROM c5),
+        |c7 AS (SELECT id, url, regexp_replace(u, '\?$', '') AS u FROM c6),
+        |c8 AS (SELECT id, url, regexp_replace(u, '^(https?://[^/?#]*)/$', '\1') AS canon FROM c7)
+        |SELECT id, url, canon,
+        |       id = min(id) OVER (PARTITION BY canon) AS keep
+        |FROM c8""".stripMargin,
 
     // the identical markup-stripping cascade replayed in RE2 over the
     // materialized HTML shells: block drops, structural newlines, tag

@@ -415,6 +415,39 @@ object TextFunctions {
   def urlDomain(url: Column): Column =
     lower(regexp_extract(url, UrlDomainRe, 1))
 
+  private[graft] val UrlAuthRe = "^(https?://[^/?#]*)"
+  private[graft] val UrlTrackerRe = "(?:utm_[a-z0-9]+|gclid|fbclid)"
+
+  /** Canonical form of a URL for URL-keyed dedup — the documented subset of
+    * full RFC canonicalization that regex composition expresses exactly in
+    * BOTH engines (Java ∩ RE2 — no lookahead, `$1`/`\1` only in the
+    * replacement string, which lives outside the pattern):
+    *   1. fragment cut; 2. scheme+authority lowercased (path/query case
+    *   kept — they are case-sensitive); 3. `www.` prefix dropped;
+    *   4. default ports cut (`:80` for http, `:443` for https);
+    *   5. tracking params removed (utm_*, gclid, fbclid) with separator
+    *   repair (`?a&b` chains stay well-formed); 6. dangling `?` cut;
+    *   7. a bare-root trailing `/` cut.
+    * Expects the lowercase-scheme tokens `extractUrls` emits. Every step is
+    * a codegen'd `regexp_replace` — no UDF, no parser object per row.
+    */
+  def canonicalizeUrl(url: Column): Column = {
+    val noFrag = regexp_replace(url, "#.*$", "")
+    // lowercase scheme+authority, splice the untouched remainder back on
+    val lowerAuth = concat(lower(regexp_extract(noFrag, UrlAuthRe, 1)),
+      regexp_replace(noFrag, UrlAuthRe, ""))
+    val noWww = regexp_replace(lowerAuth, "^(https?://)www\\.", "$1")
+    val noPort = regexp_replace(
+      regexp_replace(noWww, "^(http://[^/?#:]*):80([/?#]|$)", "$1$2"),
+      "^(https://[^/?#:]*):443([/?#]|$)", "$1$2")
+    val noTrackMid = regexp_replace(noPort, "&" + UrlTrackerRe + "=[^&]*", "")
+    val noTrackFirst = regexp_replace(
+      regexp_replace(noTrackMid, "\\?" + UrlTrackerRe + "=[^&]*&", "?"),
+      "\\?" + UrlTrackerRe + "=[^&]*$", "")
+    val noDangling = regexp_replace(noTrackFirst, "\\?$", "")
+    regexp_replace(noDangling, "^(https?://[^/?#]*)/$", "$1")
+  }
+
   /** True when `domain` is one of `blocked` or any subdomain of one
     * (`ads.example.com` is blocked by `example.com` but `notexample.com`
     * is not). The RefinedWeb-style blocklist gate: blocklists are

@@ -1381,6 +1381,35 @@ class PipelineSpec extends SparkSpec {
     assert(wrong.count() == 0, wrong.collect().mkString(", "))
   }
 
+  test("canonicalizeUrl: case/www/ports/trackers/fragments/root-slash collapse; the rest survives") {
+    val cases = Seq(
+      // authority lowercased, path case kept
+      "http://WWW.Example.COM/Path" -> "http://example.com/Path",
+      // default port per scheme; non-default kept
+      "http://a.io:80/x" -> "http://a.io/x",
+      "https://a.io:443/x" -> "https://a.io/x",
+      "https://a.io:80/x" -> "https://a.io:80/x",
+      "http://a.io:8080/x" -> "http://a.io:8080/x",
+      // trackers in first / middle / last / solo position, separators repaired
+      "http://a.io/x?utm_source=t&q=1" -> "http://a.io/x?q=1",
+      "http://a.io/x?q=1&utm_b=2&r=2" -> "http://a.io/x?q=1&r=2",
+      "http://a.io/x?q=1&gclid=9" -> "http://a.io/x?q=1",
+      "http://a.io/x?fbclid=z" -> "http://a.io/x",
+      "http://a.io/x?utm_a=1&utm_b=2" -> "http://a.io/x",
+      // fragment cut, bare-root slash cut, the chained case
+      "http://a.io/x#frag" -> "http://a.io/x",
+      "http://a.io/" -> "http://a.io",
+      "http://A.io/?utm_source=x#f" -> "http://a.io",
+      // non-tracking params and deep trailing slashes untouched
+      "http://a.io/x?page=2" -> "http://a.io/x?page=2",
+      "http://a.io/x/" -> "http://a.io/x/")
+    for ((in, want) <- cases) {
+      val got = Seq(in).toDF("u")
+        .select(TextFunctions.canonicalizeUrl(col("u"))).head().getString(0)
+      assert(got == want, s"canonicalizeUrl($in) = $got, want $want")
+    }
+  }
+
   test("stripHtml: blocks drop, structure becomes newlines, entities decode once") {
     def strip(in: String): String = Seq(in).toDF("html")
       .select(TextFunctions.stripHtml(col("html"))).head().getString(0)
