@@ -838,6 +838,17 @@ object SparkEntry {
           col("rep_ratio") <= 0.2)
         .select(col("doc_id"), col("quality"), col("rep_ratio"))
     }),
+    "q_source_quality" -> ((s, dir) => {
+      // domain-level quality ranking with empirical-Bayes shrinkage: the
+      // per-source quality mean (integer micro) pulled toward the global
+      // mean by 50 pseudo-observations, then ranked (shrunk desc, source
+      // asc). Small sources can't outrank big ones on noise.
+      val qMicro = floor(TextFunctions.qualityScore(col("text")) * 1000000d
+        + lit(0.5)).cast("long")
+      checks.TableChecks.shrunkKeyMeans(
+        T(s, dir, "documents").select(col("source"), qMicro.as("q_micro")),
+        "source", "q_micro", priorN = 50L)
+    }),
 
     // --- scalar functions: JSON extraction from events.props ---
     "q_use_json" -> ((s, dir) => {
@@ -2554,6 +2565,27 @@ object SparkEntry {
         |SELECT q.doc_id, q.quality, r.rep_ratio
         |FROM q JOIN r USING (doc_id)
         |WHERE q.lang_id = 'en' AND q.quality >= 0.5 AND r.rep_ratio <= 0.2""".stripMargin,
+
+    // shrinkage replay: the identical quality-score chain (floor idiom) to
+    // integer micro, then pure BIGINT floor-division shrinkage and the same
+    // (shrunk desc, source asc) rank — digit-exact end to end
+    "q_source_quality" ->
+      """WITH n AS (SELECT source, text, lower(trim(regexp_replace(text, '\s+', ' ', 'g'))) AS t FROM documents),
+        |q AS (SELECT source,
+        |        CAST(floor(
+        |          floor((least(CAST(CASE WHEN t = '' THEN 0 ELSE length(t) - length(replace(t, ' ', '')) + 1 END AS DOUBLE) / 64.0, 1.0) * 0.4 +
+        |               (CAST(length(regexp_replace(text, '[^a-zA-Z]', '', 'g')) AS DOUBLE) /
+        |                CAST(greatest(length(text), 1) AS DOUBLE)) * 0.4 +
+        |               (CASE WHEN regexp_matches(text, '\b(the|a|of|and|to)\b') THEN 1.0 ELSE 0.0 END) * 0.2) * 10000 + 0.5) / 10000
+        |          * 1000000 + 0.5) AS BIGINT) AS q_micro
+        |      FROM n),
+        |per AS (SELECT source, count(*) AS n, CAST(sum(q_micro) AS BIGINT) AS s FROM q GROUP BY source),
+        |tot AS (SELECT CAST(sum(n) AS BIGINT) AS tn, CAST(sum(s) AS BIGINT) AS ts FROM per)
+        |SELECT source, n, s // n AS mean_micro,
+        |       (s + (ts // tn) * 50) // (n + 50) AS shrunk_micro,
+        |       CAST(row_number() OVER (
+        |         ORDER BY (s + (ts // tn) * 50) // (n + 50) DESC, source ASC) AS INT) AS rk
+        |FROM per, tot""".stripMargin,
 
     "q_use_json" ->
       """SELECT event_id, CAST(regexp_extract(props, '[0-9]+', 0) AS INT) AS k

@@ -220,6 +220,44 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Empirical-Bayes shrunk per-key means over an integer micro metric —
+    * the RefinedWeb/C4-style SOURCE-level quality ranking: a 3-document
+    * domain averaging 0.9 must not outrank a 10⁵-document domain at 0.7,
+    * so each key's mean is pulled toward the global mean with prior
+    * strength `priorN` pseudo-observations:
+    *   shrunk = (sum + global_mean·priorN) div (n + priorN)
+    * Pure integer micro arithmetic end to end (floor division), so the SQL
+    * oracle replays every rank digit-exact — no double accumulation-order
+    * drift across partitions.
+    *
+    * Plan: ONE groupBy(key) pass over the input (map-side combined); the
+    * global totals are window sums over the RESULTING per-key frame on the
+    * same single-partition pass the rank window already requires (#keys
+    * rows — domains, not docs), so the input scans exactly once and no
+    * second aggregation subtree exists to defeat exchange reuse (a
+    * broadcast-totals crossJoin here planned a second scan of the input
+    * under AQE — measured, hence the window form; the frame is the same
+    * scale class as the drift bucket vectors).
+    */
+  def shrunkKeyMeans(df: DataFrame, key: String, microCol: String,
+                     priorN: Long = 50L): DataFrame = {
+    require(priorN >= 0, s"priorN=$priorN must be non-negative")
+    import org.apache.spark.sql.expressions.Window
+    val per = df.groupBy(col(key))
+      .agg(count(lit(1)).as("n"), sum(col(microCol)).as("s"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    val wRank = Window.orderBy(col("shrunk_micro").desc, col(key).asc)
+    per
+      .withColumn("tn", sum("n").over(wAll))
+      .withColumn("ts", sum("s").over(wAll))
+      .select(col(key), col("n"),
+        expr("s div n").as("mean_micro"),
+        expr(s"(s + (ts div tn) * $priorN) div (n + $priorN)")
+          .as("shrunk_micro"))
+      .withColumn("rk", row_number().over(wRank))
+  }
+
   def hotKeys(df: DataFrame, key: String, k: Int,
               saltBuckets: Int = 64): DataFrame = {
     require(k > 0, s"k=$k must be positive")

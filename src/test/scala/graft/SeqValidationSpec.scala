@@ -360,4 +360,33 @@ class SeqValidationSpec extends SparkSpec {
     assert(TableChecks.madOutliers(df, "value", k = 3.0, approx = true)
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
+
+  test("shrunkKeyMeans: hand-computed shrinkage, small keys pulled in, one scan") {
+    // big: 8 obs at 700000; small: 2 obs at 950000 — raw mean ranks small
+    // first, shrinkage (priorN=10 toward global 750000) flips the order
+    val df = ((1 to 8).map(i => ("big", 700000L)) ++
+      Seq(("small", 950000L), ("small", 950000L))).toDF("k", "m").repartition(4)
+    val rows = TableChecks.shrunkKeyMeans(df, "k", "m", priorN = 10L)
+      .orderBy("rk").collect()
+    // global = 7500000 div 10 = 750000
+    // big:   (5600000 + 7500000) div 18 = 727777
+    // small: (1900000 + 7500000) div 12 = 783333
+    assert(rows.map(r => (r.getString(0), r.getAs[Long]("mean_micro"),
+      r.getAs[Long]("shrunk_micro"), r.getAs[Int]("rk"))).toSeq ==
+      Seq(("small", 950000L, 783333L, 1), ("big", 700000L, 727777L, 2)))
+    // shrinkage is monotone toward the global mean: for every key,
+    // |shrunk - global| <= |mean - global|
+    rows.foreach { r =>
+      assert(math.abs(r.getAs[Long]("shrunk_micro") - 750000L) <=
+        math.abs(r.getAs[Long]("mean_micro") - 750000L))
+    }
+    // deterministic subtree: the per-key exchange is reuse-eligible — the
+    // stored input scans once
+    val dir = java.nio.file.Files.createTempDirectory("graft_shrunk_scan").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val plan = TableChecks.shrunkKeyMeans(stored, "k", "m")
+      .queryExecution.executedPlan.toString
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
+  }
 }
