@@ -96,6 +96,45 @@ object SparkEntry {
         lit(".host.org:8443/a#f "))).otherwise(lit("")),
       lit("tail with no markup")).as("text"))
 
+  /** Suggestion-oracle SQL generator: the stats + sorted-value-set +
+    * firing-condition block over a docs CTE named `src`, emitting a result
+    * CTE `g$x` — ONE text used by q_suggest_rules and (twice, with distinct
+    * suffixes) by q_suggest_drift, so the replicas cannot diverge.
+    */
+  private def suggestSqlBlock(src: String, x: String): String =
+    s"""s$x AS (SELECT count(*) AS n,
+       |  count(doc_id) AS nn_doc, count(DISTINCT doc_id) AS dc_doc, min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
+       |  count(text) AS nn_text, count(DISTINCT text) AS dc_text,
+       |  count(lang) AS nn_lang, count(DISTINCT lang) AS dc_lang,
+       |  count(source) AS nn_src, count(DISTINCT source) AS dc_src,
+       |  count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS dc_nc, min(n_chars) AS mn_nc, max(n_chars) AS mx_nc FROM $src),
+       |vs$x AS (SELECT
+       |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT text AS v FROM $src WHERE text IS NOT NULL)) AS set_text,
+       |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT lang AS v FROM $src WHERE lang IS NOT NULL)) AS set_lang,
+       |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT source AS v FROM $src WHERE source IS NOT NULL)) AS set_src),
+       |g$x AS (SELECT col_name, kind, param FROM (
+       |  SELECT 'doc_id' AS col_name, 'not_null' AS kind, CAST(NULL AS VARCHAR) AS param FROM s$x WHERE nn_doc = n AND n > 0
+       |  UNION ALL SELECT 'doc_id','completeness', CAST(nn_doc*1000000//n AS VARCHAR) FROM s$x WHERE nn_doc < n
+       |  UNION ALL SELECT 'doc_id','unique', NULL FROM s$x WHERE nn_doc > 0 AND dc_doc = nn_doc
+       |  UNION ALL SELECT 'doc_id','range', '['||mn_doc||','||mx_doc||']' FROM s$x WHERE nn_doc > 0
+       |  UNION ALL SELECT 'text','not_null', NULL FROM s$x WHERE nn_text = n AND n > 0
+       |  UNION ALL SELECT 'text','completeness', CAST(nn_text*1000000//n AS VARCHAR) FROM s$x WHERE nn_text < n
+       |  UNION ALL SELECT 'text','unique', NULL FROM s$x WHERE nn_text > 0 AND dc_text = nn_text
+       |  UNION ALL SELECT 'text','isin', (SELECT set_text FROM vs$x) FROM s$x WHERE nn_text > 0 AND dc_text <= 8
+       |  UNION ALL SELECT 'lang','not_null', NULL FROM s$x WHERE nn_lang = n AND n > 0
+       |  UNION ALL SELECT 'lang','completeness', CAST(nn_lang*1000000//n AS VARCHAR) FROM s$x WHERE nn_lang < n
+       |  UNION ALL SELECT 'lang','unique', NULL FROM s$x WHERE nn_lang > 0 AND dc_lang = nn_lang
+       |  UNION ALL SELECT 'lang','isin', (SELECT set_lang FROM vs$x) FROM s$x WHERE nn_lang > 0 AND dc_lang <= 8
+       |  UNION ALL SELECT 'source','not_null', NULL FROM s$x WHERE nn_src = n AND n > 0
+       |  UNION ALL SELECT 'source','completeness', CAST(nn_src*1000000//n AS VARCHAR) FROM s$x WHERE nn_src < n
+       |  UNION ALL SELECT 'source','unique', NULL FROM s$x WHERE nn_src > 0 AND dc_src = nn_src
+       |  UNION ALL SELECT 'source','isin', (SELECT set_src FROM vs$x) FROM s$x WHERE nn_src > 0 AND dc_src <= 8
+       |  UNION ALL SELECT 'n_chars','not_null', NULL FROM s$x WHERE nn_nc = n AND n > 0
+       |  UNION ALL SELECT 'n_chars','completeness', CAST(nn_nc*1000000//n AS VARCHAR) FROM s$x WHERE nn_nc < n
+       |  UNION ALL SELECT 'n_chars','unique', NULL FROM s$x WHERE nn_nc > 0 AND dc_nc = nn_nc
+       |  UNION ALL SELECT 'n_chars','range', '['||mn_nc||','||mx_nc||']' FROM s$x WHERE nn_nc > 0
+       |))""".stripMargin
+
   /** URL-canonicalization fixture: raw variants (host case, www, default
     * ports matched to scheme, tracking params in every position, fragments,
     * bare-root slash) that collapse into shared canonical forms.
@@ -188,6 +227,24 @@ object SparkEntry {
         when(col("lang") === "de", lit(null)).otherwise(col("lang")))
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+    "q_suggest_drift" -> ((s, dir) => {
+      // contract drift between two snapshots: old = the q_suggest_rules
+      // snapshot; new plants a doc_id collision (pmod 499 — unique gone,
+      // range shrunk), extra lang nulls (completeness + isin move), and
+      // clipped n_chars (range moves). text/source agree → dropped.
+      val cols = Seq("doc_id", "text", "lang", "source", "n_chars")
+      val base = T(s, dir, "documents")
+      val oldDf = base.withColumn("lang",
+        when(col("lang") === "de", lit(null)).otherwise(col("lang")))
+      val newDf = base.select(
+        pmod(col("doc_id"), lit(499L)).as("doc_id"), col("text"),
+        when(col("lang").isin("de", "en"), lit(null))
+          .otherwise(col("lang")).as("lang"),
+        col("source"), least(col("n_chars"), lit(400L)).as("n_chars"))
+      checks.Suggest.suggestionDrift(
+        checks.Suggest.suggestRules(oldDf, cols),
+        checks.Suggest.suggestRules(newDf, cols))
     }),
     "q_numeric_profile" -> ((s, dir) => {
       // exact percentile profile (one agg pass, all columns): Spark's
@@ -1701,39 +1758,29 @@ object SparkEntry {
     // (completeness is integer micro arithmetic — // == Spark's div on
     // non-negative counts; the isin gate dc <= 8 == bounded-set overflow)
     "q_suggest_rules" ->
-      """WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
-        |s AS (SELECT count(*) AS n,
-        |  count(doc_id) AS nn_doc, count(DISTINCT doc_id) AS dc_doc, min(doc_id) AS mn_doc, max(doc_id) AS mx_doc,
-        |  count(text) AS nn_text, count(DISTINCT text) AS dc_text,
-        |  count(lang) AS nn_lang, count(DISTINCT lang) AS dc_lang,
-        |  count(source) AS nn_src, count(DISTINCT source) AS dc_src,
-        |  count(n_chars) AS nn_nc, count(DISTINCT n_chars) AS dc_nc, min(n_chars) AS mn_nc, max(n_chars) AS mx_nc FROM d),
-        |vs AS (SELECT
-        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT text AS v FROM d WHERE text IS NOT NULL)) AS set_text,
-        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT lang AS v FROM d WHERE lang IS NOT NULL)) AS set_lang,
-        |  (SELECT string_agg(v,'|' ORDER BY v) FROM (SELECT DISTINCT source AS v FROM d WHERE source IS NOT NULL)) AS set_src)
-        |SELECT col_name, kind, param FROM (
-        |  SELECT 'doc_id' AS col_name, 'not_null' AS kind, CAST(NULL AS VARCHAR) AS param FROM s WHERE nn_doc = n AND n > 0
-        |  UNION ALL SELECT 'doc_id','completeness', CAST(nn_doc*1000000//n AS VARCHAR) FROM s WHERE nn_doc < n
-        |  UNION ALL SELECT 'doc_id','unique', NULL FROM s WHERE nn_doc > 0 AND dc_doc = nn_doc
-        |  UNION ALL SELECT 'doc_id','range', '['||mn_doc||','||mx_doc||']' FROM s WHERE nn_doc > 0
-        |  UNION ALL SELECT 'text','not_null', NULL FROM s WHERE nn_text = n AND n > 0
-        |  UNION ALL SELECT 'text','completeness', CAST(nn_text*1000000//n AS VARCHAR) FROM s WHERE nn_text < n
-        |  UNION ALL SELECT 'text','unique', NULL FROM s WHERE nn_text > 0 AND dc_text = nn_text
-        |  UNION ALL SELECT 'text','isin', (SELECT set_text FROM vs) FROM s WHERE nn_text > 0 AND dc_text <= 8
-        |  UNION ALL SELECT 'lang','not_null', NULL FROM s WHERE nn_lang = n AND n > 0
-        |  UNION ALL SELECT 'lang','completeness', CAST(nn_lang*1000000//n AS VARCHAR) FROM s WHERE nn_lang < n
-        |  UNION ALL SELECT 'lang','unique', NULL FROM s WHERE nn_lang > 0 AND dc_lang = nn_lang
-        |  UNION ALL SELECT 'lang','isin', (SELECT set_lang FROM vs) FROM s WHERE nn_lang > 0 AND dc_lang <= 8
-        |  UNION ALL SELECT 'source','not_null', NULL FROM s WHERE nn_src = n AND n > 0
-        |  UNION ALL SELECT 'source','completeness', CAST(nn_src*1000000//n AS VARCHAR) FROM s WHERE nn_src < n
-        |  UNION ALL SELECT 'source','unique', NULL FROM s WHERE nn_src > 0 AND dc_src = nn_src
-        |  UNION ALL SELECT 'source','isin', (SELECT set_src FROM vs) FROM s WHERE nn_src > 0 AND dc_src <= 8
-        |  UNION ALL SELECT 'n_chars','not_null', NULL FROM s WHERE nn_nc = n AND n > 0
-        |  UNION ALL SELECT 'n_chars','completeness', CAST(nn_nc*1000000//n AS VARCHAR) FROM s WHERE nn_nc < n
-        |  UNION ALL SELECT 'n_chars','unique', NULL FROM s WHERE nn_nc > 0 AND dc_nc = nn_nc
-        |  UNION ALL SELECT 'n_chars','range', '['||mn_nc||','||mx_nc||']' FROM s WHERE nn_nc > 0
-        |)""".stripMargin,
+      ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
+        |""".stripMargin + suggestSqlBlock("d", "") + """
+        |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // contract drift: the suggestion block instantiated over BOTH snapshots
+    // (old = planted lang nulls; new = planted doc_id collision, extra lang
+    // nulls, clipped n_chars), full-outer joined, identical rows dropped
+    "q_suggest_drift" ->
+      ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
+        |d2 AS (SELECT doc_id % 499 AS doc_id, text,
+        |         CASE WHEN lang IN ('de','en') THEN NULL ELSE lang END AS lang,
+        |         source, least(n_chars, 400) AS n_chars FROM documents),
+        |""".stripMargin + suggestSqlBlock("d", "") + ",\n" +
+        suggestSqlBlock("d2", "2") + """
+        |SELECT coalesce(g.col_name, g2.col_name) AS col_name,
+        |       coalesce(g.kind, g2.kind) AS kind,
+        |       g.param AS old_param, g2.param AS new_param,
+        |       CASE WHEN g.col_name IS NULL THEN 'added'
+        |            WHEN g2.col_name IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change
+        |FROM g FULL OUTER JOIN g2 ON g.col_name = g2.col_name AND g.kind = g2.kind
+        |WHERE g.col_name IS NULL OR g2.col_name IS NULL
+        |   OR NOT (g.param IS NOT DISTINCT FROM g2.param)""".stripMargin),
 
     // quantile_cont == Spark's exact percentile (both: sort + linear
     // interpolation at rank p·(n−1)); percentile list CAST to DOUBLE[] so

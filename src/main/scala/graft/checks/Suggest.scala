@@ -117,6 +117,30 @@ object Suggest {
                          rsd: Double = 0.01): DataFrame =
     suggestWith(df, cols, isinCap, approx_count_distinct(_, rsd))
 
+  /** Contract drift between two snapshots' suggestion frames (the
+    * schema-evolution complement of the value-distribution drift checks):
+    * full-outer compare on (col_name, kind), emitting ONLY the rows that
+    * moved — `added` (new snapshot gained a guarantee), `removed` (a
+    * guarantee the old snapshot made no longer holds — the alarming
+    * direction), `changed` (same kind, different param, e.g. a range that
+    * widened or an isin set that grew). Identical rows are dropped.
+    * Null-safe on param (not_null/unique legitimately carry NULL params),
+    * keyed by presence markers, not param nullability.
+    */
+  def suggestionDrift(oldSugg: DataFrame, newSugg: DataFrame): DataFrame = {
+    val o = oldSugg.select(col("col_name"), col("kind"),
+      col("param").as("old_param"), lit(1).as("__o"))
+    val n = newSugg.select(col("col_name"), col("kind"),
+      col("param").as("new_param"), lit(1).as("__n"))
+    o.join(n, Seq("col_name", "kind"), "full_outer")
+      .withColumn("change",
+        when(col("__o").isNull, lit("added"))
+          .when(col("__n").isNull, lit("removed"))
+          .when(!(col("old_param") <=> col("new_param")), lit("changed")))
+      .where(col("change").isNotNull)
+      .select("col_name", "kind", "old_param", "new_param", "change")
+  }
+
   /** Compile suggestions back into executable per-column value rules.
     * Table-level suggestions compile separately: `unique` columns are
     * returned as key candidates for `TableChecks.uniquenessViolations`;

@@ -68,6 +68,26 @@ class SuggestSpec extends SparkSpec {
     assert(Validator.run(bad, schema).violations.count() == 3)
   }
 
+  test("suggestionDrift: added / removed / changed fire; identical rows drop; null params safe") {
+    val oldS = Seq(
+      ("id", "unique", null), ("id", "range", "[0,9]"),
+      ("cat", "isin", "a|b"), ("cat", "not_null", null))
+      .toDF("col_name", "kind", "param")
+    val newS = Seq(
+      ("id", "range", "[0,12]"),              // changed (unique removed)
+      ("cat", "isin", "a|b"),                  // kept → dropped
+      ("cat", "completeness", "900000"))       // added (not_null removed)
+      .toDF("col_name", "kind", "param")
+    val got = Suggest.suggestionDrift(oldS, newS)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getString(2),
+        r.getString(3), r.getString(4))).toSet
+    assert(got == Set(
+      ("id", "unique", null, null, "removed"),
+      ("id", "range", "[0,9]", "[0,12]", "changed"),
+      ("cat", "not_null", null, null, "removed"),
+      ("cat", "completeness", null, "900000", "added")))
+  }
+
   test("one scan regardless of column count, both flavors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_suggest_scan").toString
     planted.write.mode("overwrite").parquet(dir)
