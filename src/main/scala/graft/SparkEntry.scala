@@ -228,6 +228,13 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_benford" -> ((s, dir) => {
+      // first-digit conformance of n_chars vs Benford (a length metric is
+      // NOT Benford-distributed — the flags firing is the point: the check
+      // reports deviation honestly, digit by digit, in exact integers)
+      checks.TableChecks.benfordDigits(T(s, dir, "documents"), "n_chars",
+        tolMicro = 30000L)
+    }),
     "q_suggest_drift" -> ((s, dir) => {
       // contract drift between two snapshots: old = the q_suggest_rules
       // snapshot; new plants a doc_id collision (pmod 499 — unique gone,
@@ -1761,6 +1768,28 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // Benford replay: the same micro literal table (summing to exactly
+    // 10^6), decimal-string first digit, integer floor-division shares
+    "q_benford" ->
+      """WITH b AS (SELECT * FROM (VALUES
+        |    (1, CAST(301030 AS BIGINT)), (2, 176091), (3, 124939),
+        |    (4, 96910), (5, 79181), (6, 66947), (7, 57992), (8, 51153),
+        |    (9, 45757)) AS t(digit, p_benford_micro)),
+        |c AS (SELECT CAST(substring(CAST(n_chars AS VARCHAR), 1, 1) AS INT) AS digit,
+        |             count(*) AS n_obs
+        |      FROM documents WHERE n_chars > 0 GROUP BY 1),
+        |j AS (SELECT b.digit, b.p_benford_micro, COALESCE(c.n_obs, CAST(0 AS BIGINT)) AS n_obs
+        |      FROM b LEFT JOIN c USING (digit)),
+        |t AS (SELECT CAST(sum(n_obs) AS BIGINT) AS total FROM j)
+        |SELECT digit, n_obs,
+        |       CASE WHEN total > 0 THEN (n_obs * 1000000) // total ELSE 0 END AS p_obs_micro,
+        |       p_benford_micro,
+        |       (CASE WHEN total > 0 THEN (n_obs * 1000000) // total ELSE 0 END)
+        |         - p_benford_micro AS dev_micro,
+        |       abs((CASE WHEN total > 0 THEN (n_obs * 1000000) // total ELSE 0 END)
+        |         - p_benford_micro) > 30000 AS flag
+        |FROM j, t""".stripMargin,
 
     // contract drift: the suggestion block instantiated over BOTH snapshots
     // (old = planted lang nulls; new = planted doc_id collision, extra lang

@@ -220,6 +220,47 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Benford first-digit micro-probabilities: log10(1+1/d) rounded to the
+    * nearest micro; the 9 literals sum to exactly 10⁶, so observed-vs-
+    * expected deviations are closed integer arithmetic.
+    */
+  private[graft] val BenfordMicro: Seq[(Int, Long)] = Seq(
+    1 -> 301030L, 2 -> 176091L, 3 -> 124939L, 4 -> 96910L, 5 -> 79181L,
+    6 -> 66947L, 7 -> 57992L, 8 -> 51153L, 9 -> 45757L)
+
+  /** First-digit distribution of a positive integral column vs Benford's
+    * law — the fabricated-data smell test (real growth-process magnitudes
+    * follow it; uniform synthetic IDs and clipped metrics do not, which is
+    * itself a finding). One groupBy(first digit) pass (≤9 groups, map-side
+    * combined); the digit comes from the integer's decimal string, which
+    * renders identically in every engine (no log/pow doubles). Emits all 9
+    * digits (zero-filled), observed micro share by integer floor division,
+    * the Benford micro literal, the signed deviation, and a |dev| > tol
+    * flag. The total rides a window sum over the 9-row frame.
+    */
+  def benfordDigits(df: DataFrame, c: String,
+                    tolMicro: Long = 30000L): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val spark = df.sparkSession
+    import spark.implicits._
+    val counts = df.where(col(c) > 0)
+      .groupBy(substring(col(c).cast("string"), 1, 1).cast("int").as("digit"))
+      .agg(count(lit(1)).as("n_obs"))
+    val wAll = Window.rowsBetween(Window.unboundedPreceding,
+      Window.unboundedFollowing)
+    BenfordMicro.toDF("digit", "p_benford_micro")
+      .join(counts, Seq("digit"), "left")
+      .withColumn("n_obs", coalesce(col("n_obs"), lit(0L)))
+      .withColumn("__N", sum("n_obs").over(wAll))
+      .withColumn("p_obs_micro",
+        when(col("__N") > 0, expr("(n_obs * 1000000) div __N"))
+          .otherwise(lit(0L)))
+      .withColumn("dev_micro", col("p_obs_micro") - col("p_benford_micro"))
+      .withColumn("flag", abs(col("dev_micro")) > tolMicro)
+      .select("digit", "n_obs", "p_obs_micro", "p_benford_micro",
+        "dev_micro", "flag")
+  }
+
   /** Empirical-Bayes shrunk per-key means over an integer micro metric —
     * the RefinedWeb/C4-style SOURCE-level quality ranking: a 3-document
     * domain averaging 0.9 must not outrank a 10⁵-document domain at 0.7,

@@ -361,6 +361,28 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("benfordDigits: literals sum to 1e6, zero-fill, hand-checked shares and flags") {
+    assert(TableChecks.BenfordMicro.map(_._2).sum == 1000000L)
+    // 6 positive values: digits 1,1,1,2,9 (+ ignored 0 and -5)
+    val df = Seq(100L, 12L, 1L, 25L, 9L, 0L, -5L).toDF("v")
+    val rows = TableChecks.benfordDigits(df, "v", tolMicro = 300000L)
+      .orderBy("digit").collect()
+    assert(rows.length == 9)
+    val byDigit = rows.map(r => r.getInt(0) -> r).toMap
+    assert(byDigit(1).getAs[Long]("n_obs") == 3 &&
+      byDigit(1).getAs[Long]("p_obs_micro") == 600000L) // 3*1e6 div 5
+    assert(byDigit(2).getAs[Long]("n_obs") == 1 &&
+      byDigit(2).getAs[Long]("p_obs_micro") == 200000L)
+    assert(byDigit(3).getAs[Long]("n_obs") == 0 &&
+      byDigit(3).getAs[Long]("p_obs_micro") == 0L &&
+      byDigit(3).getAs[Long]("dev_micro") == -124939L)
+    // digit 1: dev = 600000-301030 = 298970 < 300000 → no flag;
+    // digit 9: dev = 200000-45757 = 154243 → no flag at this tol either;
+    // digit 3 missing entirely: |−124939| < tol → no flag
+    assert(byDigit(1).getAs[Boolean]("flag") == false)
+    assert(rows.forall(!_.getAs[Boolean]("flag")))
+  }
+
   test("shrunkKeyMeans: hand-computed shrinkage, small keys pulled in, one scan") {
     // big: 8 obs at 700000; small: 2 obs at 950000 — raw mean ranks small
     // first, shrinkage (priorN=10 toward global 750000) flips the order
