@@ -228,6 +228,12 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_volume_gaps" -> ((s, dir) => {
+      // ingest completeness: zero-filled hourly volume per event_type from
+      // a generated spine, flagged under half the key's lower-median hour
+      checks.TableChecks.volumeCompleteness(T(s, dir, "events"), "ts",
+        "event_type")
+    }),
     "q_benford" -> ((s, dir) => {
       // first-digit conformance of n_chars vs Benford (a length metric is
       // NOT Benford-distributed — the flags firing is the point: the check
@@ -1768,6 +1774,29 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // spine replay: generate_series between each key's first/last hour,
+    // zero-filled left join, exact lower-median order statistic
+    "q_volume_gaps" ->
+      """WITH c AS (SELECT event_type AS key,
+        |             -- floor before the cast: epoch() is DOUBLE seconds and
+        |             -- the bare BIGINT cast ROUNDS sub-second events across
+        |             -- the boundary; Spark's unix_timestamp truncates
+        |             (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_ts,
+        |             count(*) AS n
+        |      FROM events GROUP BY 1, 2),
+        |m AS (SELECT key, min(bucket_ts) AS mn, max(bucket_ts) AS mx FROM c GROUP BY key),
+        |med AS (SELECT key, n AS med_n FROM (
+        |          SELECT key, n, row_number() OVER (PARTITION BY key ORDER BY n) AS i,
+        |                 count(*) OVER (PARTITION BY key) AS m
+        |          FROM c) WHERE i = (m + 1) // 2),
+        |spine AS (SELECT m.key, unnest(generate_series(mn, mx, 3600)) AS bucket_ts FROM m)
+        |SELECT s.key, s.bucket_ts, COALESCE(c.n, CAST(0 AS BIGINT)) AS n,
+        |       med.med_n,
+        |       COALESCE(c.n, CAST(0 AS BIGINT)) * 2 < med.med_n AS low_flag
+        |FROM spine s
+        |LEFT JOIN c ON s.key = c.key AND s.bucket_ts = c.bucket_ts
+        |JOIN med ON s.key = med.key""".stripMargin,
 
     // Benford replay: the same micro literal table (summing to exactly
     // 10^6), decimal-string first digit, integer floor-division shares

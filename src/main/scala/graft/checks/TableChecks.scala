@@ -220,6 +220,42 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Ingest-volume completeness per key: every time bucket between a key's
+    * first and last observed bucket, zero-filled from a generated spine, is
+    * compared against the key's LOWER MEDIAN observed bucket count (an
+    * exact order statistic — integer, no interpolation) and flagged when
+    * `n · 2 < median` — the missing-hour / half-volume-hour detector that
+    * row-level validation cannot express (absent rows validate nothing).
+    *
+    * Plan: one groupBy(key, bucket) count (map-side combined), then a
+    * per-key rollup whose collect_list state is bounded by the TIME RANGE
+    * (buckets, not rows — the EWMA/bucket-vector scale class), a
+    * `sequence()` spine explode of the same size, and a (key, bucket)
+    * short-key left join back onto the counts.
+    */
+  def volumeCompleteness(df: DataFrame, tsCol: String, keyCol: String,
+                         bucketSec: Long = 3600L): DataFrame = {
+    require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
+    val counts = df
+      .groupBy(col(keyCol).as("key"),
+        expr(s"(unix_timestamp($tsCol) div $bucketSec) * $bucketSec")
+          .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"))
+    val per = counts.groupBy("key")
+      .agg(min("bucket_ts").as("__mn"), max("bucket_ts").as("__mx"),
+        sort_array(collect_list(col("n"))).as("__cs"))
+      .withColumn("med_n",
+        element_at(col("__cs"), expr("CAST((size(__cs) + 1) div 2 AS INT)")))
+    per
+      .select(col("key"), col("med_n"),
+        explode(sequence(col("__mn"), col("__mx"), lit(bucketSec)))
+          .as("bucket_ts"))
+      .join(counts, Seq("key", "bucket_ts"), "left")
+      .withColumn("n", coalesce(col("n"), lit(0L)))
+      .withColumn("low_flag", col("n") * 2 < col("med_n"))
+      .select("key", "bucket_ts", "n", "med_n", "low_flag")
+  }
+
   /** Benford first-digit micro-probabilities: log10(1+1/d) rounded to the
     * nearest micro; the 9 literals sum to exactly 10⁶, so observed-vs-
     * expected deviations are closed integer arithmetic.

@@ -361,6 +361,24 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("volumeCompleteness: gap hours zero-fill and flag; lower median exact; spine per key") {
+    // key a: hours 0,1,3 (hour 2 MISSING), counts 4,1,4 → median 4; the gap
+    // hour flags (0*2<4) and the 1-count hour flags (2<4)
+    // key b: single hour → spine of 1, median = its count, no flag
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600000L + i * 1000L)
+    val rows = (0 until 4).map(i => ("a", ts(0, i))) ++ Seq(("a", ts(1, 0))) ++
+      (0 until 4).map(i => ("a", ts(3, i))) ++ Seq(("b", ts(5, 0)))
+    val df = rows.toDF("event_type", "ts").repartition(3)
+    val got = TableChecks.volumeCompleteness(df, "ts", "event_type")
+      .orderBy("key", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq
+    assert(got == Seq(
+      ("a", 0L, 4L, 4L, false), ("a", 3600L, 1L, 4L, true),
+      ("a", 7200L, 0L, 4L, true), ("a", 10800L, 4L, 4L, false),
+      ("b", 18000L, 1L, 1L, false)))
+  }
+
   test("benfordDigits: literals sum to 1e6, zero-fill, hand-checked shares and flags") {
     assert(TableChecks.BenfordMicro.map(_._2).sum == 1000000L)
     // 6 positive values: digits 1,1,1,2,9 (+ ignored 0 and -5)
