@@ -295,6 +295,69 @@ object StreamingValidator {
       }
   }
 
+  /** Carried EWMA recursion state per key: the last smoothed value and the
+    * last accepted bucket (ordering guard).
+    */
+  final case class EwmaKeyState(z: Long, lastBucket: Long)
+  final case class EwmaAlert(key: String, bucket_ts: Long, x_micro: Long,
+                             ewma_micro: Long, dev_micro: Long,
+                             breach: Boolean)
+
+  /** Streaming face of `Drift.ewmaAlerts`: the SAME integer shift recursion
+    * (λ = 2^−shift, z ← ((2^s−1)·z + x) >> s), carried across micro-batches
+    * as one (z, lastBucket) pair per key — O(keys) state, no buffered
+    * series. Input is a BUCKETED micro-metric stream (one row per
+    * (key, bucket), e.g. finalized windows from an upstream watermarked
+    * aggregate — append mode already guarantees a bucket arrives once and
+    * in order per key); a bucket at or before the key's last accepted one
+    * (a replay or out-of-order straggler the upstream contract excludes)
+    * is DROPPED, not folded, because the recursion is order-defined.
+    * Within a batch, a key's buckets are sorted by bucket_ts before
+    * folding. The first bucket of a key anchors the chart (dev 0, no
+    * breach) exactly like the batch form; on a BATCH frame every group
+    * arrives complete, so the output equals `Drift.ewmaAlerts` row for row
+    * (batch-equivalence test).
+    */
+  def ewmaAlertUpdates(df: DataFrame, keyCol: String, bucketCol: String,
+                       microCol: String, shift: Int = 2,
+                       tolMicro: Long = 200000L): Dataset[EwmaAlert] = {
+    require(shift >= 1 && shift <= 30, "shift must be in [1,30]")
+    val spark = df.sparkSession
+    import spark.implicits._
+    val mult = (1L << shift) - 1L
+    val typed = df
+      .select(col(keyCol).cast("string").as("key"),
+        col(bucketCol).cast("long").as("b"),
+        col(microCol).cast("long").as("x"))
+      .where(col("key").isNotNull && col("b").isNotNull && col("x").isNotNull)
+      .as[(String, Long, Long)]
+    typed.groupByKey(_._1)
+      .flatMapGroupsWithState[EwmaKeyState, EwmaAlert](
+        OutputMode.Append(), GroupStateTimeout.NoTimeout()) {
+        case (key, rows, state: GroupState[EwmaKeyState]) =>
+          var s = state.getOption.getOrElse(EwmaKeyState(0L, Long.MinValue))
+          var first = state.getOption.isEmpty
+          val out = Vector.newBuilder[EwmaAlert]
+          rows.toSeq.sortBy(_._2).foreach { case (_, b, x) =>
+            if (b > s.lastBucket) {
+              if (first) {
+                out += EwmaAlert(key, b, x, x, 0L, breach = false)
+                s = EwmaKeyState(x, b)
+                first = false
+              } else {
+                val dev = x - s.z
+                val z = (mult * s.z + x) >> shift
+                out += EwmaAlert(key, b, x, z, dev,
+                  breach = math.abs(dev) > tolMicro)
+                s = EwmaKeyState(z, b)
+              }
+            }
+          }
+          state.update(s)
+          out.result().iterator
+      }
+  }
+
   /** Streaming corpus composition — the live-ingest monitoring face of
     * `pipeline.Report.corpusReport`: per event-time window (+ optional
     * extra group columns), the SAME integer-sum metric list (shared

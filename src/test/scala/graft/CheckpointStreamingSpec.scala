@@ -549,6 +549,49 @@ class CheckpointStreamingSpec extends SparkSpec {
     assert(batchDups == got.map(_._1))
   }
 
+  test("streaming EWMA alerts: recursion carries across batches, late buckets drop, batch-equivalent") {
+    implicit val sqlCtx = spark.sqlContext
+    import graft.streaming.StreamingValidator
+    val mem = MemoryStream[(String, Long, Long)]
+    val alerts = StreamingValidator.ewmaAlertUpdates(
+      mem.toDF().toDF("k", "b", "x"), "k", "b", "x", tolMicro = 300000L)
+    val q = alerts.writeStream.outputMode("append")
+      .format("memory").queryName("ewmaalerts").start()
+    mem.addData(("a", 0L, 100000L), ("a", 3600L, 100000L), ("c", 0L, 50000L))
+    q.processAllAvailable()
+    // batch 2: recursion continues for a (the 900k spike breaches vs z=100000),
+    // a replayed bucket 0 for a is DROPPED, c gets its second bucket
+    mem.addData(("a", 7200L, 900000L), ("a", 0L, 999999L), ("c", 3600L, 50000L))
+    q.processAllAvailable()
+    q.stop()
+    val got = spark.table("ewmaalerts")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(3),
+        r.getLong(4), r.getBoolean(5))).toSet
+    // z for a after 2 buckets: 100000; spike: dev 800000, z = (3*100000+900000)>>2 = 300000
+    assert(got == Set(
+      ("a", 0L, 100000L, 0L, false),
+      ("a", 3600L, 100000L, 0L, false),
+      ("a", 7200L, 300000L, 800000L, true),
+      ("c", 0L, 50000L, 0L, false),
+      ("c", 3600L, 50000L, 0L, false)))
+    // batch equivalence: the same accepted rows through the helper on a
+    // BATCH frame equal Drift.ewmaAlerts (global per-key series)
+    val acc = Seq(("a", 0L, 100000L), ("a", 3600L, 100000L),
+      ("a", 7200L, 900000L), ("c", 0L, 50000L), ("c", 3600L, 50000L))
+      .toDF("k", "b", "x")
+    val viaStream = StreamingValidator.ewmaAlertUpdates(acc, "k", "b", "x",
+      tolMicro = 300000L)
+      .collect().map(a => (a.key, a.bucket_ts, a.x_micro, a.ewma_micro,
+        a.dev_micro, a.breach)).toSet
+    val viaBatch = graft.checks.Drift.ewmaAlerts(
+      acc.withColumnRenamed("b", "bucket_ts").withColumnRenamed("x", "x_micro"),
+      "bucket_ts", "x_micro", keyCols = Seq("k"), tolMicro = 300000L)
+      .collect().map(r => (r.getAs[String]("k"), r.getAs[Long]("bucket_ts"),
+        r.getAs[Long]("x_micro"), r.getAs[Long]("ewma_micro"),
+        r.getAs[Long]("dev_micro"), r.getAs[Boolean]("breach"))).toSet
+    assert(viaStream == viaBatch)
+  }
+
   test("streaming sessions: watermark-closed sessions emit, batch call agrees") {
     implicit val sqlCtx = spark.sqlContext
     import graft.streaming.StreamingValidator
