@@ -135,6 +135,25 @@ object SparkEntry {
        |  UNION ALL SELECT 'n_chars','range', '['||mn_nc||','||mx_nc||']' FROM s$x WHERE nn_nc > 0
        |))""".stripMargin
 
+  /** Pattern-profile fixture: three string columns with planted value
+    * shapes (pure digits; emails with a 1-in-7 decoy; uuid-shaped md5
+    * slices with a 1-in-5 decoy).
+    */
+  private def patternDocsFixture(s: SparkSession): DataFrame = {
+    val h = md5(col("id").cast("string"))
+    s.range(0, 200, 1, 8).select(col("id"),
+      col("id").cast("string").as("sid"),
+      when(col("id") % 7 === 0,
+        concat(lit("not-an-email-"), col("id").cast("string")))
+        .otherwise(concat(lit("user"), col("id").cast("string"), lit("@ex"),
+          pmod(col("id"), lit(3L)).cast("string"), lit(".com"))).as("contact"),
+      when(col("id") % 5 === 0, concat(lit("TAG"), col("id").cast("string")))
+        .otherwise(concat(
+          substring(h, 1, 8), lit("-"), substring(h, 9, 4), lit("-"),
+          substring(h, 13, 4), lit("-"), substring(h, 17, 4), lit("-"),
+          substring(h, 21, 12))).as("tag"))
+  }
+
   /** URL-canonicalization fixture: raw variants (host case, www, default
     * ports matched to scheme, tracking params in every position, fragments,
     * bare-root slash) that collapse into shared canonical forms.
@@ -227,6 +246,24 @@ object SparkEntry {
         when(col("lang") === "de", lit(null)).otherwise(col("lang")))
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
+    }),
+    "q_func_deps" -> ((s, dir) => {
+      // functional-dependency probes: doc_id→source holds (keys are
+      // unique); source→lang and lang→source are violated (each side fans
+      // out) — a candidate-pair battery, one grouping per pair (inherent:
+      // different shuffle keys)
+      val d = T(s, dir, "documents")
+      checks.TableChecks.functionalDependency(d, "doc_id", "source")
+        .unionAll(checks.TableChecks.functionalDependency(d, "source", "lang"))
+        .unionAll(checks.TableChecks.functionalDependency(d, "lang", "source"))
+    }),
+    "q_pattern_profile" -> ((s, dir) => {
+      // value-shape profiling over planted shapes: sid all digits, contact
+      // email-ish with a 1-in-7 decoy, tag uuid-shaped (md5 slices) with a
+      // 1-in-5 alpha-digit decoy
+      val stored = materialize(s, patternDocsFixture(s), "q_pattern_docs",
+        files = 4)
+      checks.Suggest.patternProfile(stored, Seq("sid", "contact", "tag"))
     }),
     "q_volume_gaps" -> ((s, dir) => {
       // ingest completeness: zero-filled hourly volume per event_type from
@@ -1774,6 +1811,51 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // FD replay: per-determinant distinct-dependent counts, scalar rollup
+    "q_func_deps" ->
+      """SELECT 'doc_id' AS det, 'source' AS dep, count(*) AS n_keys,
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating,
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0 AS holds
+        |FROM (SELECT doc_id, count(DISTINCT source) AS d FROM documents
+        |      WHERE doc_id IS NOT NULL GROUP BY doc_id)
+        |UNION ALL
+        |SELECT 'source', 'lang', count(*),
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM (SELECT source, count(DISTINCT lang) AS d FROM documents
+        |      WHERE source IS NOT NULL GROUP BY source)
+        |UNION ALL
+        |SELECT 'lang', 'source', count(*),
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT),
+        |       CAST(sum(CASE WHEN d > 1 THEN 1 ELSE 0 END) AS BIGINT) = 0
+        |FROM (SELECT lang, count(DISTINCT source) AS d FROM documents
+        |      WHERE lang IS NOT NULL GROUP BY lang)""".stripMargin,
+
+    // pattern-battery replay: unpivot the columns, cross join the same
+    // anchored regexes, integer micro shares, the same dominant window
+    "q_pattern_profile" ->
+      """WITH d AS (SELECT sid, contact, tag FROM read_parquet('/root/repo/target/graft_oracle/q_pattern_docs/*.parquet')),
+        |p AS (SELECT * FROM (VALUES
+        |    ('alpha', '^[A-Za-z]+$'), ('digits', '^[0-9]+$'),
+        |    ('email', '^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}$'),
+        |    ('iso_date', '^[0-9]{4}-[0-9]{2}-[0-9]{2}$'),
+        |    ('uuid', '^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$'))
+        |    AS t(pattern, re)),
+        |u AS (SELECT 'sid' AS col_name, sid AS v FROM d
+        |      UNION ALL SELECT 'contact', contact FROM d
+        |      UNION ALL SELECT 'tag', tag FROM d),
+        |m AS (SELECT u.col_name, p.pattern,
+        |        CAST(sum(CASE WHEN regexp_matches(u.v, p.re) THEN 1 ELSE 0 END) AS BIGINT) AS n_match,
+        |        count(u.v) AS nn
+        |      FROM u CROSS JOIN p GROUP BY 1, 2),
+        |sm AS (SELECT col_name, pattern, n_match,
+        |         CASE WHEN nn > 0 THEN (n_match * 1000000) // nn ELSE 0 END AS share_micro
+        |       FROM m)
+        |SELECT col_name, pattern, n_match, share_micro,
+        |       row_number() OVER (PARTITION BY col_name
+        |         ORDER BY share_micro DESC, pattern ASC) = 1 AS dominant
+        |FROM sm""".stripMargin,
 
     // spine replay: generate_series between each key's first/last hour,
     // zero-filled left join, exact lower-median order statistic

@@ -117,6 +117,52 @@ object Suggest {
                          rsd: Double = 0.01): DataFrame =
     suggestWith(df, cols, isinCap, approx_count_distinct(_, rsd))
 
+  /** The value-shape battery `patternProfile` scores string columns
+    * against, name → anchored regex (Java ∩ RE2 — no lookaround, literal
+    * classes only, so the SQL oracle matches the same bytes).
+    */
+  val PatternBattery: Seq[(String, String)] = Seq(
+    "alpha" -> "^[A-Za-z]+$",
+    "digits" -> "^[0-9]+$",
+    "email" -> "^[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}$",
+    "iso_date" -> "^[0-9]{4}-[0-9]{2}-[0-9]{2}$",
+    "uuid" -> "^[0-9a-f]{8}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{4}-[0-9a-f]{12}$")
+
+  /** Value-shape profiling (the Deequ pattern-suggestion analogue): ONE
+    * aggregation pass scores every (column × battery pattern) match rate
+    * in integer micro (count·10⁶ div non-null count), long format via the
+    * same explode-not-union shape as the suggestions, plus a `dominant`
+    * flag on each column's best-matching pattern (ties break on pattern
+    * name — the battery is small and ordered). A column whose dominant
+    * share is high is a candidate for a compiled `regex` rule; the battery
+    * is a parameter, so deployments probe their own shapes.
+    */
+  def patternProfile(df: DataFrame, cols: Seq[String],
+                     battery: Seq[(String, String)] = PatternBattery): DataFrame = {
+    require(cols.nonEmpty && battery.nonEmpty, "need columns and patterns")
+    val aggs = cols.flatMap { c =>
+      count(col(c)).as(s"${c}__nn") +: battery.map { case (name, re) =>
+        sum(col(c).rlike(re).cast("long")).as(s"${c}__$name")
+      }
+    }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = cols.flatMap { c =>
+      battery.map { case (name, _) =>
+        struct(lit(c).as("col_name"), lit(name).as("pattern"),
+          coalesce(col(s"${c}__$name"), lit(0L)).as("n_match"),
+          when(col(s"${c}__nn") > 0,
+            expr(s"(coalesce(${c}__$name, 0) * 1000000) div ${c}__nn"))
+            .otherwise(lit(0L)).as("share_micro"))
+      }
+    }
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("col_name"))
+      .orderBy(col("share_micro").desc, col("pattern").asc)
+    wide.select(explode(array(rows: _*)).as("r"))
+      .select(col("r.*"))
+      .withColumn("dominant", row_number().over(w) === 1)
+  }
+
   /** Contract drift between two snapshots' suggestion frames (the
     * schema-evolution complement of the value-distribution drift checks):
     * full-outer compare on (col_name, kind), emitting ONLY the rows that

@@ -220,6 +220,25 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Functional-dependency check `det → dep`: a determinant key violates
+    * when it maps to MORE THAN ONE distinct dependent value (NULL deps
+    * don't count — a key with only-null deps is a completeness finding,
+    * not an FD violation; NULL det keys are excluded the same way). One
+    * row out: (det, dep, n_keys, n_violating, holds). Two-stage
+    * aggregation — groupBy(det) count_distinct(dep) (map-side combined,
+    * one shuffle on the det key), then a scalar rollup of the tiny per-key
+    * frame. Candidate PAIRS each need their own grouping (different
+    * shuffle keys — inherent); cache the input when probing many pairs.
+    */
+  def functionalDependency(df: DataFrame, det: String, dep: String): DataFrame =
+    df.where(col(det).isNotNull)
+      .groupBy(col(det)).agg(count_distinct(col(dep)).as("__d"))
+      .agg(count(lit(1)).as("n_keys"),
+        sum((col("__d") > 1).cast("long")).as("n_violating"))
+      .select(lit(det).as("det"), lit(dep).as("dep"),
+        col("n_keys"), col("n_violating"),
+        (col("n_violating") === 0).as("holds"))
+
   /** Ingest-volume completeness per key: every time bucket between a key's
     * first and last observed bucket, zero-filled from a generated spine, is
     * compared against the key's LOWER MEDIAN observed bucket count (an

@@ -361,6 +361,20 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("functionalDependency: holds/violates counted per key; nulls on either side excluded") {
+    val df = Seq(
+      ("k1", "a"), ("k1", "a"), ("k2", "b"),           // k1,k2 consistent
+      ("k3", "c"), ("k3", "d"),                          // k3 violates
+      ("k4", null), (null, "e"))                          // nulls: no FD signal
+      .toDF("det", "dep")
+    val r = TableChecks.functionalDependency(df, "det", "dep").head()
+    assert((r.getString(0), r.getString(1), r.getLong(2), r.getLong(3),
+      r.getBoolean(4)) == ("det", "dep", 4L, 1L, false))
+    val clean = TableChecks.functionalDependency(
+      df.where($"det" =!= "k3" || $"det".isNull), "det", "dep").head()
+    assert(clean.getLong(3) == 0L && clean.getBoolean(4))
+  }
+
   test("volumeCompleteness: gap hours zero-fill and flag; lower median exact; spine per key") {
     // key a: hours 0,1,3 (hour 2 MISSING), counts 4,1,4 → median 4; the gap
     // hour flags (0*2<4) and the 1-count hour flags (2<4)

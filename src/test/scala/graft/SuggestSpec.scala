@@ -88,6 +88,28 @@ class SuggestSpec extends SparkSpec {
       ("cat", "completeness", null, "900000", "added")))
   }
 
+  test("patternProfile: shares exact, dominant ties break on pattern name, nulls excluded") {
+    val df = Seq(
+      ("123", "a@b.io"), ("456", "c@d.io"), ("789", null),
+      ("abc", "x@y.io"))
+      .toDF("s", "e")
+    val rows = Suggest.patternProfile(df, Seq("s", "e"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_match"), r.getAs[Long]("share_micro"),
+          r.getAs[Boolean]("dominant")))).toMap
+    // s: 3/4 digits (750000), 1/4 alpha; e: 3/3 emails (nn=3 — null excluded)
+    assert(rows(("s", "digits")) == ((3L, 750000L, true)))
+    assert(rows(("s", "alpha")) == ((1L, 250000L, false)))
+    assert(rows(("e", "email")) == ((3L, 1000000L, true)))
+    assert(rows(("e", "uuid")) == ((0L, 0L, false)))
+    // all-zero column: every share 0 → the tie breaks to the first battery
+    // name (alpha) — deterministic, not arbitrary
+    val zero = Suggest.patternProfile(
+      Seq("??", "!!").toDF("z"), Seq("z"))
+      .where($"dominant").collect()
+    assert(zero.length == 1 && zero(0).getString(1) == "alpha")
+  }
+
   test("one scan regardless of column count, both flavors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_suggest_scan").toString
     planted.write.mode("overwrite").parquet(dir)
