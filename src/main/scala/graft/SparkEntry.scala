@@ -247,6 +247,24 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_reconcile" -> ((s, dir) => {
+      // header-vs-detail reconciliation: stored o_totalprice (cents) vs
+      // the total recomputed from lineitem rows — per-ROW cent rounding
+      // before the integer sum, so accumulation order cannot drift the
+      // comparison; emits only the discrepant keys
+      val stored = T(s, dir, "orders").select(
+        col("o_orderkey").as("orderkey"),
+        floor(col("o_totalprice") * lit(100.0) + lit(0.5)).cast("long")
+          .as("cents"))
+      val computed = T(s, dir, "lineitem")
+        .select(col("l_orderkey").as("orderkey"),
+          floor(col("l_extendedprice") * (lit(1.0) - col("l_discount"))
+            * (lit(1.0) + col("l_tax")) * lit(100.0) + lit(0.5)).cast("long")
+            .as("c"))
+        .groupBy("orderkey").agg(sum("c").as("cents"))
+      checks.TableChecks.reconcileAggregates(stored, computed, "orderkey",
+        "cents", tolMicro = 0L)
+    }),
     "q_func_deps" -> ((s, dir) => {
       // functional-dependency probes: doc_id→source holds (keys are
       // unique); source→lang and lang→source are violated (each side fans
@@ -1811,6 +1829,25 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // reconciliation replay: identical per-row cent rounding (left-assoc
+    // IEEE chain), integer sums, full-outer sidedness + mismatch
+    "q_reconcile" ->
+      """WITH l AS (SELECT o_orderkey AS orderkey,
+        |             CAST(floor(o_totalprice * 100.0 + 0.5) AS BIGINT) AS left_micro
+        |      FROM orders),
+        |r AS (SELECT l_orderkey AS orderkey,
+        |             CAST(sum(CAST(floor(l_extendedprice * (1.0 - l_discount)
+        |               * (1.0 + l_tax) * 100.0 + 0.5) AS BIGINT)) AS BIGINT) AS right_micro
+        |      FROM lineitem GROUP BY 1)
+        |SELECT COALESCE(l.orderkey, r.orderkey) AS orderkey,
+        |       l.left_micro, r.right_micro,
+        |       CASE WHEN l.orderkey IS NULL THEN 'right_only'
+        |            WHEN r.orderkey IS NULL THEN 'left_only'
+        |            ELSE 'mismatch' END AS status
+        |FROM l FULL OUTER JOIN r ON l.orderkey = r.orderkey
+        |WHERE l.orderkey IS NULL OR r.orderkey IS NULL
+        |   OR abs(l.left_micro - r.right_micro) > 0""".stripMargin,
 
     // FD replay: per-determinant distinct-dependent counts, scalar rollup
     "q_func_deps" ->

@@ -220,6 +220,32 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Cross-source aggregate reconciliation: two keyed integer-micro
+    * aggregates (e.g. a stored header total vs the same total recomputed
+    * from detail rows) full-outer joined on the key; emits ONLY the
+    * discrepancies — `left_only` / `right_only` (a key one side lost) and
+    * `mismatch` (|left − right| > tolMicro). Presence markers, not value
+    * nullability, decide sidedness. The join key is whatever the
+    * aggregates were keyed on (short keys after aggregation); both inputs
+    * are already reduced, so the exchange carries one row per key.
+    */
+  def reconcileAggregates(left: DataFrame, right: DataFrame, key: String,
+                          microCol: String, tolMicro: Long = 0L): DataFrame = {
+    val l = left.select(col(key), col(microCol).as("left_micro"),
+      lit(1).as("__l"))
+    val r = right.select(col(key), col(microCol).as("right_micro"),
+      lit(1).as("__r"))
+    l.join(r, Seq(key), "full_outer")
+      .withColumn("status",
+        when(col("__l").isNull, lit("right_only"))
+          .when(col("__r").isNull, lit("left_only"))
+          .when(abs(col("left_micro") - col("right_micro")) > tolMicro,
+            lit("mismatch"))
+          .otherwise(lit("ok")))
+      .where(col("status") =!= "ok")
+      .select(col(key), col("left_micro"), col("right_micro"), col("status"))
+  }
+
   /** Functional-dependency check `det → dep`: a determinant key violates
     * when it maps to MORE THAN ONE distinct dependent value (NULL deps
     * don't count — a key with only-null deps is a completeness finding,

@@ -361,6 +361,18 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("reconcileAggregates: sided keys and mismatches emit, matches stay silent, tol gates") {
+    val l = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("k", "m")
+    val r = Seq(("a", 100L), ("b", 205L), ("d", 400L)).toDF("k", "m")
+    val got = TableChecks.reconcileAggregates(l, r, "k", "m")
+      .collect().map(x => (x.getString(0), x.getString(3))).toSet
+    assert(got == Set(("b", "mismatch"), ("c", "left_only"), ("d", "right_only")))
+    // tolerance swallows the 5-micro drift; sided keys still emit
+    val tol = TableChecks.reconcileAggregates(l, r, "k", "m", tolMicro = 5L)
+      .collect().map(x => (x.getString(0), x.getString(3))).toSet
+    assert(tol == Set(("c", "left_only"), ("d", "right_only")))
+  }
+
   test("functionalDependency: holds/violates counted per key; nulls on either side excluded") {
     val df = Seq(
       ("k1", "a"), ("k1", "a"), ("k2", "b"),           // k1,k2 consistent
