@@ -247,6 +247,32 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_monotonic" -> ((s, dir) => {
+      // event-log sanity: per user, ts must not decrease along the unique
+      // event_id order. The raw synthetic log IS monotone, so every 97th
+      // event is pulled back an hour in-query — planted inversions the
+      // check must find (and nothing else)
+      val perturbed = T(s, dir, "events").withColumn("ts",
+        when(col("event_id") % 97 === 0,
+          col("ts") - expr("INTERVAL 1 HOUR")).otherwise(col("ts")))
+      checks.TableChecks.monotonicityViolations(perturbed,
+        "user_id", "event_id", "ts")
+    }),
+    "q_label_conflicts" -> ((s, dir) => {
+      // metadata consistency on duplicate content: identical normalized
+      // text carrying >1 distinct lang label (planted: every 10th doc
+      // re-enters relabeled 'zz') — the dedup/validation bridge check
+      val d = T(s, dir, "documents")
+      val relabeled = d.where(col("doc_id") % 10 === 0).select(
+        (col("doc_id") + 10000).as("doc_id"), col("text"),
+        lit("zz").as("lang"), col("source"), col("n_chars"))
+      d.unionByName(relabeled)
+        .groupBy(TextFunctions.normalize(col("text")).as("__norm"))
+        .agg(min("doc_id").as("group_id"), count(lit(1)).as("n_docs"),
+          count_distinct(col("lang")).as("n_langs"))
+        .where(col("n_langs") > 1)
+        .select("group_id", "n_docs", "n_langs")
+    }),
     "q_reconcile" -> ((s, dir) => {
       // header-vs-detail reconciliation: stored o_totalprice (cents) vs
       // the total recomputed from lineitem rows — per-ROW cent rounding
@@ -1829,6 +1855,32 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // lag-window replay of the per-user inversion count over the same
+    // planted perturbation
+    "q_monotonic" ->
+      """WITH p AS (SELECT user_id, event_id,
+        |             CASE WHEN event_id % 97 = 0 THEN ts - INTERVAL 1 HOUR
+        |                  ELSE ts END AS ts
+        |           FROM events)
+        |SELECT user_id, count(*) AS n_rows,
+        |       CAST(sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) AS BIGINT) AS n_inversions
+        |FROM (SELECT user_id, ts,
+        |        lag(ts) OVER (PARTITION BY user_id ORDER BY event_id) AS prev
+        |      FROM p)
+        |GROUP BY user_id
+        |HAVING sum(CASE WHEN ts < prev THEN 1 ELSE 0 END) > 0""".stripMargin,
+
+    // the same planted relabel union + normalized-text grouping
+    "q_label_conflicts" ->
+      """WITH a AS (SELECT doc_id, text, lang FROM documents
+        |           UNION ALL
+        |           SELECT doc_id + 10000, text, 'zz' FROM documents WHERE doc_id % 10 = 0)
+        |SELECT min(doc_id) AS group_id, count(*) AS n_docs,
+        |       count(DISTINCT lang) AS n_langs
+        |FROM a
+        |GROUP BY lower(trim(regexp_replace(text, '\s+', ' ', 'g')))
+        |HAVING count(DISTINCT lang) > 1""".stripMargin,
 
     // reconciliation replay: identical per-row cent rounding (left-assoc
     // IEEE chain), integer sums, full-outer sidedness + mismatch

@@ -220,6 +220,25 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Per-key monotonicity violations: rows where `valueCol` DECREASES
+    * against the previous row in `orderCol` order (strictly unique order
+    * key required — with ties the inversion SET would be
+    * shuffle-dependent). Emits one summary row per key with at least one
+    * inversion: (key, n_rows, n_inversions). The lag window partitions by
+    * key — the standard distributed shape; no global sort.
+    */
+  def monotonicityViolations(df: DataFrame, key: String, orderCol: String,
+                             valueCol: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
+    df.select(col(key), col(orderCol), col(valueCol).as("__v"))
+      .withColumn("__prev", lag(col("__v"), 1).over(w))
+      .groupBy(col(key))
+      .agg(count(lit(1)).as("n_rows"),
+        sum((col("__v") < col("__prev")).cast("long")).as("n_inversions"))
+      .where(col("n_inversions") > 0)
+  }
+
   /** Cross-source aggregate reconciliation: two keyed integer-micro
     * aggregates (e.g. a stored header total vs the same total recomputed
     * from detail rows) full-outer joined on the key; emits ONLY the

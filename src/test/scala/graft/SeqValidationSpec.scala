@@ -361,6 +361,19 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("monotonicityViolations: inversions counted along the unique order; clean keys silent") {
+    // u1: values 1,5,3,3,2 along order 1..5 → inversions at 3 (<5) and 2 (<3)
+    // (equal adjacent values are NOT inversions); u2 monotone
+    val df = Seq(
+      ("u1", 1L, 1L), ("u1", 2L, 5L), ("u1", 3L, 3L), ("u1", 4L, 3L),
+      ("u1", 5L, 2L),
+      ("u2", 1L, 7L), ("u2", 2L, 7L), ("u2", 3L, 9L))
+      .toDF("k", "ord", "v").repartition(3)
+    val got = TableChecks.monotonicityViolations(df, "k", "ord", "v")
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2))).toSeq
+    assert(got == Seq(("u1", 5L, 2L)))
+  }
+
   test("reconcileAggregates: sided keys and mismatches emit, matches stay silent, tol gates") {
     val l = Seq(("a", 100L), ("b", 200L), ("c", 300L)).toDF("k", "m")
     val r = Seq(("a", 100L), ("b", 205L), ("d", 400L)).toDF("k", "m")
