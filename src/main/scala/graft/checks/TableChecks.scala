@@ -291,11 +291,16 @@ object TableChecks {
     * `n · 2 < median` — the missing-hour / half-volume-hour detector that
     * row-level validation cannot express (absent rows validate nothing).
     *
-    * Plan: one groupBy(key, bucket) count (map-side combined), then a
-    * per-key rollup whose collect_list state is bounded by the TIME RANGE
-    * (buckets, not rows — the EWMA/bucket-vector scale class), a
-    * `sequence()` spine explode of the same size, and a (key, bucket)
-    * short-key left join back onto the counts.
+    * Plan: one groupBy(key, bucket) count (map-side combined), then ONE
+    * per-key rollup that carries the observed (bucket → n) pairs as a map
+    * and builds the zero-filled spine IN-ROW (`sequence` + `transform` map
+    * lookups, evaluated once per key) — no join back onto the counts:
+    * joining would consume the counts subtree twice, and the deterministic
+    * exchange did NOT get AQE-reused (measured: the raw input scanned
+    * twice). All per-key state — the sorted count list, the map, the dense
+    * spine — is bounded by the TIME RANGE (buckets, not rows — the
+    * EWMA/bucket-vector scale class); the `transform` HOF is interpreted,
+    * but it runs on the tiny post-aggregation frame, not the scan.
     */
   def volumeCompleteness(df: DataFrame, tsCol: String, keyCol: String,
                          bucketSec: Long = 3600L): DataFrame = {
@@ -307,17 +312,21 @@ object TableChecks {
       .agg(count(lit(1)).as("n"))
     val per = counts.groupBy("key")
       .agg(min("bucket_ts").as("__mn"), max("bucket_ts").as("__mx"),
-        sort_array(collect_list(col("n"))).as("__cs"))
+        sort_array(collect_list(col("n"))).as("__cs"),
+        map_from_entries(collect_list(struct(col("bucket_ts"), col("n"))))
+          .as("__m"))
       .withColumn("med_n",
         element_at(col("__cs"), expr("CAST((size(__cs) + 1) div 2 AS INT)")))
     per
       .select(col("key"), col("med_n"),
-        explode(sequence(col("__mn"), col("__mx"), lit(bucketSec)))
-          .as("bucket_ts"))
-      .join(counts, Seq("key", "bucket_ts"), "left")
-      .withColumn("n", coalesce(col("n"), lit(0L)))
-      .withColumn("low_flag", col("n") * 2 < col("med_n"))
-      .select("key", "bucket_ts", "n", "med_n", "low_flag")
+        explode(expr(
+          s"""transform(sequence(__mn, __mx, $bucketSec),
+             |  b -> struct(b AS bucket_ts,
+             |              coalesce(element_at(__m, b), CAST(0 AS BIGINT)) AS n))
+             |""".stripMargin)).as("r"))
+      .select(col("key"), col("r.bucket_ts").as("bucket_ts"),
+        col("r.n").as("n"), col("med_n"),
+        (col("r.n") * 2 < col("med_n")).as("low_flag"))
   }
 
   /** Benford first-digit micro-probabilities: log10(1+1/d) rounded to the

@@ -416,6 +416,18 @@ class SeqValidationSpec extends SparkSpec {
       ("a", 0L, 4L, 4L, false), ("a", 3600L, 1L, 4L, true),
       ("a", 7200L, 0L, 4L, true), ("a", 10800L, 4L, 4L, false),
       ("b", 18000L, 1L, 1L, false)))
+    // single consumption: the raw input scans ONCE (no join back onto the
+    // counts — the exchange was not AQE-reused in the join shape)
+    val dir = java.nio.file.Files.createTempDirectory("graft_vg_scan").toString
+    df.write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val vg = TableChecks.volumeCompleteness(stored, "ts", "event_type")
+    vg.collect()
+    // count leaves in the FINAL adaptive plan only (the toString also
+    // reprints the initial plan below it)
+    val plan = vg.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==")(0)
+    assert("Scan parquet".r.findAllIn(plan).length == 1, plan)
   }
 
   test("benfordDigits: literals sum to 1e6, zero-fill, hand-checked shares and flags") {
