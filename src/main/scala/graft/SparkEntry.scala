@@ -247,6 +247,27 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_null_corr" -> ((s, dir) => {
+      // co-missingness over planted null patterns: text nulls (every 14th)
+      // are a SUBSET of source nulls (every 7th) — high pair jaccard;
+      // lang nulls (de) are independent of both — low
+      val d = T(s, dir, "documents").select(
+        when(col("lang") === "de", lit(null)).otherwise(col("lang"))
+          .as("lang"),
+        when(col("doc_id") % 7 === 0, lit(null)).otherwise(col("source"))
+          .as("source"),
+        when(col("doc_id") % 14 === 0, lit(null)).otherwise(col("text"))
+          .as("text"))
+      checks.Suggest.coMissingness(d, Seq("lang", "source", "text"))
+    }),
+    "q_key_candidates" -> ((s, dir) => {
+      // composite-key discovery: doc_id is a key; (source,lang) and even
+      // (source,lang,n_chars) are not; text depends on the corpus' exact
+      // duplicates
+      checks.Suggest.keyCandidates(T(s, dir, "documents"),
+        Seq(Seq("doc_id"), Seq("source", "lang"),
+          Seq("source", "lang", "n_chars"), Seq("text")))
+    }),
     "q_monotonic" -> ((s, dir) => {
       // event-log sanity: per user, ts must not decrease along the unique
       // event_id order. The raw synthetic log IS monotone, so every 97th
@@ -1855,6 +1876,40 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // pairwise null sums + integer jaccard over the same planted pattern
+    "q_null_corr" ->
+      """WITH d AS (SELECT NULLIF(lang, 'de') AS lang,
+        |             CASE WHEN doc_id % 7 = 0 THEN NULL ELSE source END AS source,
+        |             CASE WHEN doc_id % 14 = 0 THEN NULL ELSE text END AS text
+        |      FROM documents),
+        |s AS (SELECT
+        |  CAST(sum(CASE WHEN lang IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ln,
+        |  CAST(sum(CASE WHEN source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS sn,
+        |  CAST(sum(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+        |  CAST(sum(CASE WHEN lang IS NULL AND source IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS ls,
+        |  CAST(sum(CASE WHEN lang IS NULL AND text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS lt,
+        |  CAST(sum(CASE WHEN source IS NULL AND text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS st
+        |  FROM d)
+        |SELECT 'lang' AS col_a, 'source' AS col_b, ln AS n_a_null, sn AS n_b_null, ls AS n_both_null,
+        |       CASE WHEN ln + sn - ls > 0 THEN (ls*1000000)//(ln + sn - ls) ELSE 0 END AS jaccard_micro FROM s
+        |UNION ALL SELECT 'lang', 'text', ln, tn, lt,
+        |       CASE WHEN ln + tn - lt > 0 THEN (lt*1000000)//(ln + tn - lt) ELSE 0 END FROM s
+        |UNION ALL SELECT 'source', 'text', sn, tn, st,
+        |       CASE WHEN sn + tn - st > 0 THEN (st*1000000)//(sn + tn - st) ELSE 0 END FROM s""".stripMargin,
+
+    // distinct-set subqueries per candidate combo (DISTINCT keeps null
+    // component rows — the engine's null-safe struct semantics)
+    "q_key_candidates" ->
+      """WITH n AS (SELECT count(*) AS n FROM documents),
+        |d1 AS (SELECT count(*) AS d FROM (SELECT DISTINCT doc_id FROM documents)),
+        |d2 AS (SELECT count(*) AS d FROM (SELECT DISTINCT source, lang FROM documents)),
+        |d3 AS (SELECT count(*) AS d FROM (SELECT DISTINCT source, lang, n_chars FROM documents)),
+        |d4 AS (SELECT count(*) AS d FROM (SELECT DISTINCT text FROM documents))
+        |SELECT 'doc_id' AS key_cols, d AS n_distinct, n.n, (d*1000000)//n.n AS ratio_micro, d = n.n AS is_key FROM d1, n
+        |UNION ALL SELECT 'source+lang', d, n.n, (d*1000000)//n.n, d = n.n FROM d2, n
+        |UNION ALL SELECT 'source+lang+n_chars', d, n.n, (d*1000000)//n.n, d = n.n FROM d3, n
+        |UNION ALL SELECT 'text', d, n.n, (d*1000000)//n.n, d = n.n FROM d4, n""".stripMargin,
 
     // lag-window replay of the per-user inversion count over the same
     // planted perturbation

@@ -117,6 +117,60 @@ object Suggest {
                          rsd: Double = 0.01): DataFrame =
     suggestWith(df, cols, isinCap, approx_count_distinct(_, rsd))
 
+  /** Co-missingness matrix: for every column pair, how often the two are
+    * NULL together — dependent null patterns (a whole ingest stage that
+    * dropped several fields at once) look completely different from
+    * independent sparse nulls, and per-column null RATES cannot tell them
+    * apart. ONE aggregation pass (per-column null sums + per-pair both-null
+    * sums); emits (col_a, col_b, n_a_null, n_b_null, n_both_null,
+    * jaccard_micro = both·10⁶ div (a + b − both), 0 when no nulls at all).
+    */
+  def coMissingness(df: DataFrame, cols: Seq[String]): DataFrame = {
+    require(cols.size >= 2, "need at least two columns")
+    val pairs = for {
+      i <- cols.indices; j <- (i + 1) until cols.size
+    } yield (cols(i), cols(j))
+    val aggs = cols.map(c =>
+      sum(col(c).isNull.cast("long")).as(s"${c}__n")) ++
+      pairs.map { case (a, b) =>
+        sum((col(a).isNull && col(b).isNull).cast("long")).as(s"${a}__${b}__nn")
+      }
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = pairs.map { case (a, b) =>
+      struct(lit(a).as("col_a"), lit(b).as("col_b"),
+        col(s"${a}__n").as("n_a_null"), col(s"${b}__n").as("n_b_null"),
+        col(s"${a}__${b}__nn").as("n_both_null"),
+        when(col(s"${a}__n") + col(s"${b}__n") - col(s"${a}__${b}__nn") > 0,
+          expr(s"(${a}__${b}__nn * 1000000) div " +
+            s"(${a}__n + ${b}__n - ${a}__${b}__nn)"))
+          .otherwise(lit(0L)).as("jaccard_micro"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
+  /** Composite-key discovery: exact distinct counts over candidate column
+    * SETS (null-safe — a NULL component is a value, keys must cover every
+    * row), unique ratio in integer micro, and the is_key verdict. One scan
+    * through one Expand (multi-distinct), same as `suggestRules`; probe
+    * combos explicitly — the lattice is exponential, so candidates are a
+    * parameter, not a search.
+    */
+  def keyCandidates(df: DataFrame, combos: Seq[Seq[String]]): DataFrame = {
+    require(combos.nonEmpty && combos.forall(_.nonEmpty), "need candidates")
+    val aggs = combos.zipWithIndex.map { case (cs, i) =>
+      count_distinct(struct(cs.map(col): _*)).as(s"__d$i")
+    } :+ count(lit(1)).as("__n")
+    val wide = df.agg(aggs.head, aggs.tail: _*)
+    val rows = combos.zipWithIndex.map { case (cs, i) =>
+      struct(lit(cs.mkString("+")).as("key_cols"),
+        col(s"__d$i").as("n_distinct"), col("__n").as("n"),
+        when(col("__n") > 0, expr(s"(__d$i * 1000000) div __n"))
+          .otherwise(lit(0L)).as("ratio_micro"),
+        (col(s"__d$i") === col("__n")).as("is_key"))
+    }
+    wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
+  }
+
   /** The value-shape battery `patternProfile` scores string columns
     * against, name → anchored regex (Java ∩ RE2 — no lookaround, literal
     * classes only, so the SQL oracle matches the same bytes).

@@ -110,6 +110,36 @@ class SuggestSpec extends SparkSpec {
     assert(zero.length == 1 && zero(0).getString(1) == "alpha")
   }
 
+  test("coMissingness: subset nulls score high jaccard, disjoint nulls zero, no-null pair zero") {
+    // a null on rows 0,1,2,3; b null on 0,1 (subset); c null on 5 (disjoint); d never
+    val df = (0 to 9).map { i =>
+      (if (i <= 3) null else "a", if (i <= 1) null else "b",
+        if (i == 5) null else "c", "d")
+    }.toDF("a", "b", "c", "d").repartition(3)
+    val got = Suggest.coMissingness(df, Seq("a", "b", "c", "d"))
+      .collect().map(r => ((r.getString(0), r.getString(1)),
+        (r.getAs[Long]("n_both_null"), r.getAs[Long]("jaccard_micro")))).toMap
+    assert(got(("a", "b")) == ((2L, 500000L))) // 2 of (4+2-2)
+    assert(got(("a", "c")) == ((0L, 0L)))      // disjoint: 0 of 5
+    assert(got(("c", "d")) == ((0L, 0L)))      // d never null: denom 1 → 0
+    assert(got(("a", "d")) == ((0L, 0L)))
+    assert(got.size == 6)
+  }
+
+  test("keyCandidates: struct distinct is null-safe — a NULL component is a value") {
+    val df = Seq(("k1", "x"), ("k2", null), ("k3", null), (null, "y"))
+      .toDF("a", "b")
+    val got = Suggest.keyCandidates(df,
+      Seq(Seq("a"), Seq("b"), Seq("a", "b")))
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getAs[Long]("ratio_micro"), r.getBoolean(4)))).toMap
+    // struct(a): k1,k2,k3,NULL → 4 distinct of 4 rows → key (null is a value)
+    assert(got("a") == ((4L, 1000000L, true)))
+    // struct(b): x,NULL,NULL,y → 3 distinct of 4 → not a key
+    assert(got("b") == ((3L, 750000L, false)))
+    assert(got("a+b") == ((4L, 1000000L, true)))
+  }
+
   test("one scan regardless of column count, both flavors") {
     val dir = java.nio.file.Files.createTempDirectory("graft_suggest_scan").toString
     planted.write.mode("overwrite").parquet(dir)
