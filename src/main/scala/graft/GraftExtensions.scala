@@ -124,6 +124,13 @@ object GraftExtensions {
         })),
     ("graft_char_entropy", "graft_char_entropy(text) - Shannon code-point entropy in integer micro-nats",
       (es: Seq[Expression]) => CharEntropyMicro(es(0))),
+    ("graft_ewma_micro", "graft_ewma_micro(xs, shift) - integer EWMA over an ordered micro series (lambda = 2^-shift)",
+      (es: Seq[Expression]) => EwmaMicro(es(0), es(1) match {
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Int, _) => v
+        case org.apache.spark.sql.catalyst.expressions.Literal(v: Long, _) => v.toInt
+        case other => throw new IllegalArgumentException(
+          s"graft_ewma_micro: shift must be an integer literal, got $other")
+      })),
     // NOTE: the when-cascade Columns (dominantScript / licenseClass /
     // qualityScore) can NOT register here — Spark 4's Column DSL builds
     // ColumnNode trees that are Unevaluable as standalone Catalyst

@@ -71,6 +71,21 @@ class SqlFunctionsSpec extends SparkSpec {
     assert(r.getLong(0) == api)
   }
 
+  test("graft_ewma_micro from SQL equals the Column API; non-literal shift rejected") {
+    val r = spark.sql(
+      "SELECT graft_ewma_micro(array(100000L, 100000L, 900000L), 2) AS zs").head()
+    assert(r.getSeq[Long](0) == Seq(100000L, 100000L, 300000L))
+    val api = Seq(Tuple1(Seq(100000L, 100000L, 900000L))).toDF("xs")
+      .select(functions.SeriesExprs.ewmaMicro(col("xs"), 2)).head().getSeq[Long](0)
+    assert(r.getSeq[Long](0) == api)
+    val err = intercept[Exception] {
+      spark.sql("SELECT graft_ewma_micro(array(1L), 1 + 1)").collect()
+    }
+    assert(err.getMessage.contains("integer literal") ||
+      err.getMessage.toLowerCase.contains("foldable") ||
+      err.getMessage.contains("graft_ewma_micro"))
+  }
+
   test("graft_unicode_normalize / graft_subword_pieces / graft_top_word_gram from SQL") {
     val r = spark.sql(
       ("SELECT graft_unicode_normalize('cafe\u0301') AS nfc, " +
