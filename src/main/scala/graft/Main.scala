@@ -12,6 +12,8 @@ import org.apache.spark.sql.functions._
   *               duplicate_rows/, referential_violations/, column_stats/> \
   *     --manifest <checkpoint manifest path> [--splits N] [--vocab V]
   *     [--format parquet|json|csv]   (default: inferred from the path)
+  *     [--suggest true]   (also write suggestions/ — approx constraint
+  *                         suggestion over the scalar columns)
   *
   * Validated rows = `rows/` filtered `__valid = true`; violations carry
   * `violation_kind`/`code`. One input scan per run (see CheckpointedRun).
@@ -95,6 +97,16 @@ object Main {
       .write.mode("overwrite").parquet(s"$output/referential_violations")
     checks.TableChecks.columnStats(df, df.columns.toSeq.filter(_ != "tokens"))
       .write.mode("overwrite").json(s"$output/column_stats")
+
+    // opt-in constraint suggestion over the same scalar columns (HLL
+    // distinct + bounded value sets — the 100 TB path, no exact-distinct
+    // Expand): a schema-bootstrap artifact for the NEXT delivery's rules,
+    // not a gate on this one
+    if (opts.getOrElse("suggest", "false").toBoolean) {
+      checks.Suggest.suggestRulesApprox(
+        df, df.columns.toSeq.filter(_ != "tokens"))
+        .coalesce(1).write.mode("overwrite").json(s"$output/suggestions")
+    }
 
     val done = results.map(_.nRows).sum
     println(s"""{"metric":"graft_main","splits_processed":${results.size},"rows":$done,"output":"$output"}""")
