@@ -14,6 +14,9 @@ import org.apache.spark.sql.functions._
   *     [--format parquet|json|csv]   (default: inferred from the path)
   *     [--suggest true]   (also write suggestions/ — approx constraint
   *                         suggestion over the scalar columns)
+  *     [--suggest-baseline <prev run's suggestions/>]  (with --suggest:
+  *                         also write suggestion_drift/ — added/removed/
+  *                         changed guarantees vs the previous delivery)
   *
   * Validated rows = `rows/` filtered `__valid = true`; violations carry
   * `violation_kind`/`code`. One input scan per run (see CheckpointedRun).
@@ -103,9 +106,24 @@ object Main {
     // Expand): a schema-bootstrap artifact for the NEXT delivery's rules,
     // not a gate on this one
     if (opts.getOrElse("suggest", "false").toBoolean) {
-      checks.Suggest.suggestRulesApprox(
+      val sugg = checks.Suggest.suggestRulesApprox(
         df, df.columns.toSeq.filter(_ != "tokens"))
-        .coalesce(1).write.mode("overwrite").json(s"$output/suggestions")
+      sugg.coalesce(1).write.mode("overwrite").json(s"$output/suggestions")
+      // contract drift vs a PREVIOUS delivery's suggestions/ — `removed`
+      // rows are guarantees the old snapshot made that this one broke
+      opts.get("suggest-baseline").foreach { basePath =>
+        val baseSchema = org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("col_name",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("kind",
+            org.apache.spark.sql.types.StringType),
+          org.apache.spark.sql.types.StructField("param",
+            org.apache.spark.sql.types.StringType)))
+        val base = spark.read.schema(baseSchema).json(basePath)
+        checks.Suggest.suggestionDrift(base, sugg)
+          .coalesce(1).write.mode("overwrite")
+          .json(s"$output/suggestion_drift")
+      }
     }
 
     val done = results.map(_.nRows).sum
