@@ -277,10 +277,16 @@ object Drift {
                  keyCols: Seq[String] = Nil, shift: Int = 2,
                  tolMicro: Long = 200000L): DataFrame = {
     import graft.functions.SeriesExprs.ewmaMicro
+    // a NULL bucket or metric would null the whole folded series (the
+    // recursion refuses to skip buckets silently) — exclude upfront, same
+    // contract as the streaming face
+    val series0 = series.where(col(bucketCol).isNotNull &&
+      col(microCol).isNotNull &&
+      keyCols.map(col(_).isNotNull).foldLeft(lit(true))(_ && _))
     val s = sort_array(collect_list(struct(col(bucketCol), col(microCol))))
     val grouped =
-      (if (keyCols.isEmpty) series.groupBy()
-       else series.groupBy(keyCols.map(col): _*))
+      (if (keyCols.isEmpty) series0.groupBy()
+       else series0.groupBy(keyCols.map(col): _*))
         .agg(s.as("__s"))
         .withColumn("__z", ewmaMicro(col(s"__s.$microCol"), shift))
     val explodeCols = keyCols.map(col) ++ Seq(col("__z"),

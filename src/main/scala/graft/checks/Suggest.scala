@@ -83,7 +83,7 @@ object Suggest {
         // integer micro-fraction: exact in both engines ((nn*10^6) div n /
         // DuckDB //); avoids every double-format parity trap
         when(nulls > 0, s("completeness",
-          expr(s"CAST((${c}__nn * 1000000) div __n AS STRING)"))),
+          expr(s"CAST((`${c}__nn` * 1000000) div `__n` AS STRING)"))),
         when(nn > 0 && dc === nn, s("unique", nullParam)))
       val range =
         if (isIntegral(types(c)))
@@ -141,8 +141,8 @@ object Suggest {
         col(s"${a}__n").as("n_a_null"), col(s"${b}__n").as("n_b_null"),
         col(s"${a}__${b}__nn").as("n_both_null"),
         when(col(s"${a}__n") + col(s"${b}__n") - col(s"${a}__${b}__nn") > 0,
-          expr(s"(${a}__${b}__nn * 1000000) div " +
-            s"(${a}__n + ${b}__n - ${a}__${b}__nn)"))
+          expr(s"(`${a}__${b}__nn` * 1000000) div " +
+            s"(`${a}__n` + `${b}__n` - `${a}__${b}__nn`)"))
           .otherwise(lit(0L)).as("jaccard_micro"))
     }
     wide.select(explode(array(rows: _*)).as("r")).select(col("r.*"))
@@ -164,7 +164,7 @@ object Suggest {
     val rows = combos.zipWithIndex.map { case (cs, i) =>
       struct(lit(cs.mkString("+")).as("key_cols"),
         col(s"__d$i").as("n_distinct"), col("__n").as("n"),
-        when(col("__n") > 0, expr(s"(__d$i * 1000000) div __n"))
+        when(col("__n") > 0, expr(s"(`__d$i` * 1000000) div `__n`"))
           .otherwise(lit(0L)).as("ratio_micro"),
         (col(s"__d$i") === col("__n")).as("is_key"))
     }
@@ -205,7 +205,7 @@ object Suggest {
         struct(lit(c).as("col_name"), lit(name).as("pattern"),
           coalesce(col(s"${c}__$name"), lit(0L)).as("n_match"),
           when(col(s"${c}__nn") > 0,
-            expr(s"(coalesce(${c}__$name, 0) * 1000000) div ${c}__nn"))
+            expr(s"(coalesce(`${c}__$name`, 0) * 1000000) div `${c}__nn`"))
             .otherwise(lit(0L)).as("share_micro"))
       }
     }
@@ -249,6 +249,10 @@ object Suggest {
     * a table-level gate.
     * Returns (per-column row rules, unique-key candidates).
     */
+  /* NOTE: isin params join values with '|'; a value CONTAINING the
+   * separator survives suggestion/oracle parity (both sides join the same
+   * way) but cannot round-trip through `compile` — pick a different
+   * battery for such columns. */
   def compile(suggestions: Seq[(String, String, String)])
   : (Map[String, rules.Rule], Seq[String]) = {
     val byCol = suggestions.groupBy(_._1)

@@ -231,7 +231,9 @@ object TableChecks {
                              valueCol: String): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy(col(key)).orderBy(col(orderCol))
-    df.select(col(key), col(orderCol), col(valueCol).as("__v"))
+    // null keys/order rows are completeness findings, not sequence signal
+    df.where(col(key).isNotNull && col(orderCol).isNotNull)
+      .select(col(key), col(orderCol), col(valueCol).as("__v"))
       .withColumn("__prev", lag(col("__v"), 1).over(w))
       .groupBy(col(key))
       .agg(count(lit(1)).as("n_rows"),
@@ -305,7 +307,10 @@ object TableChecks {
   def volumeCompleteness(df: DataFrame, tsCol: String, keyCol: String,
                          bucketSec: Long = 3600L): DataFrame = {
     require(bucketSec > 0, s"bucketSec=$bucketSec must be positive")
+    // a NULL ts would become a NULL map key (map_from_entries throws) and a
+    // NULL key is a completeness finding, not a volume series
     val counts = df
+      .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key"),
         expr(s"(unix_timestamp($tsCol) div $bucketSec) * $bucketSec")
           .as("bucket_ts"))

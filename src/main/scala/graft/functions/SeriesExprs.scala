@@ -22,7 +22,9 @@ object SeriesExprs {
   * double-EWMA z = λx+(1−λ)z accumulates representational drift that
   * diverges across engines; the micro-integer form cannot). Inputs must be
   * non-negative (shift-as-division precondition); a NULL element nulls the
-  * whole result rather than silently skipping a bucket.
+  * whole result rather than silently skipping a bucket. Inputs must also
+  * stay under 2⁶³⁻ˢ (the multiply headroom) — micro-unit RATES by
+  * construction do; raw astronomic counts should be bucketed first.
   *
   * O(n) per series, codegen'd; series arrays are POST-aggregation (one
   * element per time bucket), so n is bounded by the monitored time range,

@@ -39,6 +39,20 @@ class EwmaSpec extends SparkSpec {
       Seq(false, false, true, false, false))
   }
 
+  test("ewmaAlerts: null bucket/metric/key rows are excluded, not series-nulling") {
+    val df = Seq(
+      (java.lang.Long.valueOf(0L), java.lang.Long.valueOf(100000L)),
+      (null.asInstanceOf[java.lang.Long], java.lang.Long.valueOf(5L)),
+      (java.lang.Long.valueOf(3600L), null.asInstanceOf[java.lang.Long]),
+      (java.lang.Long.valueOf(7200L), java.lang.Long.valueOf(300000L)))
+      .toDF("bucket", "x_micro")
+    val rows = Drift.ewmaAlerts(df, "bucket", "x_micro")
+      .orderBy("bucket").collect()
+    assert(rows.map(_.getAs[Long]("bucket")).toSeq == Seq(0L, 7200L))
+    assert(rows.map(_.getAs[Long]("ewma_micro")).toSeq ==
+      ref(Seq(100000L, 300000L), 2))
+  }
+
   test("ewmaAlerts per key: series are independent recursions") {
     val df = Seq(
       ("a", 0L, 100000L), ("a", 1L, 500000L),

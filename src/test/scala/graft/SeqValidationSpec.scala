@@ -416,6 +416,14 @@ class SeqValidationSpec extends SparkSpec {
       ("a", 0L, 4L, 4L, false), ("a", 3600L, 1L, 4L, true),
       ("a", 7200L, 0L, 4L, true), ("a", 10800L, 4L, 4L, false),
       ("b", 18000L, 1L, 1L, false)))
+    // null ts/key rows are excluded (a null ts was a null MAP KEY — throw)
+    val withNulls = rows.toDF("event_type", "ts")
+      .union(Seq(("a", null.asInstanceOf[java.sql.Timestamp]),
+        (null.asInstanceOf[String], ts(0, 0))).toDF("event_type", "ts"))
+    assert(TableChecks.volumeCompleteness(withNulls, "ts", "event_type")
+      .orderBy("key", "bucket_ts").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getBoolean(4))).toSeq == got)
     // single consumption: the raw input scans ONCE (no join back onto the
     // counts — the exchange was not AQE-reused in the join shape)
     val dir = java.nio.file.Files.createTempDirectory("graft_vg_scan").toString
