@@ -247,6 +247,12 @@ object SparkEntry {
       checks.Suggest.suggestRules(d,
         Seq("doc_id", "text", "lang", "source", "n_chars"))
     }),
+    "q_dup_trend" -> ((s, dir) => {
+      // ingest-replay trend: per hour, the share of (user_id, event_type)
+      // repeats — the bot-burst signal a corpus-wide dedup rate hides
+      checks.TableChecks.duplicateRateByBucket(T(s, dir, "events"), "ts",
+        Seq("user_id", "event_type"))
+    }),
     "q_null_corr" -> ((s, dir) => {
       // co-missingness over planted null patterns: text nulls (every 14th)
       // are a SUBSET of source nulls (every 7th) — high pair jaccard;
@@ -1876,6 +1882,20 @@ object SparkEntry {
       ("""WITH d AS (SELECT doc_id, text, NULLIF(lang,'de') AS lang, source, n_chars FROM documents),
         |""".stripMargin + suggestSqlBlock("d", "") + """
         |SELECT col_name, kind, param FROM g""".stripMargin),
+
+    // per-bucket exact distinct via a DISTINCT subquery (epoch floored
+    // before the cast, as always)
+    "q_dup_trend" ->
+      """WITH b AS (SELECT (CAST(floor(epoch(ts)) AS BIGINT) // 3600) * 3600 AS bucket_ts,
+        |             user_id, event_type
+        |      FROM events WHERE ts IS NOT NULL),
+        |d AS (SELECT bucket_ts, count(*) AS n FROM b GROUP BY 1),
+        |u AS (SELECT bucket_ts, count(*) AS n_distinct
+        |      FROM (SELECT DISTINCT bucket_ts, user_id, event_type FROM b)
+        |      GROUP BY 1)
+        |SELECT d.bucket_ts, d.n, u.n_distinct,
+        |       ((d.n - u.n_distinct) * 1000000) // d.n AS dup_micro
+        |FROM d JOIN u USING (bucket_ts)""".stripMargin,
 
     // pairwise null sums + integer jaccard over the same planted pattern
     "q_null_corr" ->

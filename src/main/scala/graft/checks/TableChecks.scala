@@ -220,6 +220,26 @@ object TableChecks {
     * `share` is the value's fraction of ALL rows (null keys count — a 40%
     * null key is exactly the skew one needs to know about).
     */
+  /** Duplicate-rate trend: per time bucket, the fraction of rows whose key
+    * (any column set — pass normalized text, or an entity tuple) repeats
+    * WITHIN the bucket, in integer micro — the ingest-replay / bot-burst
+    * signal a corpus-wide dedup number hides (a clean corpus can still
+    * have one poisoned hour). One groupBy(bucket) pass with an exact
+    * multi-column distinct (Expand ×2, single scan); null ts rows are
+    * excluded (completeness findings, not trend signal).
+    */
+  def duplicateRateByBucket(df: DataFrame, tsCol: String,
+                            keyCols: Seq[String],
+                            bucketSec: Long = 3600L): DataFrame = {
+    require(keyCols.nonEmpty && bucketSec > 0, "need key columns and a bucket")
+    df.where(col(tsCol).isNotNull)
+      .groupBy(expr(s"(unix_timestamp($tsCol) div $bucketSec) * $bucketSec")
+        .as("bucket_ts"))
+      .agg(count(lit(1)).as("n"),
+        count_distinct(struct(keyCols.map(col): _*)).as("n_distinct"))
+      .withColumn("dup_micro", expr("((n - n_distinct) * 1000000) div n"))
+  }
+
   /** Per-key monotonicity violations: rows where `valueCol` DECREASES
     * against the previous row in `orderCol` order (strictly unique order
     * key required — with ties the inversion SET would be

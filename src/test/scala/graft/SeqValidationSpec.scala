@@ -361,6 +361,19 @@ class SeqValidationSpec extends SparkSpec {
       .select(col("event_id")).as[Long].collect().toSeq == Seq(9L))
   }
 
+  test("duplicateRateByBucket: within-bucket repeats counted; null ts excluded") {
+    def ts(h: Long, i: Long) = new java.sql.Timestamp(h * 3600000L + i * 1000L)
+    // hour 0: keys a,a,b → 1 dup of 3; hour 1: a,b → clean; null ts dropped
+    val df = Seq(("a", ts(0, 0)), ("a", ts(0, 1)), ("b", ts(0, 2)),
+      ("a", ts(1, 0)), ("b", ts(1, 1)),
+      ("a", null.asInstanceOf[java.sql.Timestamp])).toDF("k", "ts")
+      .repartition(3)
+    val got = TableChecks.duplicateRateByBucket(df, "ts", Seq("k"))
+      .orderBy("bucket_ts").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((0L, 3L, 2L, 333333L), (3600L, 2L, 2L, 0L)))
+  }
+
   test("monotonicityViolations: inversions counted along the unique order; clean keys silent") {
     // u1: values 1,5,3,3,2 along order 1..5 → inversions at 3 (<5) and 2 (<3)
     // (equal adjacent values are NOT inversions); u2 monotone
