@@ -1,0 +1,163 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.pipeline.{Dedup, TextFunctions}
+
+/** Optimization-round scratch bench (guide §1.4): isolates stages of the
+  * expensive queries with the noop sink so the computation is timed, not the
+  * sink, and dumps `.explain("formatted")` plans for the round's evidence
+  * files. NOT part of the driver contract — `Bench.scala` stays the official
+  * artifact; numbers from here are cited in OPTIMIZATION_r06.md only.
+  *
+  * Usage: sbt "runMain graft.BenchExtra [stages|plans] [name ...]"
+  */
+object BenchExtra {
+
+  private def noop(df: DataFrame): Unit =
+    df.write.format("noop").mode("overwrite").save()
+
+  private def time(spark: SparkSession, name: String)(f: => Unit): Unit = {
+    spark.sparkContext.setJobDescription(name)
+    val t0 = System.nanoTime()
+    f
+    println(f"[stage] $name%-40s ${(System.nanoTime() - t0) / 1e9}%8.3f s")
+    spark.sparkContext.setJobDescription(null)
+  }
+
+  def main(args: Array[String]): Unit = {
+    val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+
+    val mode = if (args.nonEmpty) args(0) else "stages"
+    val names = args.drop(1).toSet
+
+    mode match {
+      case "stages" => stages(spark, sfDir, names)
+      case "plans"  => plans(spark, sfDir, names)
+      case "checksum" => checksum(spark, sfDir, names)
+      case other => sys.error(s"unknown mode $other")
+    }
+    spark.stop()
+  }
+
+  /** Canonical result checksum per named query (all queries when none
+    * named): rows sorted by their full string form, then hashed — a cheap
+    * local stand-in for the driver's sort-then-hash compare, used to prove
+    * a plan-level optimization left every result byte-identical.
+    */
+  def checksum(spark: SparkSession, sfDir: String, names: Set[String]): Unit = {
+    val all = SparkEntry.queries.toSeq
+    for ((name, fn) <- all if names.isEmpty || names.contains(name)) {
+      try {
+        val df = fn(spark, sfDir)
+        val rows = df.collect().map(_.toString).sorted
+        val md = java.security.MessageDigest.getInstance("MD5")
+        rows.foreach(r => md.update(r.getBytes("UTF-8")))
+        val hash = md.digest().map("%02x".format(_)).mkString
+        println(s"[checksum] $name rows=${rows.length} schema=${df.schema.catalogString.hashCode} md5=$hash")
+      } catch {
+        case e: Throwable => println(s"[checksum] $name FAILED: $e")
+      }
+    }
+  }
+
+  /** Dump `.explain("formatted")` for named oracle queries into
+    * plans/r06/<name>_<suffix>.txt (suffix from env PLAN_SUFFIX, default
+    * "after").
+    */
+  def plans(spark: SparkSession, sfDir: String, names: Set[String]): Unit = {
+    val suffix = sys.env.getOrElse("PLAN_SUFFIX", "after")
+    val dir = new java.io.File("/root/repo/plans/r06")
+    dir.mkdirs()
+    val all = SparkEntry.queries.toSeq ++ SparkEntry.benchStages
+    for ((name, fn) <- all if names.isEmpty || names.contains(name)) {
+      try {
+        val df = fn(spark, sfDir)
+        // execute first (noop sink): with AQE on, the pre-execution plan is
+        // `isFinalPlan=false` and runtime exchange reuse is invisible — the
+        // executed plan shows ReusedExchange / AQEShuffleRead as they ran
+        if (sys.env.get("PLAN_EXEC").forall(_ == "1")) noop(df)
+        val txt = df.queryExecution.explainString(
+          org.apache.spark.sql.execution.FormattedMode)
+        val out = new java.io.PrintWriter(new java.io.File(dir, s"${name}_$suffix.txt"))
+        try out.write(txt) finally out.close()
+        println(s"[plan] wrote ${name}_$suffix.txt")
+      } catch {
+        case e: Throwable => println(s"[plan] $name FAILED: $e")
+      }
+    }
+  }
+
+  /** Stage-isolated timings of the hot paths (noop sink). */
+  def stages(spark: SparkSession, sfDir: String, names: Set[String]): Unit = {
+    def want(n: String) = names.isEmpty || names.contains(n)
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+
+    if (want("minhash")) {
+      // warm-up read so scan caching noise drops out of the stage splits
+      noop(docs.select(col("doc_id")))
+      val norm = TextFunctions.normalize(col("text"), nfc = false)
+      val sig = docs.select(col("doc_id").as("id"),
+        graft.functions.TextExprs.minhashSig(norm, 7, 32).as("sig"))
+      time(spark, "minhash: sig only")(noop(sig))
+      val sh = docs.select(col("doc_id").as("id"),
+        graft.functions.TextExprs.shingleSet(norm, 7).as("sh"))
+      time(spark, "minhash: shingleSet only")(noop(sh))
+      val exploded = docs.select(col("doc_id").as("id"),
+        explode(Dedup.bandBuckets(
+          graft.functions.TextExprs.minhashSig(norm, 7, 32), 16, 2)).as("bk"))
+        .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
+      time(spark, "minhash: explode buckets")(noop(exploded))
+      val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"))
+      val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"))
+      val pairs = a.join(b, Seq("band", "bucket"))
+        .where(col("id_a") < col("id_b"))
+        .select(col("id_a"), col("id_b")).distinct()
+      time(spark, "minhash: candidate pairs")(noop(pairs))
+      val full = Dedup.minhashNearDups(docs, "text", "doc_id",
+        shingleK = 7, numHashes = 32, bands = 16, threshold = 0.5)
+      time(spark, "minhash: full (pairs+verify)")(noop(full))
+      time(spark, "minhash: full again")(noop(full))
+    }
+
+    if (want("groups")) {
+      val pairs = spark.read.parquet("/root/repo/target/graft_oracle/q_dup_pairs")
+      time(spark, "groups: dupGroups on stored pairs")(
+        noop(Dedup.dupGroups(pairs)))
+    }
+
+    if (want("collocations")) {
+      time(spark, "collocations: full")(
+        noop(pipeline.Report.collocations(docs, "text", k = 40, minCount = 3L)))
+    }
+
+    if (want("ngram")) {
+      val sets = spark.read.parquet("/root/repo/target/graft_oracle/q_token_gramsets")
+      time(spark, "ngram: pairs from stored sets")(
+        noop(Dedup.jaccardPairsFromSets(sets, threshold = 0.5)))
+      time(spark, "ngram: pairs from stored sets #2")(
+        noop(Dedup.jaccardPairsFromSets(sets, threshold = 0.5)))
+      time(spark, "ngram: word-gram pairs over documents")(
+        noop(Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.5)))
+    }
+
+    if (want("survivors")) {
+      val seqs = spark.range(0, 400, 1, 8).select(col("id"),
+        concat(
+          graft.functions.GenExprs.genTokens(
+            pmod(col("id"), lit(80L)), 200, graft.gen.SequenceGen.Vocab),
+          graft.functions.GenExprs.genTokens(
+            col("id"), 16, graft.gen.SequenceGen.Vocab)).as("tokens"))
+      time(spark, "survivors: token pairs")(
+        noop(Dedup.tokenNgramNearDups(seqs, "tokens", "id", k = 5, threshold = 0.5)))
+    }
+  }
+}

@@ -30,7 +30,13 @@ object SparkEntry {
   private def materialize(s: SparkSession, df: DataFrame, name: String,
                           files: Int = 1): DataFrame = {
     val path = s"$OracleAux/$name"
-    (if (files == 1) df.coalesce(1) else df).write.mode("overwrite").parquet(path)
+    // repartition(1), NOT coalesce(1): coalesce propagates up to the last
+    // exchange and runs the whole final pipeline (e.g. a pair-verify join
+    // over the corpus) as ONE task; repartition inserts an exchange so the
+    // compute stays parallel and only the file write is single-task. Same
+    // one-file artifact, row order irrelevant (both engines aggregate or
+    // re-sort).
+    (if (files == 1) df.repartition(1) else df).write.mode("overwrite").parquet(path)
     s.read.parquet(path)
   }
 
@@ -1671,9 +1677,12 @@ object SparkEntry {
     // idf, per-doc row_number top-k. N counts ALL docs of the frame (the
     // %10 subset), so the oracle shares the same subquery
     "q_tfidf" -> ((s, dir) =>
+      // dfBroadcastMaxTypes: this corpus' vocabulary is far under the cap,
+      // so the df side broadcasts and the tf table never shuffles by token
+      // (the regime split's small-vocab side; values unchanged)
       pipeline.Report.tfidfKeywords(
         T(s, dir, "documents").where(col("doc_id") % 10 === 4),
-        "text", "doc_id", k = 3)),
+        "text", "doc_id", k = 3, dfBroadcastMaxTypes = 1000000L)),
 
     "q_semantic_neardups" -> ((s, dir) => {
       // SemDeDup pairing: k-means cells materialized so the oracle

@@ -233,7 +233,9 @@ object TableChecks {
                             bucketSec: Long = 3600L): DataFrame = {
     require(keyCols.nonEmpty && bucketSec > 0, "need key columns and a bucket")
     df.where(col(tsCol).isNotNull)
-      .groupBy(expr(s"(unix_timestamp($tsCol) div $bucketSec) * $bucketSec")
+      // backtick-quoted: a caller column named `a.b` or with spaces must
+      // resolve as ONE column, not parse as a struct path / break the expr
+      .groupBy(expr(s"(unix_timestamp(`$tsCol`) div $bucketSec) * $bucketSec")
         .as("bucket_ts"))
       .agg(count(lit(1)).as("n"),
         count_distinct(struct(keyCols.map(col): _*)).as("n_distinct"))
@@ -332,7 +334,8 @@ object TableChecks {
     val counts = df
       .where(col(tsCol).isNotNull && col(keyCol).isNotNull)
       .groupBy(col(keyCol).as("key"),
-        expr(s"(unix_timestamp($tsCol) div $bucketSec) * $bucketSec")
+        // backtick-quoted: exotic caller names must resolve as ONE column
+        expr(s"(unix_timestamp(`$tsCol`) div $bucketSec) * $bucketSec")
           .as("bucket_ts"))
       .agg(count(lit(1)).as("n"))
     val per = counts.groupBy("key")
@@ -418,17 +421,20 @@ object TableChecks {
                      priorN: Long = 50L): DataFrame = {
     require(priorN >= 0, s"priorN=$priorN must be non-negative")
     import org.apache.spark.sql.expressions.Window
+    // __-prefixed internal aliases: a caller key named "n"/"s"/"tn"/"ts"
+    // (timestamps named ts are common here) must not collide with the
+    // aggregate/window columns
     val per = df.groupBy(col(key))
-      .agg(count(lit(1)).as("n"), sum(col(microCol)).as("s"))
+      .agg(count(lit(1)).as("__n"), sum(col(microCol)).as("__s"))
     val wAll = Window.rowsBetween(Window.unboundedPreceding,
       Window.unboundedFollowing)
     val wRank = Window.orderBy(col("shrunk_micro").desc, col(key).asc)
     per
-      .withColumn("tn", sum("n").over(wAll))
-      .withColumn("ts", sum("s").over(wAll))
-      .select(col(key), col("n"),
-        expr("s div n").as("mean_micro"),
-        expr(s"(s + (ts div tn) * $priorN) div (n + $priorN)")
+      .withColumn("__tn", sum("__n").over(wAll))
+      .withColumn("__ts", sum("__s").over(wAll))
+      .select(col(key), col("__n").as("n"),
+        expr("__s div __n").as("mean_micro"),
+        expr(s"(__s + (__ts div __tn) * $priorN) div (__n + $priorN)")
           .as("shrunk_micro"))
       .withColumn("rk", row_number().over(wRank))
   }

@@ -173,20 +173,27 @@ object Ann {
   def cosineNearDups(df: DataFrame, threshold: Double, bands: Int = 8,
                      bitsPerBand: Int = 12,
                      idCol: String = "vec_id", vecCol: String = "embedding"): DataFrame = {
-    val s = df.select(col(idCol).as("id"),
+    // dataset-alias self-joins (same shape as `Dedup.minhashNearDups`): the
+    // banded explode materializes one EXPLICIT exchange read by both
+    // candidate sides — the former per-side renames computed it twice
+    // (guide §2.4); `spread` parallelizes the hyperplane-hash pass on a
+    // one-split small input (no-op at scale)
+    val src = Par.spread(df)
+    val s = src.select(col(idCol).as("id"),
       explode(bandedBuckets(col(vecCol), bands, bitsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = s.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = s.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    val base = df.select(col(idCol).as("id"), col(vecCol).as("v"))
+      .repartition(col("band"), col("bucket"))
+    val pairs = s.as("__ba").join(s.as("__bb"),
+        col("__ba.band") === col("__bb.band") &&
+          col("__ba.bucket") === col("__bb.bucket") &&
+          col("__ba.id") < col("__bb.id"))
+      .select(col("__ba.id").as("id_a"), col("__bb.id").as("id_b")).distinct()
+    val base = src.select(col(idCol).as("id"), col(vecCol).as("v"))
     pairs
-      .join(base.select(col("id").as("id_a"), col("v").as("va")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("v").as("vb")), Seq("id_b"))
+      .join(base.as("__va"), col("id_a") === col("__va.id"))
+      .join(base.as("__vb"), col("id_b") === col("__vb.id"))
       .select(col("id_a"), col("id_b"),
-        round(cosine(col("va"), col("vb")), 6).as("cos"))
+        round(cosine(col("__va.v"), col("__vb.v")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 }

@@ -125,24 +125,36 @@ object Dedup {
       s"bands=$bands must divide numHashes=$numHashes")
     val rowsPerBand = numHashes / bands
     val norm = TextFunctions.normalize(col(textCol), nfc)
-    val exploded = df.select(col(idCol).as("id"),
+    // spread a small input across the cores (no-op at scale) — the 32-hash
+    // signature pass otherwise runs single-threaded on a one-split file
+    val src = Par.spread(df)
+    val exploded = src.select(col(idCol).as("id"),
       explode(bandBuckets(
         graft.functions.TextExprs.minhashSig(norm, shingleK, numHashes),
         bands, rowsPerBand)).as("bk"))
       .select(col("id"), col("bk.band").as("band"), col("bk.bucket").as("bucket"))
-    val a = exploded.select(col("band"), col("bucket"), col("id").as("id_a"))
-    val b = exploded.select(col("band"), col("bucket"), col("id").as("id_b"))
-    val pairs = a.join(b, Seq("band", "bucket"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b")).distinct()
-    if (verifyOnSets) verifyJaccardPairs(pairs, df, textCol, idCol, shingleK, threshold, nfc)
+      // EXPLICIT bucket-key repartition + dataset-alias SELF-join: both join
+      // inputs then share one canonical exchange, so the signature pass
+      // materializes ONCE and the second side is a ReusedExchange — without
+      // the explicit exchange the planner broadcast-joins the (estimated
+      // small) explode and the signature subtree computes once per side
+      // (measured ~2.8 s/side at sf0.1; guide §2.4). At scale the exploded
+      // frame shuffles by (band, bucket) for the SMJ anyway — same bytes,
+      // short (id, band, bucket) rows only.
+      .repartition(col("band"), col("bucket"))
+    val pairs = exploded.as("__ba").join(exploded.as("__bb"),
+        col("__ba.band") === col("__bb.band") &&
+          col("__ba.bucket") === col("__bb.bucket") &&
+          col("__ba.id") < col("__bb.id"))
+      .select(col("__ba.id").as("id_a"), col("__bb.id").as("id_b")).distinct()
+    if (verifyOnSets) verifyJaccardPairs(pairs, src, textCol, idCol, shingleK, threshold, nfc)
     else {
-      val base = df.select(col(idCol).as("id"), norm.as("txt"))
+      val base = src.select(col(idCol).as("id"), norm.as("txt"))
       pairs
-        .join(base.select(col("id").as("id_a"), col("txt").as("txt_a")), Seq("id_a"))
-        .join(base.select(col("id").as("id_b"), col("txt").as("txt_b")), Seq("id_b"))
+        .join(base.as("__va"), col("id_a") === col("__va.id"))
+        .join(base.as("__vb"), col("id_b") === col("__vb.id"))
         .withColumn("jaccard", graft.functions.TextExprs.jaccardShingles(
-          col("txt_a"), col("txt_b"), shingleK))
+          col("__va.txt"), col("__vb.txt"), shingleK))
         .where(col("jaccard") >= threshold)
         .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
     }
@@ -159,21 +171,26 @@ object Dedup {
   def verifyJaccardPairs(pairs: DataFrame, df: DataFrame, textCol: String,
                          idCol: String, shingleK: Int,
                          threshold: Double, nfc: Boolean = false): DataFrame = {
+    // ONE base frame joined twice through dataset aliases: both joins hash
+    // the SAME canonical child by `id`, so the shingle-set projection and
+    // its exchange (or broadcast) materialize once and the second join reads
+    // a ReusedExchange — the former per-side renames re-computed the
+    // shingle pass per side (guide §2.4)
     val base = df.select(col(idCol).as("id"),
       graft.functions.TextExprs.shingleSet(
         TextFunctions.normalize(col(textCol), nfc), shingleK).as("sh"))
     pairs.select(col("id_a"), col("id_b")).distinct()
-      .join(base.select(col("id").as("id_a"), col("sh").as("sh_a")), Seq("id_a"))
-      .join(base.select(col("id").as("id_b"), col("sh").as("sh_b")), Seq("id_b"))
+      .join(base.as("__va"), col("id_a") === col("__va.id"))
+      .join(base.as("__vb"), col("id_b") === col("__vb.id"))
       // size-compatibility prune BEFORE the O(n) set merge: J >= t forces
       // t·|A| <= |B| <= |A|/t, so pairs violating it (LSH multi-band
       // coincidences between very different-length docs) skip the merge —
       // size() is O(1) on the array header. Same bound the prefix-filter
       // join applies in-join; cannot drop a qualifying pair.
-      .where(size(col("sh_b")) >= ceilT(size(col("sh_a")), threshold) &&
-        size(col("sh_a")) >= ceilT(size(col("sh_b")), threshold))
+      .where(size(col("__vb.sh")) >= ceilT(size(col("__va.sh")), threshold) &&
+        size(col("__va.sh")) >= ceilT(size(col("__vb.sh")), threshold))
       .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
-        col("sh_a"), col("sh_b")))
+        col("__va.sh"), col("__vb.sh")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
   }
@@ -206,7 +223,10 @@ object Dedup {
   def simhashNearDups(df: DataFrame, textCol: String, idCol: String,
                       maxHamming: Int = 3, bands: Int = 0,
                       nfc: Boolean = false): DataFrame = {
-    val sh = df.select(col(idCol).as("id"), simhash(col(textCol), nfc).as("sim"))
+    // spread: the simhash pass over a one-split small file is single-
+    // threaded otherwise (no-op at scale)
+    val sh = Par.spread(df)
+      .select(col(idCol).as("id"), simhash(col(textCol), nfc).as("sim"))
     nearDupsFromSimhash(sh, maxHamming, bands)
   }
 
@@ -219,7 +239,7 @@ object Dedup {
     require(b > maxHamming,
       s"bands=$b must exceed maxHamming=$maxHamming for the pigeonhole recall guarantee")
     require(b <= 64, s"bands=$b cannot exceed the 64 signature bits")
-    val chunks = sh.select(col("id"), col("sim"),
+    val chunks = Par.spread(sh).select(col("id"), col("sim"),
       explode(array((0 until b).map { c =>
         val lo = (64 * c) / b
         val w = (64 * (c + 1)) / b - lo
@@ -228,15 +248,22 @@ object Dedup {
           shiftright(col("sim"), lo).bitwiseAND(mask).as("val"))
       }: _*)).as("ck"))
       .select(col("id"), col("sim"), col("ck.chunk").as("chunk"), col("ck.val").as("val"))
-    val a = chunks.select(col("chunk"), col("val"), col("id").as("id_a"), col("sim").as("sim_a"))
-    val bb = chunks.select(col("chunk"), col("val"), col("id").as("id_b"), col("sim").as("sim_b"))
-    a.join(bb, Seq("chunk", "val"))
-      .where(col("id_a") < col("id_b"))
+      // explicit chunk-key exchange → the alias self-join below reuses ONE
+      // materialized explode instead of computing it per side (guide §2.4);
+      // same short (id, sim, chunk, val) rows the SMJ shuffles at scale
+      .repartition(col("chunk"), col("val"))
+    // dataset-alias self-join: one canonical chunk-explode child, second
+    // side a ReusedExchange (the former per-side renames computed the
+    // signature explode twice — guide §2.4)
+    chunks.as("__ca").join(chunks.as("__cb"),
+        col("__ca.chunk") === col("__cb.chunk") &&
+          col("__ca.val") === col("__cb.val") &&
+          col("__ca.id") < col("__cb.id"))
       // hamming computed and THRESHOLDED inside the join stage: the dedupe
       // shuffle (multi-chunk hits of one pair) carries only passing rows,
       // and first() over the identical hamming keeps it a HashAggregate
-      .select(col("id_a"), col("id_b"),
-        bit_count(col("sim_a").bitwiseXOR(col("sim_b"))).as("hamming"))
+      .select(col("__ca.id").as("id_a"), col("__cb.id").as("id_b"),
+        bit_count(col("__ca.sim").bitwiseXOR(col("__cb.sim"))).as("hamming"))
       .where(col("hamming") <= maxHamming)
       .groupBy(col("id_a"), col("id_b")).agg(first(col("hamming")).as("hamming"))
   }
@@ -279,7 +306,102 @@ object Dedup {
     */
   def dupGroups(pairs: DataFrame, idA: String = "id_a", idB: String = "id_b",
                 maxIter: Int = 20,
-                checkpointDir: Option[String] = None): DataFrame = {
+                checkpointDir: Option[String] = None,
+                driverEdgeCap: Int = 1 << 20): DataFrame = {
+    // SMALL-GRAPH FAST PATH: a near-dup pair graph is the CANDIDATE output
+    // (≪ corpus — LSH bounds it), and on most corpora it fits in a few MB.
+    // The iterative pointer-jumping loop below pays a fixed ~4 jobs + 3
+    // shuffles + 1 lineage checkpoint PER ITERATION — measured 2.2 s for a
+    // 47-edge graph at sf0.1, pure scheduling overhead (guide §1.2: fix the
+    // distributed algorithm first). Under `driverEdgeCap` edges (default
+    // 2^20 ≈ 16 MB of id pairs) the exact same labels come from one bounded
+    // collect + driver union-find in milliseconds; the result is a
+    // LocalRelation, so downstream joins broadcast it for free. Above the
+    // cap (or for non-atomic/null ids) the distributed propagation runs
+    // unchanged — this is a bounded-driver-work shortcut in the same class
+    // as the engine's capped centroid/eval-matrix collects, NOT a driver
+    // loop over corpus data: the collect is capped by `limit(cap + 1)`, so
+    // an over-cap graph ships at most cap+1 rows before falling back.
+    // Labels are identical by construction: union-find components with
+    // min-member labels = min reachable id, the propagation fixpoint.
+    smallGraphGroups(pairs, idA, idB, driverEdgeCap) match {
+      case Some(labels) => labels
+      case None => dupGroupsDistributed(pairs, idA, idB, maxIter, checkpointDir)
+    }
+  }
+
+  /** Driver-local connected components for graphs under `cap` edges: one
+    * `limit(cap+1).collect()`, union-find, min-member labels; `None` when
+    * the graph exceeds the cap or ids are unsupported (non-atomic type, or
+    * null ids — the distributed path defines those semantics).
+    */
+  private def smallGraphGroups(pairs: DataFrame, idA: String, idB: String,
+                               cap: Int): Option[DataFrame] = {
+    import org.apache.spark.sql.types._
+    val dt = pairs.schema(idA).dataType
+    val orderable = dt match {
+      case _: NumericType | StringType | BooleanType | DateType |
+           TimestampType => true
+      case _ => false
+    }
+    if (!orderable || pairs.schema(idB).dataType != dt) return None
+    val rows = pairs.select(col(idA), col(idB)).limit(cap + 1).collect()
+    if (rows.length > cap) return None
+    if (rows.exists(r => r.isNullAt(0) || r.isNullAt(1))) return None
+    // union-find with path compression + union by size; labels = min member
+    // per component under the id type's natural order (atomic external
+    // types are all Comparable: Long, String, Timestamp, …)
+    val index = new java.util.HashMap[Any, Integer]()
+    val verts = new scala.collection.mutable.ArrayBuffer[Any]
+    val parent = new scala.collection.mutable.ArrayBuffer[Int]
+    val compSize = new scala.collection.mutable.ArrayBuffer[Int]
+    def vid(v: Any): Int = {
+      val got = index.get(v)
+      if (got != null) got.intValue()
+      else {
+        val i = verts.length
+        index.put(v, Integer.valueOf(i))
+        verts += v; parent += i; compSize += 1
+        i
+      }
+    }
+    def find(i0: Int): Int = {
+      var i = i0
+      while (parent(i) != i) { parent(i) = parent(parent(i)); i = parent(i) }
+      i
+    }
+    rows.foreach { r =>
+      val a = find(vid(r.get(0))); val b = find(vid(r.get(1)))
+      if (a != b) {
+        val (big, small) = if (compSize(a) >= compSize(b)) (a, b) else (b, a)
+        parent(small) = big
+        compSize(big) += compSize(small)
+      }
+    }
+    @inline def lt(x: Any, y: Any): Boolean =
+      x.asInstanceOf[Comparable[Any]].compareTo(y) < 0
+    val minOfRoot = new java.util.HashMap[Integer, Any]()
+    verts.indices.foreach { i =>
+      val r = Integer.valueOf(find(i))
+      val cur = minOfRoot.get(r)
+      if (cur == null || lt(verts(i), cur)) minOfRoot.put(r, verts(i))
+    }
+    val schema = StructType(Seq(
+      StructField("id", dt, nullable = true),
+      StructField("group_id", dt, nullable = true)))
+    val out = new java.util.ArrayList[org.apache.spark.sql.Row](verts.length)
+    verts.indices.foreach { i =>
+      out.add(org.apache.spark.sql.Row(verts(i), minOfRoot.get(Integer.valueOf(find(i)))))
+    }
+    Some(pairs.sparkSession.createDataFrame(out, schema))
+  }
+
+  /** The scale path of `dupGroups`: min-label propagation with pointer
+    * jumping (see the algorithm notes on `dupGroups`).
+    */
+  private def dupGroupsDistributed(pairs: DataFrame, idA: String, idB: String,
+                                   maxIter: Int,
+                                   checkpointDir: Option[String]): DataFrame = {
     // NOTE: the checkpoint dir is GLOBAL SparkContext state (Spark has no
     // per-job dir, and it stores a fresh UUID SUBDIRECTORY of the path you
     // set — the raw path is not recoverable for an already-set check):
@@ -457,7 +579,9 @@ object Dedup {
                         nfc: Boolean = false,
                         dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
-    val g = df.select(col(idCol).as("id"),
+    // spread: the gram-set pass over a one-split small file is single-
+    // threaded otherwise (no-op at scale)
+    val g = Par.spread(df).select(col(idCol).as("id"),
       graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol), nfc), k).as("g"),
       TextFunctions.tokenCount(col(textCol)).as("ntok"))
@@ -498,10 +622,14 @@ object Dedup {
     * keeps the zero-extra-shuffle hash order for corpora known to be
     * boilerplate-free.
     */
-  def jaccardPairsFromSets(g: DataFrame, threshold: Double,
+  def jaccardPairsFromSets(g0: DataFrame, threshold: Double,
                            dfOrdered: Boolean = true,
                            dfCap: Option[Long] = None): DataFrame = {
     require(threshold > 0 && threshold < 1, "threshold in (0,1)")
+    // spread: a materialized (id, g) sketch table is typically one small
+    // parquet file — one split, single-threaded explode/verify (no-op at
+    // scale)
+    val g = Par.spread(g0)
     // verification reads the INPUT sets directly: the verify joins then
     // cost a scan + gram projection each, with NO shuffle — routing them
     // through the df-ordered regroup instead was measured to backfire
@@ -564,8 +692,11 @@ object Dedup {
   /** Build (or extend — see `jaccardPairsIncremental.newIndexRows`) the
     * sketch index from an (id, g) sorted-distinct set table.
     */
-  def buildSketchIndex(sets: DataFrame, indexThreshold: Double): SketchIndex = {
+  def buildSketchIndex(sets0: DataFrame, indexThreshold: Double): SketchIndex = {
     require(indexThreshold > 0 && indexThreshold < 1, "indexThreshold in (0,1)")
+    // spread: a stored sketch index is typically few small parquet files —
+    // one split, single-threaded prefix explode otherwise (no-op at scale)
+    val sets = Par.spread(sets0)
     def pfxLen(sz: Column): Column =
       (sz - ceilT(sz, indexThreshold) + 1).cast("int")
     val prefix = sets.select(col("id"), size(col("g")).as("sz"),
@@ -602,24 +733,31 @@ object Dedup {
         "stored prefixes are too short for a lower threshold — rebuild the " +
         "index at the lower bound you intend to query")
     val batchIdx = buildSketchIndex(batchSets, index.indexThreshold)
-    def sized(p: DataFrame, side: String) = p.select(col("tok"),
-      col("id").as(s"id_$side"), col("sz").as(s"sz_$side"))
-    val sizeOk = col("sz_a") >= ceilT(col("sz_b"), threshold) &&
-      col("sz_b") >= ceilT(col("sz_a"), threshold)
+    // ONE explicit tok-keyed exchange of the batch prefix, read three times
+    // (both sides of batch×batch, the batch side of batch×history) via
+    // dataset aliases — the former per-side renames computed the batch
+    // prefix explode once per appearance (guide §2.4)
+    val bp = batchIdx.prefix.repartition(col("tok"))
+    def sizeOk(a: String, b: String) =
+      col(s"$a.sz") >= ceilT(col(s"$b.sz"), threshold) &&
+        col(s"$b.sz") >= ceilT(col(s"$a.sz"), threshold)
     // batch × batch: the standard self-join; batch × history: same join
     // across tables (no id order constraint — ids are disjoint), then
     // normalized to id_a < id_b
-    val bb = sized(batchIdx.prefix, "a").join(sized(batchIdx.prefix, "b"), Seq("tok"))
-      .where(col("id_a") < col("id_b") && sizeOk)
-      .select(col("id_a"), col("id_b"))
-    val bh = sized(batchIdx.prefix, "a").join(sized(index.prefix, "b"), Seq("tok"))
-      // ids are contract-disjoint across batch/history; the inequality is a
-      // cheap guard so an accidental re-ingest can't emit jaccard-1 self-pairs
-      .where(col("id_a") =!= col("id_b") && sizeOk)
-      .select(least(col("id_a"), col("id_b")).as("id_a"),
-        greatest(col("id_a"), col("id_b")).as("id_b"))
+    val bb = bp.as("__pa").join(bp.as("__pb"),
+        col("__pa.tok") === col("__pb.tok") &&
+          col("__pa.id") < col("__pb.id") && sizeOk("__pa", "__pb"))
+      .select(col("__pa.id").as("id_a"), col("__pb.id").as("id_b"))
+    val bh = bp.as("__pa").join(index.prefix.as("__pb"),
+        col("__pa.tok") === col("__pb.tok") &&
+          // ids are contract-disjoint across batch/history; the inequality
+          // is a cheap guard so an accidental re-ingest can't emit
+          // jaccard-1 self-pairs
+          col("__pa.id") =!= col("__pb.id") && sizeOk("__pa", "__pb"))
+      .select(least(col("__pa.id"), col("__pb.id")).as("id_a"),
+        greatest(col("__pa.id"), col("__pb.id")).as("id_b"))
     val cand = bb.union(bh).distinct()
-    val pairs = verifySetPairs(cand, batchSets.union(index.sets), threshold)
+    val pairs = verifySetPairs(cand, batchIdx.sets.union(index.sets), threshold)
     IncrementalPairs(pairs, batchIdx.prefix, batchSets)
   }
 
@@ -628,7 +766,14 @@ object Dedup {
     */
   private def dfOrderedBase(g: DataFrame): DataFrame = {
     // (df asc, gram asc) total order: count global df per gram (two-stage
-    // agg on 8-byte keys), re-sort each doc's set by it
+    // agg on 8-byte keys), re-sort each doc's set by it. The df table is
+    // aggregate-small at bench scale (broadcast join — the flat side never
+    // shuffles here) and the expensive gram-set projection BELOW both
+    // consumers sits under `jaccardPairsFromSets`' spread exchange, so it
+    // materializes once. (A count-window formulation was tried this round
+    // and REVERTED: it forces an exchange + full sort of the exploded frame
+    // where the broadcast join needs neither — measured 1.2 s → 4.4 s on
+    // q_token_neardups.)
     val flat = g.select(col("id"), size(col("g")).as("sz"),
       explode(col("g")).as("tok"))
     val dfTab = flat.groupBy(col("tok")).agg(count(lit(1)).as("df"))
@@ -656,14 +801,19 @@ object Dedup {
     * pair shares >= ceil(t·|A|) grams, which cannot all hide in a suffix
     * shorter than that — so both prefixes contain a shared gram (recall 1).
     */
-  private def joinIndex(idx: DataFrame, threshold: Double): DataFrame = {
-    val a = idx.select(col("tok"), col("id").as("id_a"), col("sz").as("sz_a"))
-    val bb = idx.select(col("tok"), col("id").as("id_b"), col("sz").as("sz_b"))
-    a.join(bb, Seq("tok"))
-      .where(col("id_a") < col("id_b") &&
-        col("sz_a") >= ceilT(col("sz_b"), threshold) &&
-        col("sz_b") >= ceilT(col("sz_a"), threshold))
-      .select(col("id_a"), col("id_b")).distinct()
+  private def joinIndex(idx0: DataFrame, threshold: Double): DataFrame = {
+    // EXPLICIT gram-key exchange + dataset-alias self-join: one canonical
+    // prefix-index child materialized once, second side a ReusedExchange
+    // (the former per-side renames computed the df-order regroup + prefix
+    // explode twice — guide §2.4); the SMJ shuffles these short
+    // (tok, id, sz) rows at scale anyway
+    val idx = idx0.repartition(col("tok"))
+    idx.as("__ia").join(idx.as("__ib"),
+        col("__ia.tok") === col("__ib.tok") &&
+          col("__ia.id") < col("__ib.id") &&
+          col("__ia.sz") >= ceilT(col("__ib.sz"), threshold) &&
+          col("__ib.sz") >= ceilT(col("__ia.sz"), threshold))
+      .select(col("__ia.id").as("id_a"), col("__ib.id").as("id_b")).distinct()
   }
 
   /** Candidate (id_a, id_b) pairs from the prefix-filtered inverted-index
@@ -687,11 +837,13 @@ object Dedup {
     * sorted-distinct set table (id, g). */
   private def verifySetPairs(pairs: DataFrame, sets: DataFrame,
                              threshold: Double): DataFrame =
+    // same dataset-alias reuse shape as `verifyJaccardPairs`: the set
+    // projection materializes once, the second id join reads a ReusedExchange
     pairs
-      .join(sets.select(col("id").as("id_a"), col("g").as("g_a")), Seq("id_a"))
-      .join(sets.select(col("id").as("id_b"), col("g").as("g_b")), Seq("id_b"))
+      .join(sets.as("__sa"), col("id_a") === col("__sa.id"))
+      .join(sets.as("__sb"), col("id_b") === col("__sb.id"))
       .withColumn("jaccard", graft.functions.TextExprs.sortedArrayJaccard(
-        col("g_a"), col("g_b")))
+        col("__sa.g"), col("__sb.g")))
       .where(col("jaccard") >= threshold)
       .select(col("id_a"), col("id_b"), round(col("jaccard"), 4).as("jaccard"))
 
@@ -753,8 +905,10 @@ object Dedup {
                          k: Int = 5, threshold: Double = 0.7,
                          dfOrdered: Boolean = true,
                          dfCap: Option[Long] = None): DataFrame =
+    // spread BEFORE the gram projection so the IntGramSet pass itself runs
+    // parallel on a one-split input (no-op at scale)
     jaccardPairsFromSets(
-      df.select(col(idCol).as("id"),
+      Par.spread(df).select(col(idCol).as("id"),
         graft.functions.TextExprs.intGramSet(col(tokensCol), k).as("g")),
       threshold, dfOrdered, dfCap)
 }

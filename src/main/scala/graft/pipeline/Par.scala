@@ -1,0 +1,35 @@
+package graft.pipeline
+
+import org.apache.spark.sql.DataFrame
+
+/** Scale-gated input parallelism for sketch-heavy operators.
+  *
+  * Parquet scan parallelism is `min(maxPartitionBytes, max(openCostInBytes,
+  * totalBytes / defaultParallelism))`-sized splits — so a SMALL input (one
+  * sub-4MB file: exactly the shape of a materialized sketch table or a
+  * modest dimension/fixture table) plans as ONE split, and every expensive
+  * per-row sketch pass over it (32-hash MinHash signatures, gram sets,
+  * centroid assignment) runs single-threaded no matter how many cores the
+  * session has — measured 2.1 s single-threaded for the sf0.1 minhash
+  * signature pass that takes ~0.1 s spread over the cores.
+  *
+  * `spread` round-robin-repartitions ONLY when the planned partition count
+  * is below the session's default parallelism. A corpus-scale input always
+  * plans at least as many splits as cores, so at 100 TB this is a no-op and
+  * never adds a payload shuffle (guide §2.5 "input skew: one huge
+  * unsplittable file … repartition immediately after the read" — here the
+  * degenerate small-file case). Round-robin repartition is retry-safe
+  * (sort-before-repartition is on by default) and every downstream operator
+  * in this package is partitioning-order-independent, so results are
+  * byte-identical.
+  *
+  * Batch frames only (`df.rdd` is illegal on streaming frames) — streaming
+  * operators never call it.
+  */
+object Par {
+  def spread(df: DataFrame): DataFrame = {
+    val want = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts < want) df.repartition(want) else df
+  }
+}

@@ -47,7 +47,10 @@ object Report {
     sum(TextFunctions.charEntropyMicro(t)).as("entropy_micro_sum"))
 
   private def tokens(docs: DataFrame, textCol: String) =
-    docs.select(explode(split(TextFunctions.normalize(col(textCol)), " "))
+    // spread: normalize+split over a one-split small file is single-
+    // threaded otherwise (no-op at scale)
+    Par.spread(docs)
+      .select(explode(split(TextFunctions.normalize(col(textCol)), " "))
         .as("token"))
       .where(col("token") =!= "")
 
@@ -156,7 +159,7 @@ object Report {
     * — one shuffle by doc id of (doc, token, counts) short rows.
     */
   def tfidfKeywords(docs: DataFrame, textCol: String, idCol: String,
-                    k: Int = 5): DataFrame = {
+                    k: Int = 5, dfBroadcastMaxTypes: Long = 0L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     val tf = docs
       .select(col(idCol).as("id"),
@@ -164,10 +167,30 @@ object Report {
       .where(col("token") =!= "")
       .groupBy(col("id"), col("token")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+    // REGIME SPLIT for the tf⋈df token join (the one place a universal
+    // stop-token concentrates O(corpus) tf rows on a single reducer):
+    //  - `dfBroadcastMaxTypes > 0`: the caller asserts the vocabulary fits;
+    //    a LOUD count guard checks it (one extra short-key aggregate job),
+    //    then `df` broadcasts and the tf side never shuffles by token at
+    //    all — skew cannot exist without an exchange.
+    //  - default 0: vocabulary too big to assert (10⁶–10⁸ types at corpus
+    //    scale) — sort-merge with AQE skew-join splitting handles oversized
+    //    token partitions (a single token key above the skew threshold is
+    //    the documented residual risk, mitigated by stop-token stripping
+    //    upstream, as in `Overlap.stripBoilerplateLines`).
+    val dfSide =
+      if (dfBroadcastMaxTypes > 0L) {
+        val types = df.count()
+        require(types <= dfBroadcastMaxTypes,
+          s"tfidfKeywords: $types token types exceed " +
+            s"dfBroadcastMaxTypes=$dfBroadcastMaxTypes — drop the cap (SMJ + " +
+            "AQE skew handling) or raise it deliberately")
+        broadcast(df)
+      } else df
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val idf = log((col("n_docs").cast("double") + lit(1.0)) /
       (col("df").cast("double") + lit(1.0))) + lit(1.0)
-    val scored = tf.join(df, Seq("token")).crossJoin(broadcast(n))
+    val scored = tf.join(dfSide, Seq("token")).crossJoin(broadcast(n))
       .select(col("id"), col("token"), col("tf"), col("df"),
         floor((col("tf").cast("double") * idf) * lit(1000000d) + lit(0.5))
           .cast("long").as("tfidf_micro"))
@@ -180,16 +203,29 @@ object Report {
         col("tfidf_micro"), col("rank").cast("int").as("rank"))
   }
 
-  def collocations(docs: DataFrame, textCol: String, k: Int = 100,
+  def collocations(docs0: DataFrame, textCol: String, k: Int = 100,
                    minCount: Long = 5L): DataFrame = {
     require(k > 0, s"k=$k must be positive")
     require(minCount >= 1, s"minCount=$minCount must be >= 1")
+    // spread: all three passes (bigrams, unigrams, totals) read this frame —
+    // single-threaded normalize+split on a one-split file otherwise (no-op
+    // at scale); the shared round-robin exchange is reused across the
+    // branches
+    val docs = Par.spread(docs0)
+    // the words ARRAY is projected once per row BEFORE the bigram lambda:
+    // `transform`/`element_at` over an inline `split(normalize(text))`
+    // re-evaluated the split+normalize for EVERY lambda element (higher-
+    // order functions see the raw expression tree, not a cached column), an
+    // O(words²) blowup per document — measured 8.6 s → linear after the
+    // projection (guide §1.2 "per-task work"). Same values, plan-only change.
     val words = split(TextFunctions.normalize(col(textCol)), " ")
-    val pairs = docs.select(explode(when(size(words) < 2,
+    val w = col("__w")
+    val pairs = docs.select(words.as("__w"))
+      .select(explode(when(size(w) < 2,
         array().cast("array<struct<w1:string,w2:string>>"))
-      .otherwise(transform(sequence(lit(0), size(words) - 2),
-        i => struct(element_at(words, i + 1).as("w1"),
-          element_at(words, i + 2).as("w2"))))).as("p"))
+      .otherwise(transform(sequence(lit(0), size(w) - 2),
+        i => struct(element_at(w, i + 1).as("w1"),
+          element_at(w, i + 2).as("w2"))))).as("p"))
       .select(col("p.w1").as("w1"), col("p.w2").as("w2"))
     val pc = pairs.groupBy(col("w1"), col("w2"))
       .agg(count(lit(1)).as("n_pair"))

@@ -70,14 +70,20 @@ object SemDedup {
                        centroids: Array[Array[Double]],
                        idCol: String = "vec_id", vecCol: String = "embedding",
                        maxCellRows: Long = 2000000L): DataFrame = {
-    val assigned = assign(df, centroids, idCol, vecCol)
+    // spread: the k·dims assignment pass over a one-split small file is
+    // single-threaded otherwise (no-op at scale)
+    val assigned = assign(Par.spread(df), centroids, idCol, vecCol)
     guardCells(assigned, maxCellRows)
-    val a = assigned.select(col("cell"), col("id").as("id_a"), col("v").as("va"))
-    val b = assigned.select(col("cell"), col("id").as("id_b"), col("v").as("vb"))
-    a.join(b, Seq("cell"))
-      .where(col("id_a") < col("id_b"))
-      .select(col("id_a"), col("id_b"),
-        round(Ann.cosine(col("va"), col("vb")), 6).as("cos"))
+    // EXPLICIT cell-key exchange + dataset-alias self-join: the assignment
+    // projection materializes once and both join sides read the ONE
+    // exchange (each vector now moves ONCE through the cell shuffle; the
+    // former per-side renames computed the assignment twice — guide §2.4)
+    val bucketed = assigned.repartition(col("cell"))
+    bucketed.as("__sa").join(bucketed.as("__sb"),
+        col("__sa.cell") === col("__sb.cell") &&
+          col("__sa.id") < col("__sb.id"))
+      .select(col("__sa.id").as("id_a"), col("__sb.id").as("id_b"),
+        round(Ann.cosine(col("__sa.v"), col("__sb.v")), 6).as("cos"))
       .where(col("cos") >= threshold)
   }
 

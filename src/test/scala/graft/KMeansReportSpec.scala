@@ -186,6 +186,31 @@ class KMeansReportSpec extends SparkSpec {
       (2L, "apple", 1L, 2L, micro(1, 2), 2)))
   }
 
+  test("tfidfKeywords df-broadcast regime: same rows, BroadcastHashJoin on token, loud cap") {
+    val docs = Seq(
+      (0L, "apple banana apple"),
+      (1L, "banana cherry"),
+      (2L, "apple cherry date date"),
+      (3L, ""))
+      .toDF("doc_id", "text")
+    val default = Report.tfidfKeywords(docs, "text", "doc_id", k = 2)
+      .collect().map(_.toString).sorted.toSeq
+    val bcast = Report.tfidfKeywords(docs, "text", "doc_id", k = 2,
+      dfBroadcastMaxTypes = 100L)
+    assert(bcast.collect().map(_.toString).sorted.toSeq == default,
+      "broadcast regime changed the result")
+    // the tf⋈df join must be a broadcast hash join (no token exchange of tf)
+    val plan = bcast.queryExecution.executedPlan.toString
+    assert(plan.contains("BroadcastHashJoin"),
+      s"expected BroadcastHashJoin for the df side under the cap in:\n$plan")
+    // the cap is a loud guard, not a silent fallback
+    val e = intercept[IllegalArgumentException] {
+      Report.tfidfKeywords(docs, "text", "doc_id", k = 2,
+        dfBroadcastMaxTypes = 1L).collect()
+    }
+    assert(e.getMessage.contains("dfBroadcastMaxTypes"))
+  }
+
   test("collocations: hand-counted PMI, minCount prune, hapax ranking, tie order") {
     val docs = Seq(
       (0L, "new york new york"),

@@ -335,10 +335,18 @@ class PipelineSpec extends SparkSpec {
     }
     val g = Dedup.dupGroups(edges.toDF("id_a", "id_b")).as[(Long, Long)].collect().toMap
     assert(g == lab)
+    // the driver union-find fast path and the distributed propagation agree
+    // label-for-label (driverEdgeCap = 0 forces the distributed path)
+    val gDist = Dedup.dupGroups(edges.toDF("id_a", "id_b"), driverEdgeCap = 0)
+      .as[(Long, Long)].collect().toMap
+    assert(gDist == lab)
 
-    // a 12-long chain has diameter 12: maxIter=2 must throw, not mis-group
+    // a 12-long chain has diameter 12: on the DISTRIBUTED path maxIter=2
+    // must throw, not mis-group (the driver fast path has no iterations)
     val chain = (0L until 12L).map(i => (i, i + 1)).toDF("id_a", "id_b")
-    intercept[IllegalStateException] { Dedup.dupGroups(chain, maxIter = 2) }
+    intercept[IllegalStateException] {
+      Dedup.dupGroups(chain, maxIter = 2, driverEdgeCap = 0)
+    }
     val full = Dedup.dupGroups(chain).as[(Long, Long)].collect().toMap
     assert(full.values.toSet == Set(0L) && full.size == 13)
   }
@@ -1502,7 +1510,10 @@ class PipelineSpec extends SparkSpec {
     val chain = (0L until 100L).map(i => (i, i + 1)).toDF("id_a", "id_b")
     val dir = java.nio.file.Files.createTempDirectory("graft-ckpt").toFile
     try {
-      val g = Dedup.dupGroups(chain, checkpointDir = Some(dir.getAbsolutePath))
+      // driverEdgeCap = 0: the reliable-checkpoint contract belongs to the
+      // distributed path (the driver fast path never iterates)
+      val g = Dedup.dupGroups(chain, checkpointDir = Some(dir.getAbsolutePath),
+          driverEdgeCap = 0)
         .as[(Long, Long)].collect().toMap
       assert(g.size == 101 && g.values.toSet == Set(0L))
       // the reliable path really wrote checkpoint data (not executor-local)
