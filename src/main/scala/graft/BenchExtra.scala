@@ -81,10 +81,13 @@ object BenchExtra {
     for ((name, fn) <- all if names.isEmpty || names.contains(name)) {
       try {
         val df = fn(spark, sfDir)
-        // execute first (noop sink): with AQE on, the pre-execution plan is
-        // `isFinalPlan=false` and runtime exchange reuse is invisible — the
-        // executed plan shows ReusedExchange / AQEShuffleRead as they ran
-        if (sys.env.get("PLAN_EXEC").forall(_ == "1")) noop(df)
+        // execute THE FRAME'S OWN query execution first (collect — oracle
+        // queries are bounded): with AQE on, the pre-execution plan is
+        // `isFinalPlan=false` and runtime exchange reuse is invisible; a
+        // noop WRITE would execute a separate QueryExecution and leave this
+        // one unfinalized. After collect, explain shows the final plan with
+        // ReusedExchange / AQEShuffleRead as they ran.
+        if (sys.env.get("PLAN_EXEC").forall(_ == "1")) { df.collect(); () }
         val txt = df.queryExecution.explainString(
           org.apache.spark.sql.execution.FormattedMode)
         val out = new java.io.PrintWriter(new java.io.File(dir, s"${name}_$suffix.txt"))
