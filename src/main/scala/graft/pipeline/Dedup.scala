@@ -527,8 +527,13 @@ object Dedup {
     */
   def nearDupSurvivorsBy(df: DataFrame, idCol: String, groups: DataFrame,
                          prefCol: String): DataFrame = {
+    // explicit group_id exchange: `members` feeds both the max-pref
+    // aggregate and the winner join — without it each consumer recomputes
+    // the id join (guide §2.4); the aggregate would shuffle these short
+    // (id, group_id, pref) rows by group_id anyway
     val members = df.select(col(idCol).as("id"), col(prefCol).as("__pref"))
       .join(groups, Seq("id"))
+      .repartition(col("group_id"))
     // two aggregates rather than one max(struct(pref, -id)) arg-max:
     // ids are arbitrary orderable types (doc_id is a STRING in the north
     // rule) with no generic negation, so "max pref then MIN id" cannot

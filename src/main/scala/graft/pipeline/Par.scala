@@ -28,8 +28,21 @@ import org.apache.spark.sql.DataFrame
   */
 object Par {
   def spread(df: DataFrame): DataFrame = {
-    val want = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts < want) df.repartition(want) else df
+    // scan-level frames ONLY: on a frame that already contains a shuffle
+    // (join/aggregate/window/repartition — including a frame already
+    // spread upstream), `df.rdd` would make AQE materialize the upstream
+    // shuffle stages EAGERLY (a thrown-away job at plan-construction
+    // time), and such a frame already has post-shuffle parallelism anyway.
+    import org.apache.spark.sql.catalyst.plans.logical._
+    val shuffled = df.queryExecution.optimizedPlan.collectFirst {
+      case p @ (_: Join | _: Aggregate | _: Window | _: Sort |
+                _: Repartition | _: RepartitionByExpression) => p
+    }.nonEmpty
+    if (shuffled) df
+    else {
+      val want = df.sparkSession.sparkContext.defaultParallelism
+      val parts = df.rdd.getNumPartitions
+      if (parts < want) df.repartition(want) else df
+    }
   }
 }
