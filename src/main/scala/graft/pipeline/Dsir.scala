@@ -49,7 +49,9 @@ object Dsir {
                    wordNgrams: Int = 2, nfc: Boolean = false): DataFrame = {
     require(dim > 0, s"dim=$dim must be positive")
     require(wordNgrams >= 1, s"wordNgrams=$wordNgrams must be >= 1")
-    corpus
+    // Par.spread: the featurize pass over a one-split small file runs
+    // single-threaded otherwise (no-op at scale)
+    Par.spread(corpus)
       .select(explode(Classifier.featureGrams(col(textCol), wordNgrams, nfc))
         .as("f"))
       .select(Classifier.featureIndex(col("f"), dim).as("idx"))
@@ -81,7 +83,7 @@ object Dsir {
       if (broadcastModel) broadcast(_) else identity
     val rawTot = rawCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_r"))
     val tgtTot = targetCounts.agg(coalesce(sum(col("cnt")), lit(0L)).as("total_t"))
-    val feats = docs
+    val feats = Par.spread(docs)
       .select(col(idCol).as("id"),
         explode(Classifier.featureGrams(col(textCol), wordNgrams, nfc)).as("f"))
       .select(col("id"), Classifier.featureIndex(col("f"), dim).as("idx"))

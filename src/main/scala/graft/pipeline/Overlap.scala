@@ -18,14 +18,16 @@ import org.apache.spark.sql.functions._
   */
 object Overlap {
 
+  // Par.spread: the gram projection over a one-split small file runs
+  // single-threaded otherwise (no-op at scale and on post-shuffle frames)
   private def gramIndex(df: DataFrame, tokensCol: String, idCol: String,
                         k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Par.spread(df).select(col(idCol).as("id"),
       explode(graft.functions.TextExprs.intGramSet(col(tokensCol), k)).as("gram"))
 
   private def textGramIndex(df: DataFrame, textCol: String, idCol: String,
                             k: Int): DataFrame =
-    df.select(col(idCol).as("id"),
+    Par.spread(df).select(col(idCol).as("id"),
       explode(graft.functions.TextExprs.wordGramSet(
         TextFunctions.normalize(col(textCol)), k)).as("gram"))
 
