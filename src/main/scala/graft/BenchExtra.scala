@@ -150,6 +150,15 @@ object BenchExtra {
         noop(Dedup.jaccardPairsFromSets(sets, threshold = 0.5)))
       time(spark, "ngram: word-gram pairs over documents")(
         noop(Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.5)))
+      // the q_ngram_jaccard configuration (t = 0.2: long prefixes, ~877k
+      // candidates) split into candidate generation vs full (verify tail)
+      val g02 = docs.select(col("doc_id").as("id"),
+        graft.functions.TextExprs.wordGramSet(
+          TextFunctions.normalize(col("text"), nfc = false), 3).as("g"))
+      time(spark, "ngram t=0.2: candidates only")(
+        noop(Dedup.prefixCandidates(g02, 0.2, dfOrdered = true)))
+      time(spark, "ngram t=0.2: full (cand+verify)")(
+        noop(Dedup.ngramJaccardPairs(docs, "text", "doc_id", k = 3, threshold = 0.2)))
     }
 
     if (want("survivors")) {
